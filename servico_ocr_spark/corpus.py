@@ -1,0 +1,148 @@
+"""Deterministic synthetic page corpus (FIXTURES.md §1/§3).
+
+Two builders:
+
+- :func:`build_corpus` — pure-pandas corpus for unit/e2e tests (no Spark):
+  cycles through the fixture archetypes, injects Portuguese-accented words
+  (exercising remove_acentos_simbolos, app/util_ocr.py:309-320) and corrupt
+  payloads (mirroring exemplos/Gerar Erro.{pdf,png}).
+- :func:`pages_from_documents` — builds the same pages shape from the
+  driver's ``documents`` parquet with **pure JVM expressions** (to_json /
+  encode), so the 100 TB-scale path never leaves Tungsten until the
+  extraction UDF itself.
+
+Payload format (the engine's stand-in for WARC html bytes):
+``{"fmt":"synthdoc/v1","archetype":...,"n_pages":...,"text":...}`` encoded
+UTF-8. Corrupt rows carry short junk bytes that fail JSON parsing and must
+land in the lineage error side-output, never fail the job
+(app/util_processar_pasta.py:412-421).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .core.tokenizer import ARCHETYPES, _bank_words, _h, estimate_pages
+
+_BASE_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+# corpus cycle: every archetype appears, plain dominates, corrupt and the
+# heavy skew doc are sprinkled in deterministically
+_CYCLE = [
+    "plain", "columns", "repeat_header", "plain", "quote", "sheetno",
+    "plain", "news_image", "columns", "plain", "quote", "corrupt",
+    "plain", "repeat_header", "news_image", "multipage_skew",
+]
+
+
+def doc_text(url: str, n_words: int) -> str:
+    """Deterministic body text: bank words + some ASCII filler + numerals."""
+    words = _bank_words(url, "body", n_words)
+    out = []
+    for i, w in enumerate(words):
+        if i % 7 == 3:
+            out.append(f"item{_h(url, 'num', i) % 1000}.")
+        out.append(w)
+    return " ".join(out)
+
+
+def payload_bytes(archetype: str, text: str) -> bytes:
+    doc = {
+        "fmt": "synthdoc/v1",
+        "archetype": archetype,
+        "n_pages": estimate_pages(archetype),
+        "text": text,
+    }
+    return json.dumps(doc, ensure_ascii=False).encode("utf-8")
+
+
+def parse_payload(html: bytes) -> dict:
+    """Decode a page payload; raises on corrupt bytes (error side-output)."""
+    doc = json.loads(bytes(html).decode("utf-8"))
+    if doc.get("fmt") != "synthdoc/v1":
+        raise ValueError(f"unknown payload format: {doc.get('fmt')!r}")
+    return doc
+
+
+def build_corpus(n_docs: int, tag: str = "corpus") -> pd.DataFrame:
+    """Pages table as pandas — columns (url, warc_ts, html, text, lang)."""
+    rows = []
+    for seq in range(n_docs):
+        archetype = _CYCLE[seq % len(_CYCLE)]
+        url = f"https://example.test/{archetype}/{tag}-{seq}"
+        n_words = 40 + _h(url, "len") % 120
+        text = doc_text(url, n_words)
+        if archetype == "corrupt":
+            html = bytes([_h(url, "junk", i) % 256 for i in range(10)])
+        else:
+            html = payload_bytes(archetype, text)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _BASE_TS + _dt.timedelta(seconds=seq),
+                "html": html,
+                "text": text,
+                "lang": "por",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+_ARCHETYPE_SQL_ARRAY = "array({})".format(
+    ", ".join(f"'{a}'" for a in ARCHETYPES)
+)
+_EST_PAGES_SQL = (
+    "CASE archetype WHEN 'multipage_skew' THEN 12 "
+    "WHEN 'repeat_header' THEN 3 ELSE 1 END"
+)
+
+
+def pages_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages table.
+
+    All JVM-side (no Python): archetype picked by a deterministic hash of
+    the url, payload JSON built with ``to_json``, ~1% of rows corrupted
+    (doc_id % 97 == 3) to exercise the error path.
+    """
+    df = documents.select(
+        F.concat(
+            F.lit("https://example.test/"), F.col("source"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    df = df.withColumn(
+        "archetype",
+        F.expr(
+            f"element_at({_ARCHETYPE_SQL_ARRAY}, "
+            "cast(pmod(xxhash64(url), 7) + 1 as int))"
+        ),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("synthdoc/v1").alias("fmt"),
+            F.col("archetype"),
+            F.expr(_EST_PAGES_SQL).cast("int").alias("n_pages"),
+            F.col("text"),
+        )
+    )
+    corrupt = F.pmod(F.col("doc_id"), F.lit(97)) == F.lit(3)
+    return df.select(
+        "url",
+        "warc_ts",
+        F.when(corrupt, F.expr("X'00ff1a00'"))
+        .otherwise(F.encode(payload, "UTF-8"))
+        .alias("html"),
+        "text",
+        "lang",
+    )

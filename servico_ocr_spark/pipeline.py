@@ -1,0 +1,241 @@
+"""The extraction pipeline: pages → (docs, boxes, lineage).
+
+Spark-first design notes (this is where the 100 TB story lives):
+
+* **Zero-shuffle core.** One input row = one document, and every analysis
+  stage (assembly → enrichment → classification → ordering → render) is
+  per-document, so the whole pipeline is a single ``mapInPandas`` over the
+  scan — no groupBy, no join, no shuffle in the hot path. The reference's
+  process-pool fan-out (app/util_fila.py) becomes plain Spark task
+  parallelism.
+* **Skew.** Catalyst can't see document weight inside the UDF, so weight is
+  handled in data space: a cheap page-count estimate is parsed from the
+  payload header JVM-side, and :func:`weighted_repartition` spreads heavy
+  documents round-robin across partitions (the north_star's "salted
+  repartition by estimated page count"). The ranking window is partitioned
+  by a url-hash group so no single-task global sort exists at scale.
+* **Resume / idempotence.** The reference's folder-queue lifecycle
+  (entrada → processando → saida|erro, app/util_processar_pasta.py:48-63)
+  becomes: anti-join the input against already-written lineage urls, then
+  append. Re-running after a crash never duplicates and never recomputes
+  finished documents (J4 — the cache-hit anti-join of
+  app/app_controller.py:77-79 is the same pattern).
+* **Error isolation.** A corrupt document (junk bytes, Faixa-geometry crash)
+  produces a lineage row with status='erro' and the reference error message
+  pattern (app/util_processar_pasta.py:412-421) instead of failing the job.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .core.analyze import (
+    analyze_document,
+    assemble_text,
+    document_stats,
+)
+from .core.render import filter_regions, render_html, render_markdown
+from .core.tokenizer import document_tokens
+from .corpus import parse_payload
+from .schemas import ANALYSIS_SCHEMA, DOCS_COLUMNS, LINEAGE_COLUMNS
+
+JOB_TS = "2026-01-01 00:00:00"  # deterministic dthr (reference X8 format)
+HEAVY_PAGE_THRESHOLD = 8
+
+
+def analyze_page_row(url: str, html: bytes):
+    """Pure per-document analysis used by both the Spark stage and the
+    pytest oracle. Returns a dict matching ANALYSIS_SCHEMA (minus
+    partition_id / est_pages)."""
+    payload = parse_payload(html)
+    tokens = document_tokens(url, payload.get("text") or "", payload["archetype"])
+    boxes, n_pages, conf_sum, conf_count = analyze_document(tokens)
+    extracted_text, spans = assemble_text(boxes)
+    clean_boxes = filter_regions(
+        boxes, keep_header=False, keep_stamps=False, keep_quotes=True
+    )
+    clean_text = "\n\n".join(b["texto"] for b in clean_boxes)
+    n_chars, n_words = document_stats(boxes)
+    return {
+        "url": url,
+        "status": "ok",
+        "error": None,
+        "paginas": n_pages,
+        "n_boxes": len(boxes),
+        "mean_conf": (conf_sum / conf_count) if conf_count else None,
+        "qtd_letras": n_chars,
+        "qtd_palavras": n_words,
+        "pagina_tipo": boxes[0]["pagina_tipo"] if boxes else None,
+        "extracted_text": extracted_text,
+        "clean_text": clean_text,
+        "md": render_markdown(boxes),
+        "html_render": render_html(boxes),
+        "spans": spans,
+        "boxes": boxes,
+    }
+
+
+def _error_row(url: str, exc: Exception) -> dict:
+    # reference error status: f'Erro: {msg[:30]}...'
+    # (app/util_processar_pasta.py:418)
+    msg = str(exc)
+    return {
+        "url": url,
+        "status": "erro",
+        "error": f"Erro: {msg[:30]}..." if len(msg) > 30 else f"Erro: {msg}",
+        "paginas": None,
+        "n_boxes": None,
+        "mean_conf": None,
+        "qtd_letras": None,
+        "qtd_palavras": None,
+        "pagina_tipo": None,
+        "extracted_text": None,
+        "clean_text": None,
+        "md": None,
+        "html_render": None,
+        "spans": None,
+        "boxes": None,
+    }
+
+
+def _process_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel. Row = document; Arrow batches in, one result row
+    per document out. The loop is per-*document* (the correct vectorization
+    grain — all token/box work inside is per-doc pure Python over tiny
+    in-memory lists, exactly like one reference worker task)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        out = []
+        urls = batch["url"].tolist()
+        htmls = batch["html"].tolist()
+        ests = batch["est_pages"].tolist() if "est_pages" in batch else [None] * len(urls)
+        for url, html, est in zip(urls, htmls, ests):
+            try:
+                row = analyze_page_row(url, html)
+            except Exception as exc:  # error side-output, never fail the job
+                row = _error_row(url, exc)
+            row["partition_id"] = pid
+            row["dthr"] = JOB_TS
+            row["est_pages"] = est
+            out.append(row)
+        if out:
+            yield pd.DataFrame(out)
+
+
+def with_page_estimate(pages: DataFrame) -> DataFrame:
+    """JVM-side page-count estimate from the payload prefix (n_pages field);
+    corrupt/undecodable payloads fall back to 1. Analogous to the
+    reference's DPI/page knowledge before rasterizing (app/util_pdf_ocr.py:26-31).
+    """
+    prefix = F.substring(F.col("html").cast("string"), 1, 120)
+    est = F.regexp_extract(prefix, r'"n_pages":(\d+)', 1)
+    # regexp_extract yields '' on no match; try_cast keeps ANSI mode happy
+    return pages.withColumn(
+        "est_pages",
+        F.coalesce(est.try_cast("long"), F.lit(1)).alias("est_pages"),
+    )
+
+
+def weighted_repartition(
+    df: DataFrame,
+    weight_col: str = "est_pages",
+    num_partitions: int | None = None,
+    rank_groups: int = 64,
+) -> DataFrame:
+    """Skew-aware repartition: heavy rows are round-robined by weight rank.
+
+    Light rows (weight < HEAVY_PAGE_THRESHOLD) spread by url hash — at
+    10^12-doc scale they are uniform by the law of large numbers. Heavy rows
+    are rank-ordered inside ``rank_groups`` url-hash groups (so the ranking
+    window is distributed, never a global single-task sort) and dealt
+    round-robin across the target partitions.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    heavy = F.col(weight_col) >= F.lit(HEAVY_PAGE_THRESHOLD)
+    group = F.pmod(F.xxhash64("url"), F.lit(rank_groups))
+    win = Window.partitionBy(group).orderBy(F.desc(weight_col), "url")
+    rank_in_group = F.when(heavy, F.row_number().over(win)).otherwise(F.lit(None))
+    salted = df.withColumn(
+        "_pk",
+        F.when(
+            heavy,
+            F.pmod(
+                rank_in_group * F.lit(rank_groups) + group,
+                F.lit(num_partitions),
+            ),
+        ).otherwise(F.pmod(F.xxhash64("url"), F.lit(num_partitions))),
+    )
+    return salted.repartition(num_partitions, "_pk").drop("_pk")
+
+
+def run_extraction(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    balance: bool = True,
+) -> DataFrame:
+    """pages → analysis DataFrame (one row per document, ANALYSIS_SCHEMA).
+
+    Lazy; callers split it into docs/boxes/lineage with the selectors below
+    or write it once with :func:`write_analysis`.
+    """
+    staged = with_page_estimate(pages.select("url", "html"))
+    if balance:
+        staged = weighted_repartition(staged, num_partitions=num_partitions)
+    return staged.mapInPandas(_process_batches, schema=ANALYSIS_SCHEMA)
+
+
+def docs_table(analysis: DataFrame) -> DataFrame:
+    return analysis.where(F.col("status") == "ok").select(*DOCS_COLUMNS)
+
+
+def boxes_table(analysis: DataFrame) -> DataFrame:
+    """Exploded per-box table keyed (url, pagina, id)."""
+    return (
+        analysis.where(F.col("status") == "ok")
+        .select("url", F.explode("boxes").alias("b"))
+        .select("url", "b.*")
+    )
+
+
+def lineage_table(analysis: DataFrame) -> DataFrame:
+    return analysis.select(*LINEAGE_COLUMNS)
+
+
+def write_analysis(analysis: DataFrame, path: str) -> None:
+    """Idempotent append of the combined analysis table (Iceberg-style:
+    partitioned parquet append; swap for ``writeTo(...).append()`` when an
+    Iceberg catalog is configured)."""
+    analysis.write.mode("append").parquet(path)
+
+
+def resume_filter(
+    spark: SparkSession, pages: DataFrame, output_path: str
+) -> DataFrame:
+    """Checkpoint/resume: drop pages whose url already has an output row
+    (left anti join — the J4 cache-hit pattern). Missing output dir means a
+    fresh run."""
+    try:
+        done = spark.read.parquet(output_path).select("url")
+    except Exception:
+        return pages
+    return pages.join(done, "url", "left_anti")
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    num_partitions: int | None = None,
+) -> None:
+    """Checkpointed, resumable batch run: anti-join processed → analyze →
+    append. Safe to re-run after a crash; every url is written exactly once.
+    """
+    todo = resume_filter(spark, pages, output_path)
+    write_analysis(run_extraction(todo, num_partitions=num_partitions), output_path)
