@@ -1,38 +1,835 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the engine's operator surface (SURVEY.md §2 plus
+the training-data operators) through the real implementations in
+``servico_ocr_spark``; ``oracle_sql()`` carries DuckDB-dialect twins that
+must agree on row count, schema, and order-insensitive value hash.
+
+Portability discipline for the oracles: every computed value is an
+integer, string, or date-string — no float aggregates — and all hashes go
+through the shared 48-bit md5 primitive (Spark ``conv(substr(md5(x),1,12),
+16,10)`` ≡ DuckDB ``('0x'||substr(md5(x),1,12))::BIGINT``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from servico_ocr_spark.core.text import ACCENT_DST, ACCENT_SRC
+from servico_ocr_spark.corpus import pages_from_documents
+from servico_ocr_spark.operators import (
+    brute_force_topk,
+    exact_duplicates,
+    extract_media_features,
+    language_id,
+    lsh_ann_topk,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    synth_media_table,
+    text_fingerprint,
+    token_counts,
+)
+from servico_ocr_spark.operators.common import h48, norm_text, words_array
+from servico_ocr_spark.operators.textstats import LANG_MARKERS
+from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-dialect SQL building blocks (kept in lockstep with operators/common)
+# ---------------------------------------------------------------------------
+
+_D_NORM = (
+    "lower(regexp_replace(translate(text, '"
+    + ACCENT_SRC + "', '" + ACCENT_DST + "'), '[^0-9a-zA-Z ]', ' ', 'g'))"
+)
+_D_WORDS = "list_filter(string_split({norm}, ' '), x -> x <> '')"
+
+
+def _d_h48(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+
+
+def _d_words_cte() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    return f"SELECT doc_id, {words} AS words FROM documents"
+
+
+# ===========================================================================
+# Extraction pipeline (flagship; per-document kernel — rows-only check)
+# ===========================================================================
+
+def _q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_read(spark, sf_dir, "documents"))
+    analysis = run_extraction(pages, balance=True)
+    return docs_table(analysis).select(
+        "url", "paginas", "pagina_tipo", "qtd_letras", "qtd_palavras",
+        F.length("extracted_text").alias("text_len"),
+        F.size("spans").alias("n_spans"),
+    ).orderBy("url")
+
+
+def _q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_read(spark, sf_dir, "documents"))
+    analysis = run_extraction(pages, balance=True)
+    return (
+        lineage_table(analysis)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"), F.sum("est_pages").alias("est_pages_sum"))
+        .orderBy("status")
+    )
+
+
+# ===========================================================================
+# X1/X2 — normalization  |  A3/A4 — distinct word/char stats
+# ===========================================================================
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm_text"),
+        F.expr("replace(trim(text), '  ', ' ')").alias("collapsed"),
+    )
+
+
+_O_TEXT_NORMALIZE = f"""
+SELECT doc_id,
+       {_D_NORM} AS norm_text,
+       replace(trim(text), '  ', ' ') AS collapsed
+FROM documents
+"""
+
+
+def _q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    words = words_array(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(F.filter(words, lambda w: F.length(w) > 1))
+        ).cast("long").alias("qtd_palavras"),
+        F.size(F.array_distinct(F.split(norm, ""))).cast("long").alias("qtd_letras"),
+    )
+
+
+_O_WORD_STATS = f"""
+WITH n AS (SELECT doc_id, {_D_NORM} AS norm FROM documents)
+SELECT doc_id,
+       len(list_distinct(list_filter(
+           list_filter(string_split(norm, ' '), x -> x <> ''),
+           x -> len(x) > 1))) AS qtd_palavras,
+       len(list_distinct(string_split(norm, ''))) AS qtd_letras
+FROM n
+"""
+
+
+# ===========================================================================
+# J4/X7 — md5 dedupe (exact on 5-word prefix so sf data has matches)
+# ===========================================================================
+
+def _q_dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias(
+            "text"
+        ),
+    )
+    return exact_duplicates(docs, text_col="text", id_col="doc_id")
+
+
+_O_DEDUP_EXACT_PREFIX = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# ===========================================================================
+# Dedup — MinHash + LSH, SimHash, n-gram Jaccard
+# ===========================================================================
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+
+
+def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.30
+    )
+
+
+def _o_minhash_neardups() -> str:
+    mh = _d_h48("(i::VARCHAR || ':' || w)")
+    inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
+    return f"""
+WITH base AS ({_d_words_cte()}),
+dw AS (SELECT doc_id, list_distinct(words) AS ws FROM base),
+wx AS (SELECT doc_id, unnest(ws) AS w FROM dw),
+sig AS (
+    SELECT wx.doc_id, t.i, min({mh}) AS mh
+    FROM wx CROSS JOIN range({_MINHASH_K}) t(i)
+    GROUP BY wx.doc_id, t.i
+),
+bands AS (
+    SELECT doc_id, i // {_MINHASH_K // _MINHASH_BANDS} AS band,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
+    FROM sig GROUP BY doc_id, i // {_MINHASH_K // _MINHASH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       floor({inter} * 100 /
+             (len(a.ws) + len(b.ws) - {inter}))::BIGINT AS jaccard_pct
+FROM cand c JOIN dw a ON a.doc_id = c.id_a JOIN dw b ON b.doc_id = c.id_b
+WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter})) >= 30
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def _o_simhash() -> str:
+    h = _d_h48("w")
+    return f"""
+WITH base AS ({_d_words_cte()}),
+wx AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+hx AS (SELECT doc_id, {h} AS h FROM wx),
+votes AS (
+    SELECT doc_id, b.b,
+           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hx CROSS JOIN range(32) b(b)
+    GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold_pct=20
+    )
+
+
+def _o_ngram_jaccard() -> str:
+    return f"""
+WITH base AS ({_d_words_cte()}),
+grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(words) - 3, 0) + 1),
+               i -> array_to_string(words[i + 1: i + 3], ' '))) AS gs
+    FROM base
+),
+sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
+gx AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter))::BIGINT
+           AS jaccard_pct
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter)) >= 20
+"""
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+_ANN_QUERIES = 8
+_ANN_K = 5
+
+_O_INT_VEC = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT)"
+
+
+def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K
+    )
+
+
+def _o_ann_brute_topk() -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+q AS (SELECT vec_id AS query_id, iv AS qv, nrm AS qnorm FROM n
+      WHERE vec_id < {_ANN_QUERIES}),
+pairs AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(
+               range(1, len(q.qv) + 1),
+               i -> q.qv[i] * n.iv[i])) AS BIGINT) AS dot,
+           q.qnorm, n.nrm
+    FROM q JOIN n ON n.vec_id <> q.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           floor(dot * 1000000 /
+                 (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))))::BIGINT
+               AS cos_sim_e6
+    FROM pairs
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim_e6 DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K, planes=4
+    )
+
+
+def _o_ann_lsh_topk() -> str:
+    coef = _d_h48("('plane' || p::VARCHAR || '|' || d::VARCHAR)")
+    return f"""
+WITH v AS (
+    SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+coefs AS (
+    SELECT p.p, d.d, ({coef} % 2001 - 1000) AS c
+    FROM range(4) p(p) CROSS JOIN range(64) d(d)
+),
+proj AS (
+    SELECT n.vec_id, c.p, sum(n.iv[c.d + 1] * c.c) AS s
+    FROM n JOIN coefs c ON true
+    GROUP BY n.vec_id, c.p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, iv AS qv, nrm AS qnorm, bucket FROM nb
+      WHERE vec_id < {_ANN_QUERIES}),
+pairs AS (
+    SELECT q.query_id, nb.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(
+               range(1, len(q.qv) + 1),
+               i -> q.qv[i] * nb.iv[i])) AS BIGINT) AS dot,
+           q.qnorm, nb.nrm
+    FROM q JOIN nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           floor(dot * 1000000 /
+                 (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))))::BIGINT
+               AS cos_sim_e6
+    FROM pairs
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim_e6 DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+# ===========================================================================
+# Text analysis: language-ID, quality, token counts, fingerprint
+# ===========================================================================
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _o_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n       ".join(
+        "len(list_filter(words, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH base AS ({_d_words_cte()}),
+h AS (SELECT doc_id, {hits} FROM base)
+SELECT doc_id, {guess} AS guessed_lang, {best} AS best_hits FROM h
+"""
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+_O_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS bpe_ish_tokens,
+       length(text) AS n_chars_raw
+FROM documents
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def _o_quality() -> str:
+    markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_list = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"""
+WITH base AS ({_d_words_cte()}),
+m AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                AS BIGINT) AS total_len,
+           len(list_filter(words, x -> list_contains({marker_list}, x)))
+               AS stop_hits,
+           len(list_filter(words, x -> regexp_full_match(x, '[0-9]+')))
+               AS digit_tokens,
+           len(list_distinct(words)) AS n_distinct
+    FROM base
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0 THEN floor(total_len * 100 / n_words)::BIGINT
+            ELSE 0 END AS mean_word_len_x100,
+       CASE WHEN n_words > 0 THEN floor(stop_hits * 1000 / n_words)::BIGINT
+            ELSE 0 END AS stopword_permille,
+       CASE WHEN n_words > 0 THEN floor(digit_tokens * 1000 / n_words)::BIGINT
+            ELSE 0 END AS digit_permille,
+       CASE WHEN n_words > 0 THEN floor(n_distinct * 1000 / n_words)::BIGINT
+            ELSE 0 END AS distinct_permille,
+       CASE WHEN n_words > 0
+                 AND floor(stop_hits * 1000 / n_words) >= 100
+                 AND n_words >= 20 AND n_words <= 100000
+                 AND floor(total_len * 100 / n_words) >= 200
+                 AND floor(total_len * 100 / n_words) <= 1500
+            THEN 'good' ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def _o_fingerprint() -> str:
+    gram_hash = _d_h48("g")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_D_NORM} AS norm,
+           {_D_WORDS.format(norm=_D_NORM)} AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, norm,
+           list_transform(
+               range(0, greatest(len(words) - 4, 0) + 1),
+               i -> array_to_string(words[i + 1: i + 4], ' ')) AS gs
+    FROM base
+),
+gh AS (
+    SELECT doc_id, norm,
+           list_transform(gs, g -> {gram_hash}) AS hs
+    FROM grams
+)
+SELECT doc_id, md5(norm) AS content_md5,
+       list_aggregate(hs, 'min') AS winnow_min,
+       list_aggregate(hs, 'max') AS winnow_max
+FROM gh
+"""
+
+
+# ===========================================================================
+# Relational operator coverage (joins, aggs, windows, sessionization)
+# ===========================================================================
+
+def _cents(col):
+    """floor(x*100 + 0.5) — deterministic double→cents, engine-portable."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty_cents",
+            F.floor(F.col("sum_qty_cents") / F.col("count_order")).cast("long"),
+        )
+    )
+
+
+_O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT) AS sum_qty_cents,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS sum_base_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+           AS sum_disc_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)::BIGINT)
+           AS sum_charge_cents,
+       count(*) AS count_order,
+       floor(sum(floor(l_quantity * 100 + 0.5)::BIGINT) / count(*))::BIGINT
+           AS avg_qty_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue_cents"))
+    )
+    return (
+        joined.orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "revenue_cents",
+        )
+    )
+
+
+_O_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_orders", F.count("*").over(Window.partitionBy("o_custkey"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("first_orderdate"),
+            "n_orders",
+        )
+    )
+
+
+_O_FIRST_ORDERS = """
+WITH r AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+)
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS first_orderdate,
+       n_orders
+FROM r WHERE rn = 1
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("session_start", starts)
+        .groupBy("user_id")
+        .agg(
+            F.sum("session_start").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_O_SESSIONIZE = """
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS session_start
+    FROM events
+)
+SELECT user_id, sum(session_start)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# A1/F1/W3 mirror — order-sensitive box assembly over a deterministic
+# token stream derived from documents.text
+# ===========================================================================
+
+def _q_token_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    conf = (
+        h48(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("pos").cast("string")))
+        % 101
+    )
+    kept = tokens.where(conf >= 30).withColumn(
+        "block", F.floor(F.col("pos") / 40).cast("int")
+    )
+    grouped = kept.groupBy("doc_id", "block").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("texto"),
+        F.count("*").alias("n_tokens"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("block")
+    return grouped.withColumn(
+        "box", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def _o_token_boxes() -> str:
+    conf = _d_h48("(doc_id::VARCHAR || ':' || pos::VARCHAR)")
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, pos, word, (pos // 40)::INT AS block
+    FROM t WHERE word <> '' AND ({conf} % 101) >= 30
+),
+g AS (
+    SELECT doc_id, block,
+           string_agg(word, ' ' ORDER BY pos) AS texto,
+           count(*) AS n_tokens
+    FROM kept GROUP BY doc_id, block
+)
+SELECT doc_id, block, texto, n_tokens,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY block) - 1)::INT AS box
+FROM g
+"""
+
+
+# ===========================================================================
+# J2/SO1 mirror — repetition pairs by geometry-ish closeness + word-set
+# symmetric difference
+# ===========================================================================
+
+def _q_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", "source", "n_chars",
+        F.array_distinct(words_array(F.col("text"))).alias("ws"),
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    symdiff = F.size(
+        F.array_except(F.col("a.ws"), F.col("b.ws"))
+    ) + F.size(F.array_except(F.col("b.ws"), F.col("a.ws")))
+    close = (
+        100 * F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+        / F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+    ) <= 10
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(close)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            symdiff.alias("symdiff"),
+        )
+        .where(F.col("symdiff") <= 60)
+    )
+
+
+def _o_repeat_pairs() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    return f"""
+WITH ws AS (
+    SELECT doc_id, source, n_chars,
+           list_distinct({words}) AS ws
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (len(list_filter(a.ws, x -> NOT list_contains(b.ws, x)))
+        + len(list_filter(b.ws, x -> NOT list_contains(a.ws, x))))::INT
+           AS symdiff
+FROM ws a JOIN ws b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE 100 * abs(a.n_chars - b.n_chars)
+          / greatest(a.n_chars, b.n_chars) <= 10
+  AND (len(list_filter(a.ws, x -> NOT list_contains(b.ws, x)))
+       + len(list_filter(b.ws, x -> NOT list_contains(a.ws, x)))) <= 60
+"""
+
+
+# ===========================================================================
+# Multimodal plumbing (binary payload → feature vectors; rows-only check)
+# ===========================================================================
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_table(_read(spark, sf_dir, "documents"))
+    return extract_media_features(media).select(
+        "media_id", "media_type", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+_O_MEDIA_FEATURES = """
+SELECT 'm-' || doc_id::VARCHAR AS media_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       8 AS dim
+FROM documents
+"""
+
+
+# ===========================================================================
+# contract surface
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline over pages synthesized from
+    the sf0.001 documents table; returns the docs table."""
+    return _q_extract_docs(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_docs": _q_extract_docs,
+        "extract_lineage": _q_extract_lineage,
+        "text_normalize": _q_text_normalize,
+        "word_stats": _q_word_stats,
+        "dedup_exact_prefix": _q_dedup_exact_prefix,
+        "minhash_neardups": _q_minhash_neardups,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_score": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "first_orders": _q_first_orders,
+        "sessionize": _q_sessionize,
+        "token_boxes": _q_token_boxes,
+        "repeat_pairs": _q_repeat_pairs,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # extract_docs / extract_lineage are the per-document kernel
+    # (non-SQL-expressible: greedy reading-order rewrite, stateful page
+    # renumbering) → rows-only check by omission.
+    return {
+        "text_normalize": _O_TEXT_NORMALIZE,
+        "word_stats": _O_WORD_STATS,
+        "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,
+        "minhash_neardups": _o_minhash_neardups(),
+        "simhash": _o_simhash(),
+        "ngram_jaccard": _o_ngram_jaccard(),
+        "ann_brute_topk": _o_ann_brute_topk(),
+        "ann_lsh_topk": _o_ann_lsh_topk(),
+        "lang_id": _o_lang_id(),
+        "token_counts": _O_TOKEN_COUNTS,
+        "quality_score": _o_quality(),
+        "fingerprint": _o_fingerprint(),
+        "pricing_summary": _O_PRICING_SUMMARY,
+        "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
+        "first_orders": _O_FIRST_ORDERS,
+        "sessionize": _O_SESSIONIZE,
+        "token_boxes": _o_token_boxes(),
+        "repeat_pairs": _o_repeat_pairs(),
+        "media_features": _O_MEDIA_FEATURES,
+    }

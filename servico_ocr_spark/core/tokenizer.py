@@ -96,10 +96,14 @@ class _PageBuilder:
             "conf": conf, "text": text,
         }
 
-    def add_block(self, words, x, y, wrap_width):
+    def add_block(self, words, x, y, wrap_width, fixed_conf=None):
         """Lay words left→right with wrapping; emits the level-2 bbox row
         (taken as box_xyla by the engine, app/util_ocr.py:144-145) followed
-        by the level-5 word rows. Returns the block's bottom y."""
+        by the level-5 word rows. Returns the block's bottom y.
+
+        ``fixed_conf`` makes the block's confidences page-independent —
+        used for repeated headers/footers so the same words survive the
+        conf filter on every page (the repetition fixture contract)."""
         if not words:
             return y
         self.block += 1
@@ -119,7 +123,9 @@ class _PageBuilder:
                 self._row(
                     5, self.block, 1, line, word_in_line,
                     cursor, top, wpx, LINE_H - 8,
-                    _conf(self.url, self.page, self.block, widx), word,
+                    fixed_conf if fixed_conf is not None
+                    else _conf(self.url, self.page, self.block, widx),
+                    word,
                 )
             )
             max_right = max(max_right, cursor + wpx)
@@ -211,10 +217,10 @@ def _repeat_header_doc(url, words):
     rows = []
     for page_idx in range(3):
         b = _PageBuilder(url, page_idx, A4_W, A4_H)
-        b.add_block(header, 600, 400, 1400)
+        b.add_block(header, 600, 400, 1400, fixed_conf=90)
         _fill_body(b, parts[page_idx], MARGIN, A4_W - 2 * MARGIN,
                    y_start=620, y_stop=2700)
-        b.add_block(footer, 600, 2950, 1400)
+        b.add_block(footer, 600, 2950, 1400, fixed_conf=90)
         rows.extend(b.rows)
     return rows
 
@@ -253,7 +259,8 @@ def _news_doc(url, words):
     b = _PageBuilder(url, 0, pw, ph)
     header = _bank_words(url, "hl", 3)
     laid_w = sum(_word_px(w) for w in header) + 14 * (len(header) - 1)
-    b.add_block(header, max(0, (pw - laid_w) // 2), int(ph * 0.12), pw)
+    b.add_block(header, max(0, (pw - laid_w) // 2), int(ph * 0.12), pw,
+                fixed_conf=90)
     _fill_body(b, words, MARGIN, pw - 2 * MARGIN,
                y_start=int(ph * 0.22), y_stop=ph - 400)
     return b.rows

@@ -1,0 +1,24 @@
+"""Cross-document operators for large-scale training-data pipelines.
+
+All implementations are JVM-side DataFrame expressions (whole-stage
+codegen) — no Python in the hot path. The per-document OCR kernel lives in
+``servico_ocr_spark.core``; these operators cover what a 100 TB corpus
+pipeline needs around it: deduplication, similarity search, text analysis,
+and multimodal column plumbing.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .multimodal import extract_media_features, synth_media_table  # noqa: F401
+from .similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from .textstats import (  # noqa: F401
+    language_id,
+    quality_score,
+    text_fingerprint,
+    token_counts,
+)

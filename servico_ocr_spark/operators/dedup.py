@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedupe is one hash-aggregate (map-side partial combine, AQE
+  coalesced) — the J4/X7 pattern of the reference (md5 id dedupe,
+  app/app_controller.py:71-79) generalized to content dedupe.
+- MinHash/LSH never materializes the O(n²) pair space: signatures are one
+  projection, candidates come from an equi-join on (band, band_hash) —
+  shuffle keyed by band buckets, broadcast-free, skew-safe because bucket
+  population is bounded by the band width.
+- SimHash is 32 integer aggregations over an exploded word table — all
+  whole-stage codegen.
+- n-gram Jaccard is shingle-equi-join + count ratio; shingles are distinct
+  per doc so the join fan-out is bounded by shingle frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import distinct_words, h48, norm_text
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, keep_id).
+
+    ``keep_id`` is the smallest id — the deterministic survivor.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"),
+                  F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over distinct words of
+    h48(i || ':' || word). Empty docs get NULL mins (filtered by callers).
+    """
+    words = distinct_words(F.col(text_col))
+
+    # closure (not default-arg) — a two-param HOF lambda would bind the
+    # second param to the array index
+    def _minhash(i):
+        return F.array_min(
+            F.transform(words, lambda w: h48(F.concat(F.lit(f"{i}:"), w)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def _lsh_candidates(sig_df: DataFrame, num_hashes: int,
+                    bands: int) -> DataFrame:
+    """Candidate pairs from banded signatures: docs sharing any band."""
+    rows = num_hashes // bands
+    band_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = sig_df.select("doc_id", band_entries.alias("e")).select(
+        "doc_id", "e.band", "e.band_hash"
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with true word-set Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, jaccard_pct) with jaccard scaled to integer
+    percent (engine-portable exactness; no float hashing hazards).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = _lsh_candidates(sigs, num_hashes, bands)
+    wordsets = df.select(
+        F.col(id_col).alias("doc_id"), distinct_words(F.col(text_col)).alias("ws")
+    )
+    joined = (
+        cands.join(
+            wordsets.select(
+                F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a")
+            ),
+            "id_a",
+        ).join(
+            wordsets.select(
+                F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    jacc_pct = F.floor(inter * 100 / union)
+    return (
+        joined.select("id_a", "id_b", jacc_pct.alias("jaccard_pct"))
+        .where(F.col("jaccard_pct") >= int(threshold * 100))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over distinct normalized words — 32 integer
+    aggregations, fully codegen'd; no UDF."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(distinct_words(F.col(text_col))).alias("w"),
+    ).withColumn("h", h48(F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.col("w").isNull(), F.lit(0)).otherwise(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return voted.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by n-word-shingle Jaccard (integer percent).
+
+    Shingle table is distinct per doc; candidates come from a shingle
+    equi-join (never a cross join)."""
+    words = F.filter(
+        F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    # guard: docs shorter than n words get a single whole-text shingle
+    # (sequence with a negative upper bound would count DOWN in Spark)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    shingled = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    sizes = shingled.select("doc_id", F.size("grams").alias("n_grams"))
+    exploded = shingled.select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_grams", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.col("inter") * 100 / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard_pct"),
+        )
+        .where(F.col("jaccard_pct") >= threshold_pct)
+    )

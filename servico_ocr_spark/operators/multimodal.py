@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+heavy decode/feature kernels run as Arrow-batched ``mapInPandas`` stages.
+The decode libraries (cv2/PIL/ffmpeg) are NOT in this container, so the
+decode step is stubbed: ``decode_stub='fake'`` produces a deterministic
+feature vector from the bytes (so the Spark-side plumbing — schema,
+batching, partitioning — is fully testable), ``decode_stub='raise'``
+documents the real-library integration point.
+
+Reference analog: the image decode / grayscale / color-mode path
+(app/util_ocr.py:72-87, app/util_imagem.py:8-52) — C-library work behind a
+per-batch boundary, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, StringType, StructField, StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes) -> list:
+    """Deterministic stand-in for image/audio feature extraction: 8 floats
+    derived from the payload digest. Swap for a real decoder in prod."""
+    digest = hashlib.md5(bytes(payload)).digest()
+    return [
+        round(int.from_bytes(digest[2 * i: 2 * i + 2], "big") / 65535.0, 6)
+        for i in range(_FEATURE_DIM)
+    ]
+
+
+def extract_media_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """binary payload → feature vectors via Arrow-batched mapInPandas.
+
+    ``decode_stub='raise'`` marks where cv2/PIL/torchaudio would plug in.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real media decode requires cv2/PIL/ffmpeg (not in this "
+                    "container); use decode_stub='fake' for plumbing tests"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": batch[id_col].astype(str),
+                    "media_type": batch[type_col],
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in batch[payload_col]
+                    ],
+                    "feature": [
+                        _fake_decode(p) if p is not None else None
+                        for p in batch[payload_col]
+                    ],
+                }
+            )
+            yield out
+
+    return media.select(id_col, payload_col, type_col).mapInPandas(
+        kernel, schema=FEATURES_SCHEMA
+    )
+
+
+def synth_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table: payload = the
+    utf-8 text bytes tagged with a rotating media type. Pure JVM."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return documents.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        mt.alias("media_type"),
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k; the query side is
+  broadcast (small dim table) so the scan side never shuffles. Scores are
+  computed on integer-scaled components (floor(x*1000)) so results are
+  bit-portable across engines and partitionings — no float-sum order
+  hazards in the correctness gate.
+- :func:`lsh_ann_topk` — the scale path: sign-random-projection buckets
+  (deterministic hyperplanes derived from h48) prune candidates before the
+  exact re-rank; at 10^12 rows the bucket join replaces the full scan per
+  query with a bucket-local one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from .common import h48
+
+_SCALE = 1000
+
+
+def _int_vec(col):
+    """floor(double(x)*1000) per component — exact integer arithmetic
+    downstream. The float→double cast happens BEFORE scaling so Spark and
+    any SQL oracle floor the same IEEE value."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _SCALE).cast("long")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos_sim_e6) where cos_sim_e6 is
+    cosine * 1e6 floored to integer (portable exactness). Self-matches are
+    excluded. Ties break on neighbor_id ascending (deterministic).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _int_vec(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
+    ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
+
+    scored = (
+        base.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qv"), F.col("v")))
+        .withColumn(
+            "cos_sim_e6",
+            F.floor(
+                F.col("dot") * 1000000
+                / (F.sqrt(F.col("qnorm").cast("double"))
+                   * F.sqrt(F.col("vnorm").cast("double")))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )
+
+
+def _bucket(vec_col, planes: int):
+    """Sign-random-projection bucket id: plane p has deterministic integer
+    coefficients coef(p, d) = h48('p|d') % 2001 - 1000."""
+    def plane_sign(p):
+        prefix = f"plane{p}|"
+        products = F.zip_with(
+            vec_col,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda d: h48(F.concat(F.lit(prefix), d.cast("string")))
+                % 2001
+                - 1000,
+            ),
+            lambda x, c: x * c,
+        )
+        total = F.aggregate(products, F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.when(total >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(planes):
+        term = plane_sign(p)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    then exact integer cosine re-rank. Same output shape as
+    :func:`brute_force_topk` (recall < 1 by design)."""
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _int_vec(F.col(vec_col)).alias("v"),
+        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+    ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _int_vec(F.col(vec_col)).alias("qv"),
+        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+    ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
+
+    scored = (
+        base.join(broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qv"), F.col("v")))
+        .withColumn(
+            "cos_sim_e6",
+            F.floor(
+                F.col("dot") * 1000000
+                / (F.sqrt(F.col("qnorm").cast("double"))
+                   * F.sqrt(F.col("vnorm").cast("double")))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )

@@ -1,0 +1,141 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All whole-stage-codegen column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import h48, norm_text, words_array
+
+# n-gram-free heuristic language ID: stopword hit counting over fixed
+# marker lists (deterministic argmax, ties broken by language code order).
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "que", "es", "una", "para", "por"],
+    "fr": ["le", "la", "les", "est", "une", "dans", "pour", "que"],
+    "pt": ["o", "os", "das", "que", "uma", "para", "nao", "com"],
+}
+
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, guessed_lang, best_hits): stopword-hit argmax.
+
+    Ties (including the all-zero case) resolve to the alphabetically first
+    language code — deterministic and engine-portable.
+    """
+    words = words_array(F.col(text_col))
+
+    def _marker_array(markers):
+        return F.array(*[F.lit(m) for m in markers])
+
+    # array_contains (not Column.isin) — isin is unsupported on lambda
+    # variables inside higher-order functions. NB: the HOF lambda must take
+    # exactly one positional arg (a second arg means (elem, index)).
+    def _hits(markers):
+        arr = _marker_array(markers)
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    hit_cols = {
+        lang: _hits(markers).cast("long")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    out = df.select(F.col(id_col).alias("doc_id"), *[
+        c.alias(f"hits_{lang}") for lang, c in hit_cols.items()
+    ])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)])
+    guess = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return out.select(
+        "doc_id", guess.alias("guessed_lang"), best.alias("best_hits")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, n_chars_raw): whitespace token
+    count and a BPE-ish regex token count (letter runs / digit runs /
+    single punctuation)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Integer-permille quality facets + a composite bucket.
+
+    Facets: mean word length (×100), stopword ratio (‰), digit-token
+    ratio (‰), distinct-word ratio (‰). Bucket: 'good' if stopword ratio
+    ≥ 100‰ and 20 ≤ words ≤ 100000 and mean word len in [2,15], else 'low'.
+    """
+    words = words_array(F.col(text_col))
+    n_words = F.size(words).cast("long")
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_arr = F.array(*[F.lit(m) for m in all_markers])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+    digit_tokens = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl_x100 = F.when(n_words > 0, F.floor(total_len * 100 / n_words)).otherwise(
+        F.lit(0)
+    )
+    stop_pm = F.when(n_words > 0, F.floor(stop_hits * 1000 / n_words)).otherwise(
+        F.lit(0)
+    )
+    digit_pm = F.when(
+        n_words > 0, F.floor(digit_tokens * 1000 / n_words)
+    ).otherwise(F.lit(0))
+    distinct_pm = F.when(
+        n_words > 0,
+        F.floor(F.size(F.array_distinct(words)) * 1000 / n_words),
+    ).otherwise(F.lit(0))
+    bucket = F.when(
+        (stop_pm >= 100)
+        & (n_words >= 20)
+        & (n_words <= 100000)
+        & (mwl_x100 >= 200)
+        & (mwl_x100 <= 1500),
+        F.lit("good"),
+    ).otherwise(F.lit("low"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mwl_x100.alias("mean_word_len_x100"),
+        stop_pm.alias("stopword_permille"),
+        digit_pm.alias("digit_permille"),
+        distinct_pm.alias("distinct_permille"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def text_fingerprint(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shingle_n: int = 4) -> DataFrame:
+    """(doc_id, content_md5, winnow_min, winnow_max): exact content hash of
+    the normalized text plus min/max shingle hashes (a 2-point winnowing
+    sketch — order-independent, portable)."""
+    norm = norm_text(F.col(text_col))
+    words = words_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_n)),
+    )
+    gram_hashes = F.transform(grams, h48)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("content_md5"),
+        F.array_min(gram_hashes).alias("winnow_min"),
+        F.array_max(gram_hashes).alias("winnow_max"),
+    )

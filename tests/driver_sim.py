@@ -1,0 +1,120 @@
+"""Simulates the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same sf dir; compare
+row count, schema, and order-insensitive values.
+
+Usage: python tests/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                # dtype-insensitive numeric compare (int32 vs int64 etc.);
+                # float64 is exact for all engine values (< 2^53)
+                df[c] = pd.to_numeric(df[c]).astype("float64")
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return (
+        df.sort_values(list(df.columns), kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def compare(name, spark_df, duck_df) -> list:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} "
+            f"duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
+    if len(a) == len(b) and not a.equals(b):
+        diff_cols = [c for c in a.columns if not a[c].equals(b[c])]
+        problems.append(f"values differ in columns {diff_cols}")
+        for c in diff_cols[:2]:
+            neq = a[c] != b[c]
+            idx = neq[neq].index[:3]
+            for i in idx:
+                problems.append(f"  {c}[{i}]: spark={a[c][i]!r} duck={b[c][i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from servico_ocr_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as exc:
+            print(f"[FAIL] {name}: spark error: {str(exc)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"[rows] {name}: {len(spdf)} rows (no oracle, rows-only)")
+            assert len(spdf) >= 0
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"[FAIL] {name}: duckdb error: {str(exc)[:300]}")
+            failed.append(name)
+            continue
+        problems = compare(name, spdf, ddf)
+        if problems:
+            print(f"[FAIL] {name}: " + "; ".join(problems[:5]))
+            failed.append(name)
+        else:
+            print(f"[ ok ] {name}: {len(spdf)} rows match")
+    spark.stop()
+    if failed:
+        print("FAILED:", failed)
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
