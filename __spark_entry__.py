@@ -232,13 +232,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_ngram_jaccard() -> str:
+    gram_hash = _d_h48("array_to_string(words[i + 1: i + 3], ' ')")
     return f"""
 WITH base AS ({_d_words_cte()}),
 grams AS (
     SELECT doc_id,
            list_distinct(list_transform(
                range(0, greatest(len(words) - 3, 0) + 1),
-               i -> array_to_string(words[i + 1: i + 3], ' '))) AS gs
+               i -> {gram_hash})) AS gs
     FROM base
 ),
 sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
@@ -636,6 +637,35 @@ FROM g GROUP BY user_id
 """
 
 
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/X-JSON coverage: extract the k field from the props JSON string,
+    aggregate per event_type. value_cents avoids float-sum hashing."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+_O_EVENTS_JSON = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       sum(floor(value * 100 + 0.5)::BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # A1/F1/W3 mirror — order-sensitive box assembly over a deterministic
 # token stream derived from documents.text
@@ -802,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
+        "events_json": _q_events_json,
         "token_boxes": _q_token_boxes,
         "repeat_pairs": _q_repeat_pairs,
         "media_features": _q_media_features,
@@ -829,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
+        "events_json": _O_EVENTS_JSON,
         "token_boxes": _o_token_boxes(),
         "repeat_pairs": _o_repeat_pairs(),
         "media_features": _O_MEDIA_FEATURES,

@@ -98,16 +98,62 @@ def run_suite() -> None:
 
 
 def run_scaling() -> None:
-    """Two-parallelism-level throughput evidence for BENCH/BASELINE.md."""
+    """Two-parallelism-level throughput evidence for BENCH/BASELINE.md.
+
+    Methodology (documented in BENCH/BASELINE.md):
+    - The sf corpus alone is too small to measure scaling (whole-job
+      compute ≈ seconds, so scheduler/worker overhead dominates). The
+      scaling corpus replicates each document ``SCALING_REPL`` times with
+      distinct urls and ``TEXT_REPEAT``-times longer text — compute-bound
+      and still fully deterministic.
+    - Each parallelism level runs in its own subprocess pinned with
+      ``taskset`` to exactly that many physical cores: local[8] on a
+      32-core box would otherwise borrow the 24 idle cores for JVM helper
+      threads (Arrow encode, scan, shuffle), inflating the N baseline the
+      way no real 8-core cluster node could.
+    - Python workers are warmed up before the timed region (task-process
+      startup is a constant, not throughput).
+    """
+    import subprocess
+
+    results = {}
+    for cores in (8, 32):
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}", sys.executable,
+            os.path.abspath(__file__), "--scaling-run", str(cores),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(out)
+
+    eff = results[32]["docs_per_s"] / (4 * results[8]["docs_per_s"])
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n": {k: v for k, v in results[8].items() if k != "checksum"},
+        "four_n": {k: v for k, v in results[32].items() if k != "checksum"},
+        "byte_identical_across_levels": (
+            results[8]["checksum"] == results[32]["checksum"]
+        ),
+        "sf": _sf_of(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+def run_scaling_level(cores: int) -> None:
+    """One pinned scaling run; prints a JSON line with throughput+checksum."""
     from pyspark.sql import functions as F
 
     from servico_ocr_spark.corpus import pages_from_documents
     from servico_ocr_spark.pipeline import run_extraction
     from servico_ocr_spark.session import get_spark
 
-    results = {}
-    checksums = {}
-    for cores in (8, 32):
+    repl = int(os.environ.get("SCALING_REPL", "8"))
+    text_repeat = int(os.environ.get("SCALING_TEXT_REPEAT", "10"))
+
+    if True:
         spark = get_spark(
             master=f"local[{cores}]",
             shuffle_partitions=cores,
@@ -115,14 +161,38 @@ def run_scaling() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        pages = pages_from_documents(docs).cache()
+        scaled = (
+            docs.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
+            )
+            .withColumn(
+                "doc_id", F.col("doc_id") * repl + F.col("rep")
+            )
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.array_repeat(F.col("text"), text_repeat), " "
+                ),
+            )
+            .drop("rep")
+        )
+        # pre-spread the cached input across tasks: the source is ONE
+        # parquet file, and a 2-partition cache would serialize the
+        # shuffle-map side of the timed balance step
+        pages = (
+            pages_from_documents(scaled).repartition(cores * 2).cache()
+        )
         n_docs = pages.count()  # cache input so the timed run excludes gen
 
-        start = time.perf_counter()
-        analysis = run_extraction(pages, num_partitions=cores * 2)
-        stats = analysis.agg(
-            F.count("*").alias("docs"),
-            F.sum("paginas").alias("pages"),
+        # Untimed pre-pass, two jobs at once:
+        # (a) byte-identity checksum over a deterministic 1-in-8 url sample
+        #     (compared across the two parallelism levels), and
+        # (b) warm-up of the FULL execution path — whole-stage codegen,
+        #     JIT, shuffle writers, Arrow encoders, Python workers. A cold
+        #     first run is ~2.5× slower than steady state, which is a
+        #     constant, not throughput.
+        sample = pages.where(F.pmod(F.xxhash64("url"), F.lit(8)) == 0)
+        checksum = run_extraction(sample, num_partitions=cores * 2).agg(
             F.md5(
                 F.concat_ws(
                     "|",
@@ -134,34 +204,43 @@ def run_scaling() -> None:
                     ),
                 )
             ).alias("checksum"),
-        ).collect()[0]
-        elapsed = time.perf_counter() - start
-        results[cores] = {
-            "docs": int(stats["docs"]),
-            "pages": int(stats["pages"]),
-            "wall_s": round(elapsed, 2),
-            "docs_per_s": round(stats["docs"] / elapsed, 2),
-            "pages_per_s": round(stats["pages"] / elapsed, 2),
-        }
-        checksums[cores] = stats["checksum"]
-        assert int(stats["docs"]) == n_docs
-        spark.stop()
+        ).collect()[0]["checksum"]
 
-    eff = results[32]["docs_per_s"] / (4 * results[8]["docs_per_s"])
-    out = {
-        "metric": "scaling_efficiency_8_to_32_cores",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "n": results[8],
-        "four_n": results[32],
-        "byte_identical_across_levels": checksums[8] == checksums[32],
-        "sf": _sf_of(SF_DIR),
-    }
-    print(json.dumps(out))
+        # timed region: the full pipeline materialized via the noop sink
+        # (every output column computed; no disk, no driver collect)
+        start = time.perf_counter()
+        analysis = run_extraction(pages, num_partitions=cores * 2)
+        analysis.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+
+        # untimed: page mass from the JVM-side estimate (exact for the
+        # synthetic corpus)
+        from servico_ocr_spark.pipeline import with_page_estimate
+
+        pages_total = int(
+            with_page_estimate(pages.select("url", "html"))
+            .agg(F.sum("est_pages")).collect()[0][0]
+        )
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "docs": n_docs,
+                    "est_pages": pages_total,
+                    "wall_s": round(elapsed, 2),
+                    "docs_per_s": round(n_docs / elapsed, 2),
+                    "pages_per_s": round(pages_total / elapsed, 2),
+                    "checksum": checksum,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-run" in sys.argv:
+        run_scaling_level(int(sys.argv[sys.argv.index("--scaling-run") + 1]))
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         run_suite()

@@ -25,7 +25,7 @@ confidence filter (app/util_ocr.py:148-149) skips them.
 
 from __future__ import annotations
 
-import hashlib
+import zlib
 
 ARCHETYPES = [
     "plain", "columns", "repeat_header", "quote", "sheetno",
@@ -46,9 +46,14 @@ BLOCK_GAP = 90
 
 
 def _h(*parts) -> int:
-    """Deterministic 64-bit hash of the joined parts."""
+    """Deterministic 64-bit hash of the joined parts (crc32-based: this is
+    test scaffolding on the hot path — in production the OCR engine sits
+    here — and crc32 is ~5× cheaper than md5 while staying process- and
+    partitioning-independent)."""
     key = "|".join(str(p) for p in parts).encode("utf-8")
-    return int.from_bytes(hashlib.md5(key).digest()[:8], "big")
+    lo = zlib.crc32(key)
+    hi = zlib.crc32(key, 0x5F3759DF)
+    return (hi << 32) | lo
 
 
 def _word_px(word: str) -> int:

@@ -174,7 +174,10 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by n-word-shingle Jaccard (integer percent).
 
     Shingle table is distinct per doc; candidates come from a shingle
-    equi-join (never a cross join)."""
+    equi-join (never a cross join). The join key is the 48-bit shingle
+    hash, not the string — at scale the shuffle moves 8-byte keys instead
+    of text, and both the engine and the oracle use the same portable
+    hash so results stay engine-exact."""
     words = F.filter(
         F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
     )
@@ -183,7 +186,7 @@ def ngram_jaccard_pairs(
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            lambda i: h48(F.concat_ws(" ", F.slice(words, i + 1, n))),
         )
     )
     shingled = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))

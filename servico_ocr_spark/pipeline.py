@@ -162,15 +162,17 @@ def weighted_repartition(
     group = F.pmod(F.xxhash64("url"), F.lit(rank_groups))
     win = Window.partitionBy(group).orderBy(F.desc(weight_col), "url")
     rank_in_group = F.when(heavy, F.row_number().over(win)).otherwise(F.lit(None))
+    # The salt keeps FULL entropy: pre-bucketing to pmod(h, P) and then
+    # hash-repartitioning those P coarse values is balls-into-bins — some
+    # partitions get 2-3 buckets, others 0, and stragglers double the wall
+    # clock. Light docs salt on the raw 64-bit url hash; heavy docs on
+    # their weight rank (consecutive ranks spread near-uniformly under the
+    # partitioner's hash).
     salted = df.withColumn(
         "_pk",
         F.when(
-            heavy,
-            F.pmod(
-                rank_in_group * F.lit(rank_groups) + group,
-                F.lit(num_partitions),
-            ),
-        ).otherwise(F.pmod(F.xxhash64("url"), F.lit(num_partitions))),
+            heavy, rank_in_group.cast("long") * F.lit(rank_groups) + group
+        ).otherwise(F.xxhash64("url")),
     )
     return salted.repartition(num_partitions, "_pk").drop("_pk")
 
