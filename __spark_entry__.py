@@ -232,18 +232,26 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_ngram_jaccard() -> str:
-    gram_hash = _d_h48("array_to_string(words[i + 1: i + 3], ' ')")
+    gram_hash = _d_h48("(w || ' ' || w1 || ' ' || w2)")
     return f"""
 WITH base AS ({_d_words_cte()}),
-grams AS (
+tok AS (
     SELECT doc_id,
-           list_distinct(list_transform(
-               range(0, greatest(len(words) - 3, 0) + 1),
-               i -> {gram_hash})) AS gs
+           generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
     FROM base
 ),
-sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
-gx AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+led AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+gx AS (
+    SELECT DISTINCT doc_id, {gram_hash} AS g
+    FROM led WHERE w2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gx GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
     FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -311,6 +319,62 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
 FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+_EMB_NEARDUP_T = 400000  # sf embeddings are near-orthogonal random vectors; max pair ~0.49
+
+
+def _q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), threshold_e6=_EMB_NEARDUP_T
+    )
+
+
+def _o_embedding_neardups() -> str:
+    coef = _d_h48("('plane' || p::VARCHAR || '|' || d::VARCHAR)")
+    return f"""
+WITH v AS (
+    SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+coefs AS (
+    SELECT p.p, d.d, ({coef} % 2001 - 1000) AS c
+    FROM range(4) p(p) CROSS JOIN range(64) d(d)
+),
+proj AS (
+    SELECT n.vec_id, c.p, sum(n.iv[c.d + 1] * c.c) AS s
+    FROM n JOIN coefs c ON true
+    GROUP BY n.vec_id, c.p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(
+               range(1, len(a.iv) + 1),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb2
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       floor(dot * 1000000 /
+             (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))))::BIGINT
+           AS cos_sim_e6
+FROM pairs
+WHERE floor(dot * 1000000 /
+            (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))))
+      >= {_EMB_NEARDUP_T}
 """
 
 
@@ -461,29 +525,34 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_fingerprint() -> str:
-    gram_hash = _d_h48("g")
+    gram_hash = _d_h48("(w || ' ' || w1 || ' ' || w2 || ' ' || w3)")
     return f"""
 WITH base AS (
     SELECT doc_id, {_D_NORM} AS norm,
            {_D_WORDS.format(norm=_D_NORM)} AS words
     FROM documents
 ),
-grams AS (
-    SELECT doc_id, norm,
-           list_transform(
-               range(0, greatest(len(words) - 4, 0) + 1),
-               i -> array_to_string(words[i + 1: i + 4], ' ')) AS gs
+tok AS (
+    SELECT doc_id,
+           generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
     FROM base
 ),
-gh AS (
-    SELECT doc_id, norm,
-           list_transform(gs, g -> {gram_hash}) AS hs
-    FROM grams
+led AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM tok
+),
+sk AS (
+    SELECT doc_id,
+           min(CASE WHEN w3 IS NOT NULL THEN {gram_hash} END) AS winnow_min,
+           max(CASE WHEN w3 IS NOT NULL THEN {gram_hash} END) AS winnow_max
+    FROM led GROUP BY doc_id
 )
-SELECT doc_id, md5(norm) AS content_md5,
-       list_aggregate(hs, 'min') AS winnow_min,
-       list_aggregate(hs, 'max') AS winnow_max
-FROM gh
+SELECT b.doc_id, md5(b.norm) AS content_md5, sk.winnow_min, sk.winnow_max
+FROM base b LEFT JOIN sk ON sk.doc_id = b.doc_id
 """
 
 
@@ -824,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardups": _q_embedding_neardups,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
@@ -852,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "ann_brute_topk": _o_ann_brute_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),
+        "embedding_neardups": _o_embedding_neardups(),
         "lang_id": _o_lang_id(),
         "token_counts": _O_TOKEN_COUNTS,
         "quality_score": _o_quality(),

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "token_counts",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "embedding_neardups",
+    "events_json",
     "pricing_summary",
     "top_revenue_orders",
     "first_orders",

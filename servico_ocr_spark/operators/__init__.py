@@ -15,7 +15,11 @@ from .dedup import (  # noqa: F401
     simhash,
 )
 from .multimodal import extract_media_features, synth_media_table  # noqa: F401
-from .similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_ann_topk,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

@@ -40,19 +40,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 16) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over distinct words of
-    h48(i || ':' || word). Empty docs get NULL mins (filtered by callers).
+    h48(i || ':' || word). Docs with no words produce no signature row.
+
+    Shape: explode distinct words once, compute the k hash columns in
+    whole-stage codegen, take k min() aggregations (map-side partial
+    combine) — NOT array higher-order functions, which run interpreted.
     """
-    words = distinct_words(F.col(text_col))
-
-    # closure (not default-arg) — a two-param HOF lambda would bind the
-    # second param to the array index
-    def _minhash(i):
-        return F.array_min(
-            F.transform(words, lambda w: h48(F.concat(F.lit(f"{i}:"), w)))
-        )
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(distinct_words(F.col(text_col))).alias("w"),
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            h48(F.concat(F.lit(f"{i}:"), F.col("w"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    return mins.select("doc_id", sig.alias("sig"))
 
 
 def _lsh_candidates(sig_df: DataFrame, num_hashes: int,
@@ -109,28 +118,39 @@ def minhash_near_duplicates(
 
     Output: (id_a, id_b, jaccard_pct) with jaccard scaled to integer
     percent (engine-portable exactness; no float hashing hazards).
+
+    Verification joins the exploded distinct-word table against the
+    candidate pairs and counts matches — array_intersect over wide arrays
+    is an interpreted per-pair set operation and was the sf0.1 hotspot.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     cands = _lsh_candidates(sigs, num_hashes, bands)
-    wordsets = df.select(
-        F.col(id_col).alias("doc_id"), distinct_words(F.col(text_col)).alias("ws")
+    wx = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(distinct_words(F.col(text_col))).alias("w"),
+    )
+    sizes = wx.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    # two equi-joins: words of id_a matched against words of id_b
+    inter = (
+        cands
+        .join(wx.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            wx.withColumnRenamed("doc_id", "id_b"),
+            ["id_b", "w"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
     joined = (
-        cands.join(
-            wordsets.select(
-                F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a")
-            ),
-            "id_a",
-        ).join(
-            wordsets.select(
-                F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b")
-            ),
-            "id_b",
-        )
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("n_words", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_words", "nb"), "id_b")
     )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size("ws_a") + F.size("ws_b") - inter
-    jacc_pct = F.floor(inter * 100 / union)
+    jacc_pct = F.floor(
+        F.col("inter") * 100 / (F.col("na") + F.col("nb") - F.col("inter"))
+    )
     return (
         joined.select("id_a", "id_b", jacc_pct.alias("jaccard_pct"))
         .where(F.col("jaccard_pct") >= int(threshold * 100))
@@ -174,26 +194,37 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by n-word-shingle Jaccard (integer percent).
 
     Shingle table is distinct per doc; candidates come from a shingle
-    equi-join (never a cross join). The join key is the 48-bit shingle
-    hash, not the string — at scale the shuffle moves 8-byte keys instead
-    of text, and both the engine and the oracle use the same portable
-    hash so results stay engine-exact."""
-    words = F.filter(
-        F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
+    equi-join (never a cross join). Performance notes, both load-bearing
+    at scale:
+    - shingles are built with window ``lead()`` over a posexploded word
+      table, NOT array higher-order functions — HOF lambdas run
+      interpreted per element (~2.5 ms/doc here), lead() stays in
+      whole-stage codegen;
+    - the join key is the 48-bit shingle hash, not the string — the
+      shuffle moves 8-byte keys, and the oracle uses the same portable
+      hash so results stay engine-exact.
+    Docs with fewer than n words produce no shingles (and thus no pairs).
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(norm_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+        ).alias("pos", "w"),
     )
-    # guard: docs shorter than n words get a single whole-text shingle
-    # (sequence with a negative upper bound would count DOWN in Spark)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: h48(F.concat_ws(" ", F.slice(words, i + 1, n))),
-        )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    gram = F.when(
+        parts[-1].isNotNull(), h48(F.concat_ws(" ", *parts))
     )
-    shingled = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
-    sizes = shingled.select("doc_id", F.size("grams").alias("n_grams"))
-    exploded = shingled.select(
-        "doc_id", F.explode("grams").alias("g")
+    exploded = (
+        tokens.select("doc_id", gram.alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
     )
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     pairs = (
         exploded.alias("a")
         .join(

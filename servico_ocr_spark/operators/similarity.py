@@ -80,6 +80,46 @@ def brute_force_topk(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold_e6: int = 400000,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim_e6) with
+    integer-exact cosine ≥ threshold_e6 (×1e6).
+
+    Scale path: candidates are restricted to same-SRP-bucket pairs (the
+    O(n²) pair space is never materialized), then exactly re-scored. With
+    p planes the expected candidate fraction is ~2^-p per pair plus the
+    true-neighbor mass.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _int_vec(F.col(vec_col)).alias("v"),
+        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+    ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("vnorm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("vnorm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = F.floor(
+        _dot(F.col("va"), F.col("vb")) * 1000000
+        / (F.sqrt(F.col("na").cast("double"))
+           * F.sqrt(F.col("nb").cast("double")))
+    ).cast("long")
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim_e6"))
+        .where(F.col("cos_sim_e6") >= threshold_e6)
+    )
+
+
 def _bucket(vec_col, planes: int):
     """Sign-random-projection bucket id: plane p has deterministic integer
     coefficients coef(p, d) = h48('p|d') % 2001 - 1000."""

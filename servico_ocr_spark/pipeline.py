@@ -210,11 +210,22 @@ def lineage_table(analysis: DataFrame) -> DataFrame:
     return analysis.select(*LINEAGE_COLUMNS)
 
 
-def write_analysis(analysis: DataFrame, path: str) -> None:
+def write_analysis(analysis: DataFrame, path: str,
+                   url_buckets: int | None = None) -> None:
     """Idempotent append of the combined analysis table (Iceberg-style:
     partitioned parquet append; swap for ``writeTo(...).append()`` when an
-    Iceberg catalog is configured)."""
-    analysis.write.mode("append").parquet(path)
+    Iceberg catalog is configured).
+
+    ``url_buckets`` adds a bucket(url) partition column — the 10^12-doc
+    layout: resume anti-joins and point lookups prune to one bucket
+    directory instead of scanning the table."""
+    writer = analysis.write.mode("append")
+    if url_buckets:
+        analysis = analysis.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets))
+        )
+        writer = analysis.write.mode("append").partitionBy("url_bucket")
+    writer.parquet(path)
 
 
 def resume_filter(

@@ -1,0 +1,118 @@
+"""Semantic unit tests for the cross-document operators (behavioral, in
+addition to the DuckDB oracle parity in test_entry_contract.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from servico_ocr_spark.operators import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    exact_duplicates,
+    extract_media_features,
+    language_id,
+    minhash_near_duplicates,
+    simhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(spark):
+    df = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
+    out = exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["keep_id"] == 1
+
+
+def test_minhash_finds_identical_docs(spark):
+    text = "justiça processo relatório análise parágrafo decisão artigo"
+    df = _docs(spark, [(1, text), (2, text), (3, "totally different words here xyz")])
+    pairs = minhash_near_duplicates(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard_pct"]) for p in pairs] == [(1, 2, 100)]
+
+
+def test_simhash_identical_docs_equal(spark):
+    text = "casa rio foro justiça"
+    df = _docs(spark, [(1, text), (2, text), (3, "algo completamente diverso")])
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_brute_force_topk_identical_vector_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),       # identical to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] == 1
+    assert ranked[0]["cos_sim_e6"] >= 999999
+    assert ranked[1]["neighbor_id"] == 3  # 45° before orthogonal
+    assert ranked[2]["neighbor_id"] == 2
+
+
+def test_embedding_neardups_symmetthreshold(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),
+            (2, [-1.0, 0.2]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_duplicates(emb, threshold_e6=990000, planes=2).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_language_id_obvious_cases(spark):
+    df = _docs(spark, [
+        (1, "the cat and the dog is in that house of it"),
+        (2, "der hund und die katze ist nicht ein problem mit"),
+    ])
+    out = {r["doc_id"]: r["guessed_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de"}
+
+
+def test_media_features_deterministic_and_batched(spark):
+    media = spark.createDataFrame(
+        [("m-1", b"payload-bytes", "image"), ("m-2", b"", "audio")],
+        "media_id string, payload binary, media_type string",
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert rows["m-1"]["n_bytes"] == 13
+    assert len(rows["m-1"]["feature"]) == 8
+    again = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert rows["m-1"]["feature"] == again["m-1"]["feature"]
+
+
+def test_media_decode_stub_raises(spark):
+    media = spark.createDataFrame(
+        [("m-1", b"x", "image")],
+        "media_id string, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(media, decode_stub="raise").collect()
+
+
+def test_write_analysis_bucketed(spark, tmp_path):
+    from servico_ocr_spark.corpus import build_corpus
+    from servico_ocr_spark.pipeline import run_extraction, write_analysis
+    from servico_ocr_spark.schemas import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(build_corpus(12), schema=PAGES_SCHEMA)
+    out = str(tmp_path / "bucketed")
+    write_analysis(run_extraction(pages, num_partitions=2), out, url_buckets=4)
+    df = spark.read.parquet(out)
+    assert df.count() == 12
+    assert "url_bucket" in df.columns
+    # partition pruning: a bucket filter scans a subset of files
+    one = df.where("url_bucket = 1")
+    assert one.count() < 12

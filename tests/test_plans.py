@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties (pushdown, column
+pruning, broadcast joins, shuffle-free extraction) must survive refactors.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from servico_ocr_spark.corpus import pages_from_documents
+from servico_ocr_spark.pipeline import run_extraction
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_scan_prunes_columns(spark):
+    pages = pages_from_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    plan = _plan(run_extraction(pages))
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    # only the columns the pipeline needs reach the scan — lang/n_chars
+    # never leave parquet
+    assert "doc_id" in scan and "text" in scan and "source" in scan
+    assert "n_chars" not in scan and "lang" not in scan
+
+
+def test_extraction_has_single_shuffle_only_for_balance(spark):
+    pages = pages_from_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    unbalanced = _plan(run_extraction(pages, balance=False))
+    assert "Exchange" not in unbalanced  # zero-shuffle hot path
+    balanced = _plan(run_extraction(pages, balance=True))
+    # exactly two exchanges: the heavy-rank window and the balance
+    # repartition itself — nothing else may shuffle
+    assert balanced.count("Exchange hashpartitioning") == 2
+
+
+def test_filter_pushdown_pricing(spark):
+    plan = _plan(entrymod._q_pricing_summary(spark, SF))
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "PushedFilters" in scan and "l_shipdate" in scan
+
+
+def test_broadcast_join_top_revenue(spark):
+    plan = _plan(entrymod._q_top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # both joins broadcast at this scale
+
+
+def test_partial_aggregation_present(spark):
+    plan = _plan(entrymod._q_pricing_summary(spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_resume_antijoin_prunes_url_column(spark, tmp_path):
+    from servico_ocr_spark.corpus import build_corpus
+    from servico_ocr_spark.pipeline import resume_filter, run_resumable
+    from servico_ocr_spark.schemas import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(build_corpus(8), schema=PAGES_SCHEMA)
+    out = str(tmp_path / "out")
+    run_resumable(spark, pages, out)
+    plan = _plan(resume_filter(spark, pages, out))
+    scan = [line for line in plan.splitlines()
+            if "FileScan" in line and "out" in line]
+    # the processed-side scan reads ONLY url (anti-join key)
+    assert scan and "extracted_text" not in scan[0]
