@@ -116,3 +116,19 @@ def test_write_analysis_bucketed(spark, tmp_path):
     # partition pruning: a bucket filter scans a subset of files
     one = df.where("url_bucket = 1")
     assert one.count() < 12
+
+
+def test_color_mode_classification(spark):
+    from servico_ocr_spark.operators.multimodal import classify_color_mode
+
+    media = spark.createDataFrame(
+        [
+            ("bw", bytes([7, 7, 7] * 100)),          # identical channels
+            ("gray", bytes([7, 7, 7] * 999 + [7, 7, 8])),  # one pixel off
+            ("color", bytes([200, 10, 30] * 100)),   # strongly different
+        ],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r["color_mode"]
+           for r in classify_color_mode(media).collect()}
+    assert out == {"bw": 0, "gray": 1, "color": 2}
