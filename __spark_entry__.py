@@ -706,6 +706,24 @@ FROM g GROUP BY user_id
 """
 
 
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (streaming twin:
+    streaming.windowed.windowed_event_counts over readStream)."""
+    from servico_ocr_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_read(spark, sf_dir, "events"))
+
+
+_O_WINDOWED_EVENTS = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(floor(value * 100 + 0.5)::BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/X-JSON coverage: extract the k field from the props JSON string,
     aggregate per event_type. value_cents avoids float-sum hashing."""
@@ -902,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
+        "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
         "token_boxes": _q_token_boxes,
         "repeat_pairs": _q_repeat_pairs,
@@ -931,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
+        "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,
         "token_boxes": _o_token_boxes(),
         "repeat_pairs": _o_repeat_pairs(),

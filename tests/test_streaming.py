@@ -31,3 +31,75 @@ def test_available_now_incremental(spark, tmp_path):
     run_available_now(spark, input_dir, output_dir, checkpoint,
                       num_partitions=4)
     assert spark.read.parquet(output_dir).count() == 24
+
+
+def test_stateful_dedupe_stream(spark, tmp_path):
+    """applyInPandasWithState dedupe: first occurrence per url wins,
+    across micro-batches, with state persisted in the checkpoint."""
+    from servico_ocr_spark.streaming.stateful import dedupe_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "url string, payload string"
+
+    spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u1", "dup-in-batch")], schema
+    ).write.mode("append").parquet(input_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        deduped = dedupe_stream(stream, "url", stream.schema)
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    out1 = spark.read.parquet(output_dir)
+    assert out1.count() == 2
+    assert out1.where("url = 'u1'").count() == 1
+
+    # second batch: u1/u2 re-delivered (must be dropped), u3 is new
+    spark.createDataFrame(
+        [("u1", "late-dup"), ("u3", "c"), ("u2", "late-dup")], schema
+    ).write.mode("append").parquet(input_dir)
+    run_once()
+    out2 = spark.read.parquet(output_dir)
+    assert out2.count() == 3
+    assert sorted(r["url"] for r in out2.select("url").collect()) == [
+        "u1", "u2", "u3"
+    ]
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
+    """The windowed rollup gives identical results via readStream
+    (AvailableNow, update-to-memory) and plain batch."""
+    from servico_ocr_spark.streaming.windowed import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    input_dir = str(tmp_path / "events")
+    events.write.parquet(input_dir)
+
+    batch = windowed_event_counts(spark.read.parquet(input_dir)).toPandas()
+
+    stream = spark.readStream.schema(events.schema).parquet(input_dir)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM win_counts").toPandas()
+
+    key = ["window_start", "event_type"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert b.equals(s)
