@@ -1,0 +1,120 @@
+"""TRUE reference differential: run the ACTUAL reference implementation
+(/root/reference/app/util_ocr.py, imported read-only with its binary
+dependencies stubbed) against this engine's kernel on identical token
+streams, and require byte-identical box lists.
+
+This is the strongest parity evidence available without Tesseract: the
+reference's `processar_img_ocr` runs with `pytesseract.image_to_data`
+monkeypatched to return our synthetic token tables, and its full
+`__enriquecer_dados__` chain (stats → margins → borders → sort → classify
+→ column fix → repetition → cleanup) runs unmodified. Every quirk we
+replicated must match the original, field for field.
+"""
+
+import sys
+import types
+
+import pytest
+from hypothesis import given, settings
+
+from servico_ocr_spark.core.analyze import analyze_document
+from servico_ocr_spark.core.geometry import FaixaGeometryError
+from servico_ocr_spark.core.tokenizer import ARCHETYPES, document_tokens
+from servico_ocr_spark.corpus import doc_text
+from tests.test_property import token_streams
+
+REFERENCE_APP = "/root/reference/app"
+
+
+@pytest.fixture(scope="module")
+def reference_module():
+    """Import the real reference util_ocr with cv2/pytesseract/PIL stubbed
+    (they are only touched on the image-decode paths we don't exercise)."""
+    stubs = {}
+    for name in ("cv2", "pytesseract", "PIL", "PIL.Image"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            stubs[name] = mod
+            sys.modules[name] = mod
+    sys.modules["pytesseract"].Output = types.SimpleNamespace(DICT="dict")
+    sys.modules["PIL"].Image = sys.modules["PIL.Image"]
+
+    sys.path.insert(0, REFERENCE_APP)
+    try:
+        import util_ocr  # noqa: F401  (the reference module, read-only)
+
+        yield util_ocr
+    finally:
+        sys.path.remove(REFERENCE_APP)
+
+
+def _reference_analyze(util_ocr, rows):
+    """Drive the reference end-to-end on a token stream: one
+    processar_img_ocr call per page (its page-counting contract,
+    app/util_ocr.py:125), tokens injected via the pytesseract stub."""
+    pages = {}
+    order = []
+    for row in rows:
+        if row["page_num"] not in pages:
+            pages[row["page_num"]] = []
+            order.append(row["page_num"])
+        pages[row["page_num"]].append(row)
+
+    inst = util_ocr.AnaliseImagensOCR.__new__(util_ocr.AnaliseImagensOCR)
+    inst.file_2_grayscale = True
+    inst.linguagem = "por"
+    # names like __dados__ have trailing dunders → NOT name-mangled
+    inst.__dict__["__dados__"] = []
+    inst.__dict__["__enriquecidos__"] = False
+    inst.__dict__["__pagina__"] = -1
+    inst.__dict__["__box__"] = -1
+    inst.__dict__["__caracter__"] = -1
+    inst.__dict__["__imagens__"] = []
+    inst.__dict__["__paginas__"] = 0
+
+    cols = ["level", "page_num", "block_num", "par_num", "line_num",
+            "word_num", "left", "top", "width", "height", "conf", "text"]
+    for page in order:
+        tsv = {c: [r[c] for r in pages[page]] for c in cols}
+        sys.modules["pytesseract"].image_to_data = (
+            lambda img, lang=None, output_type=None: img
+        )
+        inst.processar_img_ocr(tsv)
+    return inst.dados()
+
+
+def _assert_identical(mine, theirs):
+    assert len(mine) == len(theirs)
+    for got, ref in zip(mine, theirs):
+        assert set(got.keys()) == set(ref.keys())
+        for key in ref:
+            assert got[key] == ref[key], (
+                f"field {key!r}: engine={got[key]!r} reference={ref[key]!r}"
+            )
+
+
+@pytest.mark.parametrize("archetype",
+                         [a for a in ARCHETYPES])
+def test_archetypes_byte_identical_to_reference(reference_module, archetype):
+    for seq in range(4):
+        url = f"https://example.test/{archetype}/refdiff-{seq}"
+        rows = document_tokens(url, doc_text(url, 80 + seq * 37), archetype)
+        try:
+            mine, _, _, _ = analyze_document([dict(r) for r in rows])
+        except FaixaGeometryError:
+            with pytest.raises(AttributeError):
+                _reference_analyze(reference_module, rows)
+            continue
+        theirs = _reference_analyze(reference_module, rows)
+        _assert_identical(mine, theirs)
+
+
+@given(token_streams())
+@settings(max_examples=60, deadline=None)
+def test_fuzzed_layouts_byte_identical_to_reference(reference_module, rows):
+    try:
+        mine, _, _, _ = analyze_document([dict(r) for r in rows])
+    except FaixaGeometryError:
+        return
+    theirs = _reference_analyze(reference_module, [dict(r) for r in rows])
+    _assert_identical(mine, theirs)
