@@ -118,3 +118,57 @@ def test_fuzzed_layouts_byte_identical_to_reference(reference_module, rows):
         return
     theirs = _reference_analyze(reference_module, [dict(r) for r in rows])
     _assert_identical(mine, theirs)
+
+
+@pytest.fixture(scope="module")
+def reference_renderers(reference_module):
+    """Import the reference's markdown/util modules (stdlib-only deps)."""
+    sys.path.insert(0, REFERENCE_APP)
+    try:
+        import util as ref_util
+        import util_markdown as ref_md
+
+        yield ref_util, ref_md
+    finally:
+        sys.path.remove(REFERENCE_APP)
+
+
+def test_markdown_render_byte_identical_to_reference(
+    reference_module, reference_renderers
+):
+    from servico_ocr_spark.core.render import render_markdown
+
+    _, ref_md = reference_renderers
+    for archetype in ARCHETYPES:
+        for seq in range(3):
+            url = f"https://example.test/{archetype}/mdref-{seq}"
+            rows = document_tokens(url, doc_text(url, 90 + seq * 31), archetype)
+            try:
+                mine, _, _, _ = analyze_document([dict(r) for r in rows])
+            except FaixaGeometryError:
+                continue
+            theirs = _reference_analyze(reference_module, rows)
+            assert render_markdown(mine) == ref_md.aimg_2_md(theirs)
+
+
+def test_paragraph_rejoin_matches_reference(reference_renderers):
+    from servico_ocr_spark.core.text import rejoin_broken_paragraphs
+
+    ref_util, _ = reference_renderers
+    cases = [
+        "linha um\ncontinua aqui",
+        "fim da frase.\nNova frase",
+        "ver art.\nseguinte do código.",
+        "Dr.\nFulano disse sim.",
+        "uma linha só",
+        "termina em ?\nE segue",
+        "a.\nb.\nc sem ponto\nd",
+        "  espaços  \n  mais espaços  ",
+        "",
+        "fls.\n123 do processo.",
+    ]
+    for case in cases:
+        assert (
+            rejoin_broken_paragraphs(case)
+            == ref_util.Util.unir_paragrafos_quebrados(case)
+        ), case
