@@ -184,7 +184,7 @@ def render_markdown(boxes):
 _HTML_TOP = '''
             <div class="container-fluid">
                 <div class="row">
-                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary">
+                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary"> 
                         <span class="d-inline-block" tabindex="0" data-toggle="tooltip" title="@@folhase_tt@@">
                         @@folhase@@
                         </span>
@@ -194,7 +194,7 @@ _HTML_TOP = '''
                         @@cabecalho@@
                         </span>
                    </div>
-                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary">
+                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary"> 
                         <span class="d-inline-block" tabindex="0" data-toggle="tooltip" title="@@folhasd_tt@@">
                         @@folhasd@@
                         </span>
@@ -224,7 +224,7 @@ _HTML_TEXT_ONLY = '''<div class="col-md-10 text-justify">
                 '''
 _HTML_BOTTOM = '''
                 <div class="row">
-                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary">
+                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary"> 
                         <span class="d-inline-block" tabindex="0" data-toggle="tooltip" title="@@folhaie_tt@@">
                         @@folhaie@@
                         </span>
@@ -234,7 +234,7 @@ _HTML_BOTTOM = '''
                         @@rodape@@
                         </span>
                    </div>
-                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary">
+                   <div class="col-md-1 font-weight-light bg-light text-sm-left border-secondary"> 
                         <span class="d-inline-block" tabindex="0" data-toggle="tooltip" title="@@folhaid_tt@@">
                         @@folhaid@@
                         </span>
