@@ -75,7 +75,8 @@ def _q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "paginas", "pagina_tipo", "qtd_letras", "qtd_palavras",
         F.length("extracted_text").alias("text_len"),
         F.size("spans").alias("n_spans"),
-    ).orderBy("url")
+    )  # no orderBy: the driver compares order-insensitively and a global
+    #    sort would add a pointless exchange to the flagship plan
 
 
 def _q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:

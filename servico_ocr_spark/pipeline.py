@@ -133,7 +133,9 @@ def with_page_estimate(pages: DataFrame) -> DataFrame:
     corrupt/undecodable payloads fall back to 1. Analogous to the
     reference's DPI/page knowledge before rasterizing (app/util_pdf_ocr.py:26-31).
     """
-    prefix = F.substring(F.col("html").cast("string"), 1, 120)
+    # substring the BINARY first — cast(html as string) would materialize
+    # the whole payload per row just to read a 120-byte header
+    prefix = F.substring(F.col("html"), 1, 120).cast("string")
     est = F.regexp_extract(prefix, r'"n_pages":(\d+)', 1)
     # regexp_extract yields '' on no match; try_cast keeps ANSI mode happy
     return pages.withColumn(
