@@ -160,26 +160,30 @@ def minhash_near_duplicates(
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct normalized words — 32 integer
-    aggregations, fully codegen'd; no UDF."""
+    aggregations, fully codegen'd; no UDF.
+
+    The classic per-bit ±1 vote is folded algebraically: with s_b = count
+    of words whose hash has bit b set and n = word count, the vote
+    2·s_b − n is positive iff 2·s_b > n. Each aggregate is then a bare
+    ``sum((h >> b) & 1)`` — much smaller generated code than 32 nested
+    CASE ±1 sums (codegen compile time is a real per-query constant).
+    """
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(distinct_words(F.col(text_col))).alias("w"),
     ).withColumn("h", h48(F.col("w")))
-    votes = [
-        F.sum(
-            F.when(F.col("w").isNull(), F.lit(0)).otherwise(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            )
-        ).alias(f"v{b}")
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(bits)
-    ]
-    voted = exploded.groupBy("doc_id").agg(*votes)
+    ] + [F.count("w").alias("n")]
+    voted = exploded.groupBy("doc_id").agg(*aggs)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # coalesce: a doc with no words has all-null sums and n = 0
+        term = F.when(
+            2 * F.coalesce(F.col(f"s{b}"), F.lit(0)) > F.col("n"),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return voted.select("doc_id", sim.cast("long").alias("simhash"))
 

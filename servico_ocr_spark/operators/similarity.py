@@ -95,10 +95,11 @@ def embedding_near_duplicates(
     p planes the expected candidate fraction is ~2^-p per pair plus the
     true-neighbor mass.
     """
+    dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         _int_vec(F.col(vec_col)).alias("v"),
-        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+        _bucket(_int_vec(F.col(vec_col)), planes, dim).alias("bucket"),
     ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
     a = base.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
@@ -120,21 +121,31 @@ def embedding_near_duplicates(
     )
 
 
-def _bucket(vec_col, planes: int):
+def _h48_py(s: str) -> int:
+    """Driver-side twin of operators.common.h48 (first 12 md5 hex chars as
+    int) — used to precompute SRP coefficients as literals."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _bucket(vec_col, planes: int, dim: int):
     """Sign-random-projection bucket id: plane p has deterministic integer
-    coefficients coef(p, d) = h48('p|d') % 2001 - 1000."""
+    coefficients coef(p, d) = h48('plane{p}|{d}') % 2001 - 1000.
+
+    The coefficients are constants, so they are computed driver-side and
+    embedded as a literal array per plane — the per-row version (md5 per
+    (row, plane, dim) inside a transform() lambda) costs planes×dim
+    interpreted hash calls per row and was ~7× slower at equal output.
+    """
     def plane_sign(p):
-        prefix = f"plane{p}|"
-        products = F.zip_with(
-            vec_col,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda d: h48(F.concat(F.lit(prefix), d.cast("string")))
-                % 2001
-                - 1000,
-            ),
-            lambda x, c: x * c,
+        coefs = F.array(
+            *[
+                F.lit(_h48_py(f"plane{p}|{d}") % 2001 - 1000)
+                for d in range(dim)
+            ]
         )
+        products = F.zip_with(vec_col, coefs, lambda x, c: x * c)
         total = F.aggregate(products, F.lit(0).cast("long"), lambda a, x: a + x)
         return F.when(total >= 0, F.lit(1 << p)).otherwise(F.lit(0))
 
@@ -143,6 +154,13 @@ def _bucket(vec_col, planes: int):
         term = plane_sign(p)
         bucket = term if bucket is None else bucket + term
     return bucket.cast("int")
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality (one-row probe; vector length is data, not
+    schema). Empty input defaults to 1 — no rows means no buckets matter."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None else 1
 
 
 def lsh_ann_topk(
@@ -156,15 +174,16 @@ def lsh_ann_topk(
     """Approximate top-k: candidates restricted to the query's SRP bucket,
     then exact integer cosine re-rank. Same output shape as
     :func:`brute_force_topk` (recall < 1 by design)."""
+    dim = _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _int_vec(F.col(vec_col)).alias("v"),
-        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+        _bucket(_int_vec(F.col(vec_col)), planes, dim).alias("bucket"),
     ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _int_vec(F.col(vec_col)).alias("qv"),
-        _bucket(_int_vec(F.col(vec_col)), planes).alias("bucket"),
+        _bucket(_int_vec(F.col(vec_col)), planes, dim).alias("bucket"),
     ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
 
     scored = (
