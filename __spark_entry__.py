@@ -819,31 +819,65 @@ FROM g
 # ===========================================================================
 
 def _q_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/SO1 at corpus scale. The join key is (source, size band), not
+    source alone: a qualifying pair has min(n_chars) ≥ 0.9·max(n_chars),
+    so with log-bands of width ln(1/0.9) any such pair lands in the same
+    or an adjacent band — the left side probes band−1..band+1 and the
+    per-source O(n²) pair space shrinks to same-size-band candidates.
+    Banding only prunes candidates; the exact closeness and symdiff
+    filters below decide membership, so results are oracle-identical."""
+    import math
+
     docs = _read(spark, sf_dir, "documents")
-    ws = docs.select(
-        "doc_id", "source", "n_chars",
-        F.array_distinct(words_array(F.col("text"))).alias("ws"),
+    band_w = math.log(1.0 / 0.9)
+    band = F.floor(F.log(F.col("n_chars").cast("double")) / F.lit(band_w))
+    meta = docs.select(
+        "doc_id", "source", "n_chars", band.cast("int").alias("band")
     )
-    a, b = ws.alias("a"), ws.alias("b")
-    symdiff = F.size(
-        F.array_except(F.col("a.ws"), F.col("b.ws"))
-    ) + F.size(F.array_except(F.col("b.ws"), F.col("a.ws")))
+    probes = meta.withColumn(
+        "probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+    )
+    a, b = probes.alias("a"), meta.alias("b")
     close = (
         100 * F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
         / F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
     ) <= 10
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.probe") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(close)
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            symdiff.alias("symdiff"),
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+    )
+    # symdiff = na + nb − 2·inter via word equi-joins — array_except over
+    # the candidate pairs runs interpreted per element and was ~10× the
+    # cost of everything else; the equi-join shape stays in codegen. Left
+    # join: zero-overlap pairs still qualify when na + nb ≤ threshold.
+    wx = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_array(F.col("text")))).alias("w")
+    )
+    sizes = wx.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    inter = (
+        cand.join(wx.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(wx.withColumnRenamed("doc_id", "id_b"), ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    symdiff = (
+        F.col("na") + F.col("nb") - 2 * F.coalesce(F.col("inter"), F.lit(0))
+    ).cast("int")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("nw", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("nw", "nb"), "id_b")
+        .select("id_a", "id_b", symdiff.alias("symdiff"))
         .where(F.col("symdiff") <= 60)
     )
 
