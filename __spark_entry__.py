@@ -164,13 +164,19 @@ HAVING count(*) > 1
 # ===========================================================================
 
 _MINHASH_K = 16
-_MINHASH_BANDS = 4
+_MINHASH_BANDS = 2  # 2 bands × 8 rows: P(candidate | J) = 1-(1-J^8)^2 —
+#                     ~0.8% at J=0.5, ~74% at J=0.9. Wider bands (4×4)
+#                     admitted ~20% of all template-sharing pairs as
+#                     candidates, which is quadratic death on a corpus
+#                     with dense mid-range similarity.
+_MINHASH_THRESHOLD = 0.80
 
 
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.30
+        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
     )
 
 
@@ -200,7 +206,8 @@ SELECT c.id_a, c.id_b,
        floor({inter} * 100 /
              (len(a.ws) + len(b.ws) - {inter}))::BIGINT AS jaccard_pct
 FROM cand c JOIN dw a ON a.doc_id = c.id_a JOIN dw b ON b.doc_id = c.id_b
-WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter})) >= 30
+WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
+      >= {int(_MINHASH_THRESHOLD * 100)}
 """
 
 
@@ -376,6 +383,81 @@ FROM pairs
 WHERE floor(dot * 1000000 /
             (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))))
       >= {_EMB_NEARDUP_T}
+"""
+
+
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < _ANN_QUERIES), k=_ANN_K,
+        n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+    )
+
+
+def _o_ann_ivf_topk() -> str:
+    crank = _d_h48("('centroid:' || vec_id::VARCHAR)")
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+    cos = (
+        "floor({d} * 1000000 / (sqrt(CAST({na} AS DOUBLE)) * "
+        "sqrt(CAST({nb} AS DOUBLE))))::BIGINT"
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings
+),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, iv AS cv, nrm AS cnrm
+    FROM n ORDER BY {crank}, vec_id LIMIT {_IVF_CENTROIDS}
+),
+cellscore AS (
+    SELECT n.vec_id, c.cid,
+           {cos.format(d=dot.format(a="n.iv", b="c.cv"), na="n.nrm", nb="c.cnrm")}
+               AS s,
+           row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {cos.format(d=dot.format(a="n.iv", b="c.cv"),
+                                    na="n.nrm", nb="c.cnrm")} DESC, c.cid
+           ) AS crk
+    FROM n CROSS JOIN cent c
+),
+assigned AS (
+    SELECT n.vec_id AS neighbor_id, n.iv, n.nrm, cs.cid AS cell
+    FROM n JOIN cellscore cs ON cs.vec_id = n.vec_id AND cs.crk = 1
+),
+probes AS (
+    SELECT n.vec_id AS query_id, n.iv AS qv, n.nrm AS qnorm, cs.cid AS cell
+    FROM n JOIN cellscore cs ON cs.vec_id = n.vec_id
+    WHERE n.vec_id < {_ANN_QUERIES} AND cs.crk <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.neighbor_id,
+           {cos.format(d=dot.format(a="p.qv", b="a.iv"), na="p.qnorm", nb="a.nrm")}
+               AS cos_sim_e6
+    FROM probes p JOIN assigned a ON a.cell = p.cell
+    WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim_e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim_e6 DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
@@ -945,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_brute_topk": _q_ann_brute_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardups": _q_embedding_neardups,
         "lang_id": _q_lang_id,
@@ -975,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ann_brute_topk": _o_ann_brute_topk(),
+        "ann_ivf_topk": _o_ann_ivf_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),
         "embedding_neardups": _o_embedding_neardups(),
         "lang_id": _o_lang_id(),

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "quality_score",
     "token_counts",
     "ann_brute_topk",
+    "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_neardups",
     "events_json",

@@ -18,6 +18,7 @@ from .multimodal import extract_media_features, synth_media_table  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from .textstats import (  # noqa: F401

@@ -163,6 +163,103 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row is not None else 1
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into inverted
+    cells by nearest centroid; each query probes its ``nprobe`` closest
+    cells and exactly re-ranks only those candidates.
+
+    Deterministic everywhere (no k-means iterations): the ``n_centroids``
+    centroids are the vectors with the smallest (h48('centroid:'||id), id)
+    rank — a seeded sample, which is how IVF coarse quantizers are
+    bootstrapped. Centroids are tiny and broadcast, so cell assignment is
+    a broadcast nested-loop over n rows — no shuffle; at 10^12 rows the
+    probe join replaces the full scan per query with nprobe cell scans.
+    Output: (query_id, neighbor_id, rank, cos_sim_e6), cosine ×1e6 floored
+    (integer-exact, engine-portable). Ties break on neighbor_id.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _int_vec(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
+
+    cent_rank = h48(F.concat(F.lit("centroid:"), F.col("vid").cast("string")))
+    centroids = broadcast(
+        base.select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"),
+            F.col("vnorm").alias("cnorm"), cent_rank.alias("crank"),
+        )
+        .orderBy("crank", "cid")
+        .limit(n_centroids)
+        .drop("crank")
+    )
+
+    cell_score = F.floor(
+        _dot(F.col("v"), F.col("cv")) * 1000000
+        / (F.sqrt(F.col("vnorm").cast("double"))
+           * F.sqrt(F.col("cnorm").cast("double")))
+    ).cast("long")
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.desc("cell_score"), F.asc("cid")
+    )
+    scored_cells = (
+        base.join(centroids, F.lit(True))
+        .withColumn("cell_score", cell_score)
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+    assigned = scored_cells.where(F.col("crk") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("v"), F.col("vnorm"),
+        F.col("cid").alias("cell"),
+    )
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
+    ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
+    q_cell_score = F.floor(
+        _dot(F.col("qv"), F.col("cv")) * 1000000
+        / (F.sqrt(F.col("qnorm").cast("double"))
+           * F.sqrt(F.col("cnorm").cast("double")))
+    ).cast("long")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_score"), F.asc("cid")
+    )
+    probes = broadcast(
+        qbase.join(centroids, F.lit(True))
+        .withColumn("cell_score", q_cell_score)
+        .withColumn("crk", F.row_number().over(w_probe))
+        .where(F.col("crk") <= nprobe)
+        .select(
+            "query_id", F.col("cid").alias("cell"), "qv", "qnorm",
+        )
+    )
+
+    rescore = F.floor(
+        F.col("dot") * 1000000
+        / (F.sqrt(F.col("qnorm").cast("double"))
+           * F.sqrt(F.col("vnorm").cast("double")))
+    ).cast("long")
+    scored = (
+        assigned.join(probes, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qv"), F.col("v")))
+        .withColumn("cos_sim_e6", rescore)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -59,6 +59,27 @@ def test_brute_force_topk_identical_vector_first(spark):
     assert ranked[2]["neighbor_id"] == 2
 
 
+def test_ivf_ann_topk_recall_vs_brute(spark):
+    """IVF with all cells probed equals brute force; with nprobe=1 the
+    identical-vector neighbor (same cell by construction) still surfaces."""
+    from servico_ocr_spark.operators import ivf_ann_topk
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 23 - 11) for d in range(8)])
+        for i in range(20)
+    ] + [(20, [float((0 * 13 + d * 7) % 23 - 11) for d in range(8)])]  # dup of 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id = 0")
+    full = ivf_ann_topk(emb, q, k=3, n_centroids=4, nprobe=4).collect()
+    brute = brute_force_topk(emb, q, k=3).collect()
+    assert sorted((r["neighbor_id"], r["rank"]) for r in full) == sorted(
+        (r["neighbor_id"], r["rank"]) for r in brute
+    )
+    probe1 = ivf_ann_topk(emb, q, k=3, n_centroids=4, nprobe=1).collect()
+    top = min(probe1, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 20 and top["cos_sim_e6"] >= 999999
+
+
 def test_embedding_neardups_symmetthreshold(spark):
     emb = spark.createDataFrame(
         [
