@@ -211,6 +211,39 @@ WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
 """
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup grouping over the minhash pair graph. The
+    iterative min-label propagation is driver-orchestrated but entirely
+    distributed per round; the oracle is an exact recursive-CTE twin."""
+    from servico_ocr_spark.operators import neardup_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    return neardup_components(docs, pairs)
+
+
+def _o_neardup_components() -> str:
+    return f"""
+WITH RECURSIVE mp AS ({_o_minhash_neardups()}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM mp
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM mp
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(r) AS component_id,
+       (CASE WHEN node = min(r) THEN 1 ELSE 0 END)::INT AS keeper
+FROM reach GROUP BY node
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
 
@@ -1024,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "minhash_neardups": _q_minhash_neardups,
+        "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_brute_topk": _q_ann_brute_topk,
@@ -1055,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,
         "minhash_neardups": _o_minhash_neardups(),
+        "neardup_components": _o_neardup_components(),
         "simhash": _o_simhash(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ann_brute_topk": _o_ann_brute_topk(),

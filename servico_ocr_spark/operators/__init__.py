@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     minhash_near_duplicates,
     minhash_signatures,
+    neardup_components,
     ngram_jaccard_pairs,
     simhash,
 )

@@ -157,6 +157,74 @@ def minhash_near_duplicates(
     )
 
 
+def neardup_components(
+    ids_df: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the grouping
+    step a dedup pipeline needs after pair enumeration (a doc transitively
+    near-identical to a kept doc must drop even without a direct edge).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min label over itself and its neighbors;
+    at fixpoint the label is the component's smallest id — the
+    deterministic survivor. The driver loop is orchestration only (the
+    standard shape for iterative algorithms on Spark, cf. GraphX Pregel);
+    all data work is distributed joins/aggregations. ``localCheckpoint``
+    cuts lineage each round so plans don't grow unboundedly, and
+    convergence needs O(component diameter) rounds — near-dup graphs are
+    clique-ish, so a handful. Returns (doc_id, component_id, keeper).
+    """
+    labels = (
+        ids_df.select(F.col(id_col).cast("long").alias("node"))
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    edges = (
+        pairs_df.select(F.col("id_a").cast("long").alias("a"),
+                        F.col("id_b").cast("long").alias("b"))
+        .unionByName(
+            pairs_df.select(F.col("id_b").cast("long").alias("a"),
+                            F.col("id_a").cast("long").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, F.col("a") == F.col("node"))
+            .groupBy("b")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh_min, F.col("node") == F.col("b"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("component_id"),
+        F.when(F.col("node") == F.col("lab"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("keeper"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct normalized words — 32 integer

@@ -33,6 +33,23 @@ def test_minhash_finds_identical_docs(spark):
     assert [(p["id_a"], p["id_b"], p["jaccard_pct"]) for p in pairs] == [(1, 2, 100)]
 
 
+def test_neardup_components_chain_transitivity(spark):
+    """A chain 1-2-3-4 (no direct 1-4 edge) must collapse into one
+    component labeled by the min id — needs multiple propagation rounds."""
+    from servico_ocr_spark.operators import neardup_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["component_id"], r["keeper"])
+           for r in neardup_components(ids, pairs).collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5
+    }
+    assert [d for d, (_, k) in sorted(out.items()) if k == 1] == [1, 5]
+
+
 def test_simhash_identical_docs_equal(spark):
     text = "casa rio foro justiça"
     df = _docs(spark, [(1, text), (2, text), (3, "algo completamente diverso")])
