@@ -822,6 +822,40 @@ FROM g GROUP BY user_id
 """
 
 
+def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.4 notes the reference has none —
+    this is engine surface beyond it): per-(source, lang) corpus counts
+    with ROLLUP subtotals, subtotal rows labeled via grouping()."""
+    docs = _read(spark, sf_dir, "documents")
+    # grouping() is only valid among the aggregate expressions
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.grouping("source").alias("g_src"),
+            F.grouping("lang").alias("g_lang"),
+        )
+        .select(
+            F.when(F.col("g_src") == 1, F.lit("(all)"))
+            .otherwise(F.col("source")).alias("source"),
+            F.when(F.col("g_lang") == 1, F.lit("(all)"))
+            .otherwise(F.col("lang")).alias("lang"),
+            "n_docs", "chars_sum",
+        )
+    )
+
+
+_O_SOURCE_ROLLUP = """
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS chars_sum
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup (streaming twin:
     streaming.windowed.windowed_event_counts over readStream)."""
@@ -1072,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
+        "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
         "token_boxes": _q_token_boxes,
@@ -1104,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
+        "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,
         "token_boxes": _o_token_boxes(),

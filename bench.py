@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "top_revenue_orders",
     "first_orders",
     "sessionize",
+    "source_rollup",
     "repeat_pairs",
 ]
 

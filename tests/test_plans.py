@@ -69,3 +69,19 @@ def test_resume_antijoin_prunes_url_column(spark, tmp_path):
             if "FileScan" in line and "out" in line]
     # the processed-side scan reads ONLY url (anti-join key)
     assert scan and "extracted_text" not in scan[0]
+
+
+def test_ivf_ann_broadcasts_centroids_and_probes(spark):
+    plan = _plan(entrymod._q_ann_ivf_topk(spark, SF))
+    # centroid assignment and the probe-cell join must both broadcast —
+    # an IVF whose cell join sort-merges would shuffle the whole base table
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_single_expand_no_extra_shuffle(spark):
+    plan = _plan(entrymod._q_source_rollup(spark, SF))
+    # ROLLUP = one Expand over the scan + one partial/final agg pair;
+    # regrouping per grouping set would shuffle once per set
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
