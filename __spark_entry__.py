@@ -165,7 +165,7 @@ HAVING count(*) > 1
 
 _MINHASH_K = 16
 _MINHASH_BANDS = 2  # 2 bands × 8 rows: P(candidate | J) = 1-(1-J^8)^2 —
-#                     ~0.8% at J=0.5, ~74% at J=0.9. Wider bands (4×4)
+#                     ~0.8% at J=0.5, ~68% at J=0.9. Wider bands (4×4)
 #                     admitted ~20% of all template-sharing pairs as
 #                     candidates, which is quadratic death on a corpus
 #                     with dense mid-range similarity.
@@ -1007,10 +1007,17 @@ def _q_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate pairs runs interpreted per element and was ~10× the
     # cost of everything else; the equi-join shape stays in codegen. Left
     # join: zero-overlap pairs still qualify when na + nb ≤ threshold.
+    # sizes is computed per row (NOT via the exploded table): a doc whose
+    # text normalizes to zero tokens emits no exploded rows, and an
+    # explode-derived inner join would silently drop its candidate pairs
+    # while the oracle keeps them.
     wx = docs.select(
         "doc_id", F.explode(F.array_distinct(words_array(F.col("text")))).alias("w")
     )
-    sizes = wx.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(words_array(F.col("text")))).cast("long").alias("nw"),
+    )
     inter = (
         cand.join(wx.withColumnRenamed("doc_id", "id_a"), "id_a")
         .join(wx.withColumnRenamed("doc_id", "id_b"), ["id_b", "w"])

@@ -217,6 +217,13 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iterations} "
+            "rounds (component diameter exceeds the cap); raise "
+            "max_iterations — returning partial labels would silently "
+            "split true components"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("component_id"),

@@ -86,6 +86,7 @@ def embedding_near_duplicates(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim_e6) with
     integer-exact cosine ≥ threshold_e6 (×1e6).
@@ -95,7 +96,8 @@ def embedding_near_duplicates(
     p planes the expected candidate fraction is ~2^-p per pair plus the
     true-neighbor mass.
     """
-    dim = _vec_dim(embeddings, vec_col)
+    # passing dim skips the one-row probe job at plan-construction time
+    dim = dim or _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         _int_vec(F.col(vec_col)).alias("v"),
@@ -158,8 +160,15 @@ def _bucket(vec_col, planes: int, dim: int):
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality (one-row probe; vector length is data, not
-    schema). Empty input defaults to 1 — no rows means no buckets matter."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    schema). Uniform dimensionality is an input contract — the SRP math
+    (here and in any SQL twin) is only defined over a fixed dim. NULL
+    embeddings are skipped; empty input defaults to 1 (no rows means no
+    buckets matter)."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return int(row["d"]) if row is not None else 1
 
 
@@ -267,11 +276,13 @@ def lsh_ann_topk(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP bucket,
     then exact integer cosine re-rank. Same output shape as
     :func:`brute_force_topk` (recall < 1 by design)."""
-    dim = _vec_dim(embeddings, vec_col)
+    # passing dim skips the one-row probe job at plan-construction time
+    dim = dim or _vec_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _int_vec(F.col(vec_col)).alias("v"),

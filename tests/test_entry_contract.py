@@ -46,3 +46,30 @@ def test_rows_only_queries(spark, name):
     fn = entrymod.queries()[name]
     df = fn(spark, SF)
     assert df.count() > 0
+
+
+def test_repeat_pairs_keeps_empty_word_docs(spark, tmp_path):
+    """A doc whose text normalizes to zero tokens must still pair (its
+    symdiff is just the other doc's word count) — an explode-derived inner
+    join on sizes silently dropped these while the oracle kept them."""
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["!!! ??? ... ,,, ;;;", "casa rio foro justica lei"],
+            "lang": ["pt", "pt"],
+            "source": ["srcX", "srcX"],
+            "n_chars": [100, 95],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    got = entrymod.queries()["repeat_pairs"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(entrymod.oracle_sql()["repeat_pairs"]).df()
+    problems = compare("repeat_pairs_empty", got, want)
+    assert not problems, problems
+    assert len(got) == 1 and int(got["symdiff"].iloc[0]) == 5
