@@ -85,3 +85,20 @@ def test_rollup_single_expand_no_extra_shuffle(spark):
     # regrouping per grouping set would shuffle once per set
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Expand" in plan
+
+
+def test_bucketed_write_prunes_partitions(spark, tmp_path):
+    """The 10^12-doc layout: url-bucket partitioned output must let a
+    point lookup prune to one bucket directory instead of scanning all."""
+    from servico_ocr_spark.corpus import build_corpus
+    from servico_ocr_spark.pipeline import run_extraction, write_analysis
+    from servico_ocr_spark.schemas import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(build_corpus(16), schema=PAGES_SCHEMA)
+    out = str(tmp_path / "bucketed")
+    write_analysis(run_extraction(pages, num_partitions=4), out,
+                   url_buckets=8)
+    lookup = spark.read.parquet(out).where(F.col("url_bucket") == 3)
+    plan = _plan(lookup)
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "PartitionFilters" in scan and "url_bucket" in scan
