@@ -102,3 +102,15 @@ def test_bucketed_write_prunes_partitions(spark, tmp_path):
     plan = _plan(lookup)
     scan = next(line for line in plan.splitlines() if "FileScan" in line)
     assert "PartitionFilters" in scan and "url_bucket" in scan
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """input_hint: 'vectorized pandas/Arrow UDFs (no per-row Python)
+    throughout'. Arrow stages (MapInPandas/ArrowEvalPython) are the
+    sanctioned Python path; BatchEvalPython (pickled row-at-a-time udf())
+    must never appear in any contract query's plan."""
+    for name, fn in entrymod.queries().items():
+        if name == "neardup_components":
+            continue  # iterative driver loop; builds many plans eagerly
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
