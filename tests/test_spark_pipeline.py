@@ -106,3 +106,46 @@ def test_weighted_repartition_spreads_heavy(spark, pages):
     heavy = pid.where("est_pages >= 8").select("pid").distinct().count()
     n_heavy = pid.where("est_pages >= 8").count()
     assert heavy >= min(n_heavy, 2) or n_heavy <= 1
+
+
+def _partition_weights(spark, rows, num_partitions=8):
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.pipeline import weighted_repartition
+
+    df = spark.createDataFrame(rows, "url string, est_pages long")
+    balanced = weighted_repartition(df, num_partitions=num_partitions)
+    loads = (
+        balanced.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("est_pages").alias("w"))
+        .collect()
+    )
+    return [r["w"] for r in loads]
+
+
+def test_weighted_repartition_balances_adversarial_skew(spark):
+    """Quantitative balance bound: 512 docs at 100× the weight of 1000
+    light docs. Per-group weight-rank round-robin must keep every
+    partition's page mass near the mean — the property that keeps one
+    task from owning all the 500-page PDFs at 10^12-doc scale."""
+    rows = [(f"https://t/light{i}", 1) for i in range(1000)]
+    rows += [(f"https://t/heavy{i}", 100) for i in range(512)]
+    weights = _partition_weights(spark, rows)
+    assert len(weights) == 8 and sum(weights) == 1000 + 51200
+    mean = sum(weights) / len(weights)
+    assert max(weights) / mean < 1.25, weights
+
+
+def test_weighted_repartition_sparse_heavy_bounded(spark):
+    """Sparse regime (heavy docs ≈ partitions): without a second input
+    pass or a global sort there is no cross-group coordination, so the
+    floor is binomial — bounded, never collapsed onto few partitions."""
+    rows = [(f"https://t/light{i}", 1) for i in range(1000)]
+    rows += [(f"https://t/heavy{i}", 100) for i in range(32)]
+    weights = _partition_weights(spark, rows)
+    assert sum(weights) == 1000 + 3200
+    mean = sum(weights) / len(weights)
+    assert max(weights) / mean < 2.6, weights
+    # every partition still gets work (no starvation)
+    assert min(weights) > 0, weights
