@@ -174,21 +174,24 @@ def weighted_repartition(
     num_partitions: int | None = None,
     rank_groups: int = 64,
 ) -> DataFrame:
-    """Skew-aware repartition: heavy rows are dealt round-robin by a dense
-    global weight-rank; light rows spread by full-entropy url hash (at
+    """Skew-aware repartition: heavy rows are dealt round-robin within
+    their url-hash group; light rows spread by full-entropy url hash (at
     10^12-doc scale they are uniform by the law of large numbers).
 
-    The dense global rank of the heavy rows is built WITHOUT a global
-    sort: ranks are computed inside ``rank_groups`` url-hash groups
-    (distributed window), and the groups' cumulative offsets come from a
-    window over the ``rank_groups`` per-group COUNT rows — 64 rows
-    through one task regardless of data size. ``global_idx mod P`` then
-    deals consecutive ranks (weight-sorted within each group) across
-    partitions, and the murmur-salt table routes each row to exactly
-    that partition. Hashing any small set of salt keys directly would be
-    balls-into-bins — with P heavy docs, some partitions get 3, some 0,
-    and the stragglers own the wall clock; measured max/mean partition
-    weight drops from ~1.8 to ~1.05 under adversarial skew.
+    Heavy rows are rank-ordered by weight inside ``rank_groups`` url-hash
+    groups (a distributed window — never a global sort), and row with
+    rank r of group g goes to partition ``pmod(hash(g) + r − 1, P)`` via
+    the murmur-salt table: each group's weight-sorted rank run deals
+    round-robin from a group-specific start, so a burst of 500-page PDFs
+    spreads across all partitions (measured max/mean partition weight
+    ~1.1 in the dense regime, vs ~1.8 for hashing the coarse (rank,
+    group) key — balls-into-bins). When heavy docs number only ~P the
+    per-group starts are independent and the residual imbalance is
+    binomial — the coordination-free floor; an exact cross-group
+    enumeration needs a second full input scan (est_pages derives from
+    the payload header, so nothing prunable) and was rejected as worse
+    at scale. NOTE: first use per ``num_partitions`` runs a tiny
+    memoized salt-table job at plan-construction time.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -208,8 +211,12 @@ def weighted_repartition(
     # over the input or a global sort — both worse at scale than the
     # residual binomial imbalance this leaves when heavy docs are fewer
     # than ~10× partitions.)
+    # long arithmetic: hash() and row_number() are 32-bit, and ANSI mode
+    # turns the int overflow (hash near Int.MaxValue + tens of millions
+    # of heavy rows in one group) into a job-killing exception
     target = F.pmod(
-        F.hash(group.cast("long")) + rank - 1, F.lit(num_partitions)
+        F.hash(group.cast("long")).cast("long") + rank.cast("long") - 1,
+        F.lit(num_partitions),
     )
     # element_at(salt_arr, t+1) routes EXACTLY to partition t: salts[t]
     # murmur-hashes onto t under repartition's HashPartitioning. Hashing
@@ -232,8 +239,10 @@ def run_extraction(
 ) -> DataFrame:
     """pages → analysis DataFrame (one row per document, ANALYSIS_SCHEMA).
 
-    Lazy; callers split it into docs/boxes/lineage with the selectors below
-    or write it once with :func:`write_analysis`.
+    Lazy apart from the one-time salt-table probe in
+    :func:`weighted_repartition` (tiny, memoized per partition count);
+    callers split the result into docs/boxes/lineage with the selectors
+    below or write it once with :func:`write_analysis`.
     """
     staged = with_page_estimate(pages.select("url", "html"))
     if balance:

@@ -8,18 +8,25 @@ the compressed file only when the ratio is positive
 
 Here the Spark plumbing is real — a ``mapInPandas`` sink stage over the
 analysis table that writes one artifact per ok document (atomic
-temp-then-rename, the reference's upload pattern at
-app/app_controller.py:111-112) and yields a manifest row per document —
-while the binary renderers are import-gated exactly like the OCR
-TokenSource: with pytesseract/PyPDF2/Ghostscript present the production
-paths run; in this sandbox a clearly-marked deterministic stub composes
-the artifact bytes so the partitioning, batching, idempotence, and the
-reference's keep-if-ratio-positive rule are all exercised by tests.
+temp-then-rename with an attempt-unique temp name, the reference's
+upload pattern at app/app_controller.py:111-112) and yields a manifest
+row per document — while the binary renderers are EXPLICITLY injected:
+:func:`write_artifacts` takes ``renderer``/``compressor`` callables
+defaulting to deterministic sandbox stubs, and the production twins
+(:func:`tesseract_searchable_pdf`, Ghostscript) are separate
+import-gated functions a deployment passes in. Auto-detecting installed
+libraries inside the sink was rejected — a half-installed executor (or
+a test that stubbed ``sys.modules['pytesseract']``) would flip the code
+path silently.
 
 Compression ratio semantics are the reference's exactly:
 ``ratio = 1 - final/initial``; keep compressed iff ratio > 0; any
 compressor failure keeps the original (status ' - compactação
 impossível', app/util_processar_pasta.py:470-474).
+
+Cluster note: ``out_dir`` must be shared storage (NFS/fuse mount) on a
+multi-node cluster — the directory is created and written from executor
+tasks. Artifacts written to executor-local disks would be scattered.
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from __future__ import annotations
 import hashlib
 import os
 import zlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,26 +45,12 @@ MANIFEST_SCHEMA = (
 )
 
 
-def render_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
-    """Document analysis → searchable-PDF bytes.
-
-    Production path (import-gated): rasterize + ``image_to_pdf_or_hocr``
-    per page + PyPDF2 merge, as app/util_pdf_ocr.py:34-63. Sandbox stub:
-    a deterministic PDF-shaped byte layout carrying the page count and
-    the per-page box texts in reading order — same size class and fully
-    reproducible, so sinks/tests exercise real plumbing.
-    """
-    try:  # pragma: no cover - binaries absent in this sandbox
-        import pytesseract  # noqa: F401
-        import PyPDF2  # noqa: F401
-
-        raise NotImplementedError(
-            "production searchable-PDF path requires rasterized page "
-            "images; wire tesseract_tokens' pdf2image stage here"
-        )
-    except ImportError:
-        pass
-    lines = [b"%PDF-STUB-1.4", url.encode(), b"pages=%d" % paginas]
+def stub_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
+    """Deterministic sandbox renderer: a PDF-shaped byte layout carrying
+    the page count and the per-page box texts in reading order — same
+    size class as a text layer, fully reproducible, so the sink's
+    partitioning/idempotence/keep-rule plumbing is exercised for real."""
+    lines = [b"%PDF-STUB-1.4", url.encode(), b"pages=%d" % int(paginas)]
     for box in boxes:
         lines.append(
             b"page=%d box=%d tipo=%s %s"
@@ -72,20 +65,32 @@ def render_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
     return b"\n".join(lines)
 
 
-def compress_artifact(data: bytes, power: int = 0) -> tuple[bytes, float]:
-    """(possibly-compressed bytes, ratio). Ghostscript when present
-    (quality presets 0-4, app/util_pdf_compress.py:58-64); zlib in the
-    sandbox. Ratio formula is the reference's: 1 - final/initial."""
-    try:  # pragma: no cover - gs absent in this sandbox
-        import shutil
+def tesseract_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
+    """Production renderer twin (import-gated): per-page
+    ``image_to_pdf_or_hocr`` + PyPDF2 merge, as app/util_pdf_ocr.py:34-63.
+    Needs the rasterized page images (sources.ocr_engine pdf2image
+    stage) wired alongside the box analysis — pass this as
+    ``renderer=`` to :func:`write_artifacts` in such a deployment."""
+    try:
+        import pytesseract  # noqa: F401
+        import PyPDF2  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - sandbox path
+        raise NotImplementedError(
+            "production searchable-PDF needs pytesseract + PyPDF2 (and "
+            "rasterized page images); use the default stub renderer in "
+            "environments without them"
+        ) from exc
+    raise NotImplementedError(  # pragma: no cover - wiring placeholder
+        "wire the pdf2image page images through to image_to_pdf_or_hocr"
+    )
 
-        gs = next(
-            p for n in ("gs", "gswin32", "gswin64")
-            if (p := shutil.which(n))
-        )
-        raise NotImplementedError(f"wire subprocess {gs} -sDEVICE=pdfwrite")
-    except StopIteration:
-        pass
+
+def compress_artifact(data: bytes, power: int = 0) -> tuple[bytes, float]:
+    """(possibly-compressed bytes, ratio) with the reference's ratio
+    formula ``1 - final/initial``. Sandbox compressor is zlib with the
+    quality presets mapped to levels; a Ghostscript deployment passes
+    its own callable as ``compressor=`` to :func:`write_artifacts`
+    (presets 0-4, app/util_pdf_compress.py:58-64)."""
     level = {0: 6, 1: 9, 2: 8, 3: 7, 4: 5}.get(power, 6)
     compressed = zlib.compress(data, level)
     ratio = 1 - (len(compressed) / len(data)) if data else 0.0
@@ -93,17 +98,28 @@ def compress_artifact(data: bytes, power: int = 0) -> tuple[bytes, float]:
 
 
 def write_artifacts(
-    analysis: DataFrame, out_dir: str, power: int = 0
+    analysis: DataFrame,
+    out_dir: str,
+    power: int = 0,
+    renderer: Callable[[str, list, int], bytes] = stub_searchable_pdf,
+    compressor: Callable[[bytes, int], tuple[bytes, float]] = compress_artifact,
 ) -> DataFrame:
     """Sink stage: one searchable artifact file per ok document under
     ``out_dir`` (name = md5(url), the reference's content-hash naming),
     compressed only when the ratio is positive. Returns the manifest
     DataFrame (lazy — materialize it to run the sink). Re-running is
-    idempotent: artifacts are rewritten atomically to the same names.
+    idempotent: artifacts are rewritten atomically to the same names;
+    the temp name is attempt-unique so a speculative or retried task
+    attempt can never truncate another attempt's in-flight write.
     """
-    os.makedirs(out_dir, exist_ok=True)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # executor-side: the driver's filesystem is not the executors'
+        os.makedirs(out_dir, exist_ok=True)
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         for batch in batches:
             out = []
             for row in batch.itertuples(index=False):
@@ -114,9 +130,9 @@ def write_artifacts(
                     b if isinstance(b, dict) else b.asDict()
                     for b in (raw_boxes if raw_boxes is not None else [])
                 ]
-                raw = render_searchable_pdf(row.url, boxes, row.paginas)
+                raw = renderer(row.url, boxes, row.paginas)
                 try:
-                    data, ratio = compress_artifact(raw, power)
+                    data, ratio = compressor(raw, power)
                     if ratio > 0:
                         kept, note = True, f" - compactado {ratio:.2f}"
                     else:
@@ -128,7 +144,7 @@ def write_artifacts(
                     kept, note = False, " - compactação impossível"
                 name = hashlib.md5(row.url.encode()).hexdigest() + ".pdf"
                 path = os.path.join(out_dir, name)
-                tmp = path + ".tmp"
+                tmp = f"{path}.{attempt}.tmp"
                 with open(tmp, "wb") as fh:
                     fh.write(data)
                 os.replace(tmp, path)  # atomic, like copy-then-rename

@@ -11,7 +11,7 @@ from servico_ocr_spark.pipeline import run_extraction
 from servico_ocr_spark.schemas import PAGES_SCHEMA
 from servico_ocr_spark.sources.artifact_sink import (
     compress_artifact,
-    render_searchable_pdf,
+    stub_searchable_pdf,
     write_artifacts,
 )
 
@@ -68,6 +68,6 @@ def test_stub_render_deterministic():
         {"pagina": 0, "box": 0, "tipo": "P", "texto": "um parágrafo"},
         {"pagina": 1, "box": 0, "tipo": "T", "texto": "título"},
     ]
-    a = render_searchable_pdf("https://x/doc", boxes, 2)
-    b = render_searchable_pdf("https://x/doc", boxes, 2)
+    a = stub_searchable_pdf("https://x/doc", boxes, 2)
+    b = stub_searchable_pdf("https://x/doc", boxes, 2)
     assert a == b and a.endswith(b"%%EOF")
