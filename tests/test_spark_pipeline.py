@@ -149,3 +149,23 @@ def test_weighted_repartition_sparse_heavy_bounded(spark):
     assert max(weights) / mean < 2.6, weights
     # every partition still gets work (no starvation)
     assert min(weights) > 0, weights
+
+
+def test_page_estimate_handles_pathological_headers(spark):
+    """with_page_estimate must fall back to 1 (not throw under ANSI) for
+    corrupt bytes, absent fields, and n_pages values that overflow BIGINT."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.pipeline import with_page_estimate
+
+    rows = [
+        ("u1", b'{"fmt":"synthdoc/v1","n_pages":7,"x":"y"}'),
+        ("u2", b"\x00\xff junk not json"),
+        ("u3", b'{"fmt":"synthdoc/v1","n_pages":99999999999999999999999999}'),
+        ("u4", b'{"fmt":"synthdoc/v1"}'),
+        ("u5", b""),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r["est_pages"]
+           for r in with_page_estimate(df).collect()}
+    assert got == {"u1": 7, "u2": 1, "u3": 1, "u4": 1, "u5": 1}
