@@ -54,7 +54,9 @@ BENCH_QUERIES = [
     "first_orders",
     "sessionize",
     "source_rollup",
+    "windowed_events",
     "repeat_pairs",
+    "media_features",
 ]
 
 

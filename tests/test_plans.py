@@ -114,3 +114,41 @@ def test_no_row_at_a_time_python_anywhere(spark):
             continue  # iterative driver loop; builds many plans eagerly
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SURVEY §4 claims AQE skew-join splitting comes free for the
+    relational operators — prove it: a 90%-one-key join is re-planned at
+    runtime into SortMergeJoin(skew=true) with a split shuffle read."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+        )
+        joined = fact.join(dim, "k").groupBy("k").count()
+        rows = joined.collect()
+        assert len(rows) == 97
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
