@@ -2,7 +2,6 @@
 addition to the DuckDB oracle parity in test_entry_contract.py)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from servico_ocr_spark.operators import (
     brute_force_topk,
