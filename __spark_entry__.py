@@ -266,6 +266,33 @@ FROM votes GROUP BY doc_id
 """
 
 
+def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _o_simhash_neardups() -> str:
+    return f"""
+WITH s AS ({_o_simhash()}),
+bands AS (
+    SELECT doc_id, b.b, (simhash >> (8 * b.b)) & 255 AS bv
+    FROM s CROSS JOIN range(4) b(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                             AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), n=3, threshold_pct=20
@@ -1100,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardups": _q_minhash_neardups,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
+        "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1133,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardups": _o_minhash_neardups(),
         "neardup_components": _o_neardup_components(),
         "simhash": _o_simhash(),
+        "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ann_brute_topk": _o_ann_brute_topk(),
         "ann_ivf_topk": _o_ann_ivf_topk(),

@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     neardup_components,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_duplicates,
 )
 from .multimodal import extract_media_features, synth_media_table  # noqa: F401
 from .similarity import (  # noqa: F401

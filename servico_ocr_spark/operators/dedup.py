@@ -263,6 +263,73 @@ def simhash(df: DataFrame, text_col: str = "text",
     return voted.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming distance
+    ≤ ``max_hamming`` between 32-bit signatures.
+
+    Candidates come from pigeonhole banding — with ``bands`` equal slices
+    of the signature, any pair within ``max_hamming ≤ bands − 1`` bit
+    flips must agree on at least one whole band, so an equi-join on
+    (band, band_value) finds every qualifying pair without the O(n²)
+    signature cross-product. Exact ``bit_count(xor)`` then verifies.
+    The shuffle key is an 8-bit band value + band id — bounded-width
+    buckets, skew-safe for non-degenerate corpora.
+    """
+    assert max_hamming <= bands - 1, "pigeonhole needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    band_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(F.col("simhash"), width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = sigs.select("doc_id", band_entries.alias("e")).select(
+        "doc_id", "e.b", "e.bv"
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sa").bitwiseXOR(F.col("sb"))
+    ).cast("int")
+    return (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("id_a"),
+                        F.col("simhash").alias("sa")), "id_a")
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"),
+                        F.col("simhash").alias("sb")), "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

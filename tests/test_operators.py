@@ -169,3 +169,15 @@ def test_color_mode_classification(spark):
     out = {r["media_id"]: r["color_mode"]
            for r in classify_color_mode(media).collect()}
     assert out == {"bw": 0, "gray": 1, "color": 2}
+
+
+def test_simhash_neardups_identical_pair_only(spark):
+    from servico_ocr_spark.operators import simhash_near_duplicates
+
+    text = "justiça processo relatório análise parágrafo decisão artigo lei"
+    df = _docs(spark, [
+        (1, text), (2, text),
+        (3, "completely disjoint english vocabulary sentence here"),
+    ])
+    pairs = simhash_near_duplicates(df, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
