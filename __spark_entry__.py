@@ -29,6 +29,7 @@ from servico_ocr_spark.operators import (
     ngram_jaccard_pairs,
     quality_score,
     simhash,
+    simhash_near_duplicates,
     synth_media_table,
     text_fingerprint,
     token_counts,
@@ -267,8 +268,6 @@ FROM votes GROUP BY doc_id
 
 
 def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from servico_ocr_spark.operators import simhash_near_duplicates
-
     return simhash_near_duplicates(
         _read(spark, sf_dir, "documents"), max_hamming=3
     )

@@ -87,14 +87,14 @@ def run_suite() -> None:
     # Steady-state measurement: each query runs once untimed (whole-stage
     # codegen compile, JIT, Python-worker spin-up — per-query constants of
     # ~1-4 s that a long-running job pays once, not per task), then the
-    # best of two timed runs is recorded (run-to-run variance on this box
-    # is ±20-30%). Methodology documented in BENCH/BASELINE.md.
+    # best of three timed runs is recorded (run-to-run variance on this
+    # box is ±20-30%; CLAUDE.md policy). Methodology in BENCH/BASELINE.md.
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:
         _materialize(qs[name](spark, SF_DIR))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - start)

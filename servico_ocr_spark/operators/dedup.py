@@ -282,7 +282,11 @@ def simhash_near_duplicates(
     The shuffle key is an 8-bit band value + band id — bounded-width
     buckets, skew-safe for non-degenerate corpora.
     """
-    assert max_hamming <= bands - 1, "pigeonhole needs max_hamming < bands"
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming ({max_hamming}) "
+            f"<= bands - 1 ({bands - 1}); qualifying pairs would be missed"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     sigs = simhash(df, text_col, id_col, bits)
@@ -299,10 +303,17 @@ def simhash_near_duplicates(
             ]
         )
     )
-    banded = sigs.select("doc_id", band_entries.alias("e")).select(
-        "doc_id", "e.b", "e.bv"
+    # the signature rides along with its band rows, so hamming is
+    # computed directly at the band join — no join-back to the signature
+    # relation (which would re-evaluate the 32-aggregation simhash
+    # subtree twice and add two shuffled joins)
+    banded = sigs.select("doc_id", "simhash", band_entries.alias("e")).select(
+        "doc_id", "simhash", "e.b", "e.bv"
     )
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -311,22 +322,12 @@ def simhash_near_duplicates(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(
-        F.col("sa").bitwiseXOR(F.col("sb"))
-    ).cast("int")
-    return (
-        cand.join(
-            sigs.select(F.col("doc_id").alias("id_a"),
-                        F.col("simhash").alias("sa")), "id_a")
-        .join(
-            sigs.select(F.col("doc_id").alias("id_b"),
-                        F.col("simhash").alias("sb")), "id_b")
-        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
