@@ -13,6 +13,7 @@ through the shared 48-bit md5 primitive (Spark ``conv(substr(md5(x),1,12),
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -78,6 +79,29 @@ def _q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("spans").alias("n_spans"),
     )  # no orderBy: the driver compares order-insensitively and a global
     #    sort would add a pointless exchange to the flagship plan
+
+
+# The kernel (greedy reading-order rewrite, stateful page renumbering) is
+# non-SQL-expressible, so the DuckDB twin is a committed golden parquet
+# produced by the single-threaded pure-Python oracle path
+# (scripts/make_golden.py; same kernel tests/test_reference_differential.py
+# proves byte-identical to the actual reference). The driver's hash row
+# then checks distributed Spark execution == committed oracle output.
+# tests/test_entry_contract.py regenerates the golden in-process and fails
+# on any drift (kernel change or testdata change).
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden")
+
+_O_EXTRACT_DOCS = f"""
+SELECT url, paginas, pagina_tipo, qtd_letras, qtd_palavras, text_len, n_spans
+FROM read_parquet('{_GOLDEN_DIR}/extract_docs_sf0.01.parquet')
+"""
+
+_O_EXTRACT_LINEAGE = f"""
+SELECT status, n_docs, est_pages_sum
+FROM read_parquet('{_GOLDEN_DIR}/extract_lineage_sf0.01.parquet')
+ORDER BY status
+"""
 
 
 def _q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,11 +754,11 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(floor(l_quantity * 100 + 0.5)::BIGINT) AS sum_qty_cents,
-       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS sum_base_cents,
-       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_cents,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
            AS sum_disc_cents,
-       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)::BIGINT)
+       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)::BIGINT)::BIGINT
            AS sum_charge_cents,
        count(*) AS count_order,
        floor(sum(floor(l_quantity * 100 + 0.5)::BIGINT) / count(*))::BIGINT
@@ -772,7 +796,7 @@ def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_TOP_REVENUE_ORDERS = """
 SELECT o_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
-       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
            AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -894,7 +918,7 @@ _O_WINDOWED_EVENTS = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        count(*) AS n_events,
-       sum(floor(value * 100 + 0.5)::BIGINT) AS value_cents
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -921,9 +945,9 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_EVENTS_JSON = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-       sum(floor(value * 100 + 0.5)::BIGINT) AS value_cents
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
 FROM events
 GROUP BY event_type
 """
@@ -1150,10 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # extract_docs / extract_lineage are the per-document kernel
-    # (non-SQL-expressible: greedy reading-order rewrite, stateful page
-    # renumbering) → rows-only check by omission.
     return {
+        "extract_docs": _O_EXTRACT_DOCS,
+        "extract_lineage": _O_EXTRACT_LINEAGE,
         "text_normalize": _O_TEXT_NORMALIZE,
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,

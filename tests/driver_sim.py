@@ -47,6 +47,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _dtype_family(s: pd.Series) -> str:
+    k = s.dtype.kind
+    return "int" if k in "iu" else ("float" if k == "f" else "other")
+
+
 def compare(name, spark_df, duck_df) -> list:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -54,6 +59,19 @@ def compare(name, spark_df, duck_df) -> list:
             f"columns differ: spark={sorted(spark_df.columns)} "
             f"duck={sorted(duck_df.columns)}"
         )
+        return problems
+    # dtype-strict: the driver hashes rendered values, so an int64 Spark
+    # column vs a float64 oracle column (e.g. DuckDB sum(BIGINT) returning
+    # HUGEINT -> float64) hash-mismatches even when values are equal.
+    # normalize() below would mask that; flag it here first.
+    for c in sorted(spark_df.columns):
+        fa, fb = _dtype_family(spark_df[c]), _dtype_family(duck_df[c])
+        if {fa, fb} == {"int", "float"}:
+            problems.append(
+                f"dtype family mismatch in {c}: spark={spark_df[c].dtype} "
+                f"duck={duck_df[c].dtype} (driver hash sees int vs float)"
+            )
+    if problems:
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")

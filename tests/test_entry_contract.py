@@ -32,7 +32,15 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+# extract_docs/extract_lineage oracles are committed sf0.01 goldens
+# (scripts/make_golden.py) — checked by test_golden_oracle_current below
+# and by tests/driver_sim.py at sf0.01, not by this sf0.001 parity test.
+_GOLDEN_QUERIES = {"extract_docs", "extract_lineage"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.oracle_sql()) - _GOLDEN_QUERIES)
+)
 def test_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
     spark_df = fn(spark, SF).toPandas()
@@ -41,11 +49,56 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name", ["extract_docs", "extract_lineage"])
-def test_rows_only_queries(spark, name):
+@pytest.mark.parametrize("name", sorted(_GOLDEN_QUERIES))
+def test_flagship_smoke(spark, name):
     fn = entrymod.queries()[name]
     df = fn(spark, SF)
     assert df.count() > 0
+
+
+def test_golden_oracle_current(spark):
+    """The committed golden parquets must equal what the pure-Python oracle
+    path produces from TODAY's testdata — catches silent drift from either
+    a kernel change or a testdata regeneration. Regenerate deliberately
+    with scripts/make_golden.py when this fails for a deliberate reason."""
+    import hashlib
+    import json
+    import os
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import make_golden
+
+    golden_sf = "/root/testdata/sf0.01"
+    with open(os.path.join(make_golden.GOLDEN_DIR, "INPUTS.json")) as fh:
+        inputs = json.load(fh)
+    with open(f"{golden_sf}/documents.parquet", "rb") as fh:
+        assert inputs["documents_parquet_md5"] == hashlib.md5(fh.read()).hexdigest(), (
+            "testdata changed since golden generation — rerun scripts/make_golden.py"
+        )
+
+    pages_rows = make_golden.collect_pages(spark, golden_sf)
+    docs_df, lineage_df = make_golden.golden_frames(pages_rows)
+    docs_df = pa.Table.from_pandas(
+        docs_df, schema=make_golden.DOCS_ARROW_SCHEMA, preserve_index=False
+    ).to_pandas()
+    lineage_df = pa.Table.from_pandas(
+        lineage_df, schema=make_golden.LINEAGE_ARROW_SCHEMA, preserve_index=False
+    ).to_pandas()
+
+    committed_docs = pd.read_parquet(
+        os.path.join(make_golden.GOLDEN_DIR, "extract_docs_sf0.01.parquet")
+    )
+    committed_lineage = pd.read_parquet(
+        os.path.join(make_golden.GOLDEN_DIR, "extract_lineage_sf0.01.parquet")
+    )
+    pd.testing.assert_frame_equal(docs_df, committed_docs)
+    pd.testing.assert_frame_equal(lineage_df, committed_lineage)
 
 
 def test_repeat_pairs_keeps_empty_word_docs(spark, tmp_path):
