@@ -195,13 +195,20 @@ _MINHASH_BANDS = 2  # 2 bands × 8 rows: P(candidate | J) = 1-(1-J^8)^2 —
 #                     candidates, which is quadratic death on a corpus
 #                     with dense mid-range similarity.
 _MINHASH_THRESHOLD = 0.80
+# word document-frequency cap, wired through signature AND verification on
+# both sides (operators/dedup.py DEFAULT_MAX_DOC_FREQ is the scale default;
+# the sf corpus has a 31-word vocabulary with df up to ~402/500, so 450
+# keeps sf results stable while proving the capped plumbing end-to-end —
+# the binding-cap case is exercised by ngram_jaccard's cap of 5 and the
+# boilerplate unit test).
+_MINHASH_MAX_WORD_DF = 450
 
 
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
-        threshold=_MINHASH_THRESHOLD,
+        threshold=_MINHASH_THRESHOLD, max_word_df=_MINHASH_MAX_WORD_DF,
     )
 
 
@@ -210,8 +217,11 @@ def _o_minhash_neardups() -> str:
     inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
     return f"""
 WITH base AS ({_d_words_cte()}),
-dw AS (SELECT doc_id, list_distinct(words) AS ws FROM base),
-wx AS (SELECT doc_id, unnest(ws) AS w FROM dw),
+wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+wx AS (SELECT doc_id, w FROM (
+           SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+       WHERE df <= {_MINHASH_MAX_WORD_DF}),
+dw AS (SELECT doc_id, list(w) AS ws FROM wx GROUP BY doc_id),
 sig AS (
     SELECT wx.doc_id, t.i, min({mh}) AS mh
     FROM wx CROSS JOIN range({_MINHASH_K}) t(i)
@@ -245,7 +255,7 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
         docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
-        threshold=_MINHASH_THRESHOLD,
+        threshold=_MINHASH_THRESHOLD, max_word_df=_MINHASH_MAX_WORD_DF,
     )
     return neardup_components(docs, pairs)
 
@@ -273,21 +283,43 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"))
 
 
-def _o_simhash() -> str:
-    h = _d_h48("w")
+_SIMHASH_BITS = 60  # 4 bands × 15 bits; see operators/dedup.py simhash()
+_SIMHASH_BANDS = 4
+
+
+def _o_simhash_core() -> str:
+    """Signature CTE chain for docs WITH words only (word-less docs emit
+    no wx rows). Bits 0..47 from h48(w), 48..59 from h48('~' || w) —
+    lockstep with operators.dedup._simhash_sigs."""
+    h1 = _d_h48("w")
+    h2 = _d_h48("('~' || w)")
     return f"""
-WITH base AS ({_d_words_cte()}),
+base AS ({_d_words_cte()}),
 wx AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
-hx AS (SELECT doc_id, {h} AS h FROM wx),
+hx AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM wx),
 votes AS (
     SELECT doc_id, b.b,
-           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-    FROM hx CROSS JOIN range(32) b(b)
+           sum(CASE WHEN (CASE WHEN b.b < 48 THEN h1 >> b.b
+                               ELSE h2 >> (b.b - 48) END) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM hx CROSS JOIN range({_SIMHASH_BITS}) b(b)
     GROUP BY doc_id, b.b
-)
-SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-FROM votes GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+               AS simhash
+    FROM votes GROUP BY doc_id
+)"""
+
+
+def _o_simhash() -> str:
+    # LEFT JOIN keeps word-less docs with signature 0 (Spark's
+    # explode_outer does the same) — one row per document, always.
+    return f"""
+WITH {_o_simhash_core()}
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
 """
 
 
@@ -298,11 +330,15 @@ def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_simhash_neardups() -> str:
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    # pairing uses sig directly (docs with words only): word-less docs are
+    # excluded from near-dup pairing on both sides by construction.
     return f"""
-WITH s AS ({_o_simhash()}),
+WITH {_o_simhash_core()},
 bands AS (
-    SELECT doc_id, b.b, (simhash >> (8 * b.b)) & 255 AS bv
-    FROM s CROSS JOIN range(4) b(b)
+    SELECT doc_id, b.b, (simhash >> ({width} * b.b)) & {mask} AS bv
+    FROM sig CROSS JOIN range({_SIMHASH_BANDS}) b(b)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -311,14 +347,21 @@ cand AS (
 )
 SELECT c.id_a, c.id_b,
        bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
-FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """
 
 
+# shingle df cap — BINDING at sf0.01 (shingle df reaches 7 there), so the
+# driver hash proves the capped-jaccard semantics, not just the plumbing
+_NGRAM_MAX_DF = 5
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), n=3, threshold_pct=20
+        _read(spark, sf_dir, "documents"), n=3, threshold_pct=20,
+        max_doc_freq=_NGRAM_MAX_DF,
     )
 
 
@@ -338,10 +381,13 @@ led AS (
            lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
     FROM tok
 ),
-gx AS (
+gx0 AS (
     SELECT DISTINCT doc_id, {gram_hash} AS g
     FROM led WHERE w2 IS NOT NULL
 ),
+gx AS (SELECT doc_id, g FROM (
+           SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM gx0)
+       WHERE df <= {_NGRAM_MAX_DF}),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM gx GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -414,13 +460,18 @@ FROM ranked WHERE rank <= {_ANN_K}
 
 
 _EMB_NEARDUP_T = 400000  # sf embeddings are near-orthogonal random vectors; max pair ~0.49
+_EMB_NEARDUP_PLANES = 8  # scale-aware tier (resolve_srp_planes(10^5)); the
+#                          driver pins it so the oracle twin stays static.
+#                          Multi-probe (hamming-1 buckets) keeps recall up
+#                          at the wider plane count on both sides.
 
 
 def _q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _read(spark, sf_dir, "embeddings"), threshold_e6=_EMB_NEARDUP_T
+        _read(spark, sf_dir, "embeddings"), threshold_e6=_EMB_NEARDUP_T,
+        planes=_EMB_NEARDUP_PLANES, multi_probe=True,
     )
 
 
@@ -437,7 +488,7 @@ n AS (
 ),
 coefs AS (
     SELECT p.p, d.d, ({coef} % 2001 - 1000) AS c
-    FROM range(4) p(p) CROSS JOIN range(64) d(d)
+    FROM range({_EMB_NEARDUP_PLANES}) p(p) CROSS JOIN range(64) d(d)
 ),
 proj AS (
     SELECT n.vec_id, c.p, sum(n.iv[c.d + 1] * c.c) AS s
@@ -450,13 +501,22 @@ buckets AS (
     FROM proj GROUP BY vec_id
 ),
 nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+masks AS (
+    SELECT 0 AS m
+    UNION ALL
+    SELECT 1 << p FROM range({_EMB_NEARDUP_PLANES}) t(p)
+),
+pa AS (
+    SELECT nb.vec_id, nb.iv, nb.nrm, xor(nb.bucket, m.m) AS probe
+    FROM nb CROSS JOIN masks m
+),
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(list_sum(list_transform(
                range(1, len(a.iv) + 1),
                i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
            a.nrm AS na, b.nrm AS nb2
-    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM pa a JOIN nb b ON a.probe = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b,
        floor(dot * 1000000 /

@@ -8,17 +8,42 @@ Scale design:
   projection, candidates come from an equi-join on (band, band_hash) —
   shuffle keyed by band buckets, broadcast-free, skew-safe because bucket
   population is bounded by the band width.
-- SimHash is 32 integer aggregations over an exploded word table — all
-  whole-stage codegen.
+- SimHash is 60 integer aggregations over an exploded word table — all
+  whole-stage codegen; 60-bit signatures keep the banded near-dup join's
+  per-band key space wide enough (2^15) to stay subquadratic at web scale.
 - n-gram Jaccard is shingle-equi-join + count ratio; shingles are distinct
   per doc so the join fan-out is bounded by shingle frequency.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .common import distinct_words, h48, norm_text
+
+#: Default document-frequency cap for candidate-join features (words /
+#: shingles). A feature present in more docs than this carries no
+#: discriminative near-dup signal, and — decisive at web scale — one
+#: boilerplate shingle shared by 10^8 docs would alone create a 10^16-row
+#: join key. Capping df bounds the per-key fan-out of every candidate
+#: equi-join to DEFAULT_MAX_DOC_FREQ² regardless of corpus size.
+DEFAULT_MAX_DOC_FREQ = 10_000
+
+
+def _cap_doc_freq(features: DataFrame, feature_col: str,
+                  max_doc_freq: int | None) -> DataFrame:
+    """Drop (doc_id, feature) rows whose feature occurs in more than
+    ``max_doc_freq`` docs. One window count over the feature key — the
+    shuffle it introduces is on the same key as the downstream candidate
+    equi-join, so the exchange is reused, not added."""
+    if max_doc_freq is None:
+        return features
+    win = Window.partitionBy(feature_col)
+    return (
+        features.withColumn("_df", F.count("*").over(win))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -41,15 +66,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 16) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over distinct words of
     h48(i || ':' || word). Docs with no words produce no signature row.
-
-    Shape: explode distinct words once, compute the k hash columns in
-    whole-stage codegen, take k min() aggregations (map-side partial
-    combine) — NOT array higher-order functions, which run interpreted.
     """
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(distinct_words(F.col(text_col))).alias("w"),
     )
+    return _signatures_from_words(exploded, num_hashes)
+
+
+def _signatures_from_words(exploded: DataFrame,
+                           num_hashes: int) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, w) distinct-word table — shared
+    by the capped and uncapped paths.
+
+    Shape: compute the k hash columns in whole-stage codegen, take k min()
+    aggregations (map-side partial combine) — NOT array higher-order
+    functions, which run interpreted.
+    """
     hashed = exploded.select(
         "doc_id",
         *[
@@ -113,22 +146,34 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_word_df: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """LSH candidates verified with true word-set Jaccard ≥ threshold.
 
     Output: (id_a, id_b, jaccard_pct) with jaccard scaled to integer
     percent (engine-portable exactness; no float hashing hazards).
 
+    ``max_word_df`` drops words present in more than that many docs from
+    BOTH the signature and the verification word sets (single consistent
+    semantics: jaccard over discriminative words). Without it, one
+    stop-word shared by 10^8 docs makes the verification equi-join's
+    fan-out quadratic in corpus size; with it, per-key fan-out is bounded
+    by max_word_df² whatever the corpus. Pass ``None`` to disable.
+
     Verification joins the exploded distinct-word table against the
     candidate pairs and counts matches — array_intersect over wide arrays
     is an interpreted per-pair set operation and was the sf0.1 hotspot.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    cands = _lsh_candidates(sigs, num_hashes, bands)
-    wx = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(distinct_words(F.col(text_col))).alias("w"),
+    wx = _cap_doc_freq(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(distinct_words(F.col(text_col))).alias("w"),
+        ),
+        "w",
+        max_word_df,
     )
+    sigs = _signatures_from_words(wx, num_hashes)
+    cands = _lsh_candidates(sigs, num_hashes, bands)
     sizes = wx.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     # two equi-joins: words of id_a matched against words of id_b
     inter = (
@@ -232,23 +277,40 @@ def neardup_components(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """32-bit SimHash over distinct normalized words — 32 integer
-    aggregations, fully codegen'd; no UDF.
+def _simhash_sigs(df: DataFrame, text_col: str, id_col: str,
+                  bits: int) -> DataFrame:
+    """(doc_id, simhash, n) — n = distinct word count. A word-less doc
+    keeps a row with simhash 0 and n = 0 (explode_outer); callers that
+    must not pair empty docs filter on ``n > 0``.
 
     The classic per-bit ±1 vote is folded algebraically: with s_b = count
     of words whose hash has bit b set and n = word count, the vote
     2·s_b − n is positive iff 2·s_b > n. Each aggregate is then a bare
-    ``sum((h >> b) & 1)`` — much smaller generated code than 32 nested
+    ``sum((h >> b) & 1)`` — much smaller generated code than nested
     CASE ±1 sums (codegen compile time is a real per-query constant).
+
+    Signature bits: 0..47 from h48(word); 48..95 from h48('~' || word)
+    (a second independent 48-bit draw — only computed when bits > 48).
+    Signed-long safety caps bits at 63, and bit 63 itself is excluded so
+    ``1 << b`` never wraps negative in either engine.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(distinct_words(F.col(text_col))).alias("w"),
-    ).withColumn("h", h48(F.col("w")))
+    ).withColumn("h1", h48(F.col("w")))
+    if bits > 48:
+        exploded = exploded.withColumn(
+            "h2", h48(F.concat(F.lit("~"), F.col("w")))
+        )
     aggs = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        F.sum(
+            F.shiftright(
+                F.col("h1") if b < 48 else F.col("h2"),
+                b if b < 48 else b - 48,
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"s{b}")
         for b in range(bits)
     ] + [F.count("w").alias("n")]
     voted = exploded.groupBy("doc_id").agg(*aggs)
@@ -260,7 +322,26 @@ def simhash(df: DataFrame, text_col: str = "text",
             F.lit(1 << b),
         ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return voted.select("doc_id", sim.cast("long").alias("simhash"))
+    return voted.select("doc_id", sim.cast("long").alias("simhash"), "n")
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """60-bit SimHash over distinct normalized words — ``bits`` integer
+    aggregations, fully codegen'd; no UDF. Word-less docs get signature 0
+    (kept in the output: a fingerprinting stage must emit a row per doc).
+
+    60 bits (not 32): the banded near-dup join below slices the signature
+    into ``bands`` equi-join keys, and key cardinality per band is
+    2^(bits/bands). At 32 bits / 4 bands that is 256 values — a quadratic
+    candidate blow-up at web scale (n²/1024 pairs even on random text).
+    60 bits / 4 bands gives 32768 values per band (~128× fewer collisions)
+    while staying safely inside a signed 64-bit long in both Spark and
+    DuckDB (bit 63 would wrap negative; 60 divides evenly by 4).
+    """
+    return _simhash_sigs(df, text_col, id_col, bits).select(
+        "doc_id", "simhash"
+    )
 
 
 def simhash_near_duplicates(
@@ -268,28 +349,55 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 60,
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming distance
-    ≤ ``max_hamming`` between 32-bit signatures.
+    ≤ ``max_hamming`` between 60-bit signatures.
 
     Candidates come from pigeonhole banding — with ``bands`` equal slices
     of the signature, any pair within ``max_hamming ≤ bands − 1`` bit
     flips must agree on at least one whole band, so an equi-join on
     (band, band_value) finds every qualifying pair without the O(n²)
     signature cross-product. Exact ``bit_count(xor)`` then verifies.
-    The shuffle key is an 8-bit band value + band id — bounded-width
-    buckets, skew-safe for non-degenerate corpora.
+    The shuffle key is a 15-bit band value + band id (32768 values per
+    band) — at 10^12 docs the expected random-collision candidate count
+    per band is n²/2^(bits/bands), so band width is THE scale knob; 8-bit
+    bands saturate long before that (see :func:`simhash`).
+
+    Word-less docs are excluded from pairing: their signature is the
+    degenerate 0, and "empty" is not *similar* to whatever real doc's
+    signature happens to have popcount ≤ max_hamming. (Exact-empty
+    duplicates belong to :func:`exact_duplicates`.)
     """
     if max_hamming > bands - 1:
         raise ValueError(
             f"pigeonhole banding needs max_hamming ({max_hamming}) "
             f"<= bands - 1 ({bands - 1}); qualifying pairs would be missed"
         )
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into bands ({bands}); a "
+            "remainder would leave top bits outside every band and break "
+            "the pigeonhole recall guarantee"
+        )
+    sigs = _simhash_sigs(df, text_col, id_col, bits).where(
+        F.col("n") > 0
+    ).drop("n")
+    return (
+        _simhash_banded_join(sigs, bits, bands)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _simhash_banded_join(sigs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(id_a, id_b, hamming) candidates from the pigeonhole band equi-join
+    over (doc_id, simhash) signatures — pre-verification, may repeat a
+    pair once per agreeing band. Split out so tests can measure the raw
+    candidate rate (the quantity that must stay ≪ n² at scale)."""
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, text_col, id_col, bits)
     band_entries = F.explode(
         F.array(
             *[
@@ -305,7 +413,7 @@ def simhash_near_duplicates(
     )
     # the signature rides along with its band rows, so hamming is
     # computed directly at the band join — no join-back to the signature
-    # relation (which would re-evaluate the 32-aggregation simhash
+    # relation (which would re-evaluate the 60-aggregation simhash
     # subtree twice and add two shuffled joins)
     banded = sigs.select("doc_id", "simhash", band_entries.alias("e")).select(
         "doc_id", "simhash", "e.b", "e.bv"
@@ -326,8 +434,6 @@ def simhash_near_duplicates(
             F.col("b.doc_id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -337,8 +443,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold_pct: int = 50,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-dup pairs by n-word-shingle Jaccard (integer percent).
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    before the candidate join (jaccard is then over the discriminative
+    shingles only — numerator AND denominator). A boilerplate shingle
+    shared corpus-wide otherwise creates a single join key with quadratic
+    fan-out; the cap bounds every key at max_doc_freq². Pass ``None`` to
+    disable.
 
     Shingle table is distinct per doc; candidates come from a shingle
     equi-join (never a cross join). Performance notes, both load-bearing
@@ -352,8 +466,6 @@ def ngram_jaccard_pairs(
       hash so results stay engine-exact.
     Docs with fewer than n words produce no shingles (and thus no pairs).
     """
-    from pyspark.sql import Window
-
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -366,10 +478,12 @@ def ngram_jaccard_pairs(
     gram = F.when(
         parts[-1].isNotNull(), h48(F.concat_ws(" ", *parts))
     )
-    exploded = (
+    exploded = _cap_doc_freq(
         tokens.select("doc_id", gram.alias("g"))
         .where(F.col("g").isNotNull())
-        .distinct()
+        .distinct(),
+        "g",
+        max_doc_freq,
     )
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     pairs = (

@@ -80,22 +80,50 @@ def brute_force_topk(
     )
 
 
+def resolve_srp_planes(n_rows: int) -> int:
+    """Scale-aware SRP plane count: max(4, ceil(log2(n)/2)).
+
+    Rationale: with p planes a bucket holds ~n/2^p vectors and the
+    within-bucket join does ~n²/2^p pair work. Growing p with log2(n)/2
+    keeps bucket population ~sqrt(n) — sub-quadratic total candidates at
+    any corpus size (n=10^12 → 20 planes → ~10^6-vector buckets), instead
+    of a fixed 16 buckets that each hold 6×10^10 vectors at web scale.
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 2)) / 2))
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold_e6: int = 400000,
-    planes: int = 4,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_rows: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim_e6) with
     integer-exact cosine ≥ threshold_e6 (×1e6).
 
-    Scale path: candidates are restricted to same-SRP-bucket pairs (the
+    Scale path: candidates are restricted to SRP-bucket collisions (the
     O(n²) pair space is never materialized), then exactly re-scored. With
-    p planes the expected candidate fraction is ~2^-p per pair plus the
-    true-neighbor mass.
+    p planes the expected candidate fraction is ~2^-p per random pair plus
+    the true-neighbor mass; ``planes`` defaults to the scale-aware
+    :func:`resolve_srp_planes` (pass ``n_rows`` to skip the count job, or
+    ``planes`` to pin it — the recall/bucket-size tradeoff is then yours).
+
+    ``multi_probe`` also probes every bucket at Hamming distance 1 (flip
+    each plane bit on one join side), recovering most of the recall a
+    higher plane count costs: candidate volume grows ×(p+1) while random
+    collisions stay at ~(p+1)/2^p — still vanishing with p. A qualifying
+    pair is found at most once (its bucket XOR is a single mask), so no
+    distinct-dedup pass is needed.
     """
+    if planes is None:
+        n = n_rows if n_rows is not None else embeddings.count()
+        planes = resolve_srp_planes(n)
     # passing dim skips the one-row probe job at plan-construction time
     dim = dim or _vec_dim(embeddings, vec_col)
     base = embeddings.select(
@@ -103,15 +131,21 @@ def embedding_near_duplicates(
         _int_vec(F.col(vec_col)).alias("v"),
         _bucket(_int_vec(F.col(vec_col)), planes, dim).alias("bucket"),
     ).withColumn("vnorm", _dot(F.col("v"), F.col("v")))
+    probe_values = [F.col("bucket")] + (
+        [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        if multi_probe
+        else []
+    )
     a = base.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
-        F.col("vnorm").alias("na"), "bucket",
+        F.col("vnorm").alias("na"),
+        F.explode(F.array(*probe_values)).alias("probe"),
     )
     b = base.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-        F.col("vnorm").alias("nb"), "bucket",
+        F.col("vnorm").alias("nb"), F.col("bucket").alias("probe"),
     )
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "probe").where(F.col("id_a") < F.col("id_b"))
     cos = F.floor(
         _dot(F.col("va"), F.col("vb")) * 1000000
         / (F.sqrt(F.col("na").cast("double"))

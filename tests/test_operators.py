@@ -181,3 +181,165 @@ def test_simhash_neardups_identical_pair_only(spark):
     ])
     pairs = simhash_near_duplicates(df, max_hamming=3).collect()
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_zero_word_docs_match_oracle(spark, tmp_path):
+    """ADVICE r1: a doc whose text normalizes to zero tokens must (a) keep
+    a simhash row with signature 0 and (b) never appear in near-dup pairs
+    — on BOTH the Spark and DuckDB oracle sides."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tests.driver_sim import compare
+
+    sf_dir = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "!!! ??? ... ,,,",          # zero tokens after normalize
+                "",                          # empty string
+                "casa rio foro justica lei",
+                "casa rio foro justica lei",
+            ],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for name in ("simhash", "simhash_neardups"):
+        got = entrymod.queries()[name](spark, sf_dir).toPandas()
+        want = con.execute(entrymod.oracle_sql()[name]).df()
+        problems = compare(name, got, want)
+        assert not problems, (name, problems)
+    sim = entrymod.queries()["simhash"](spark, sf_dir).toPandas()
+    assert set(sim.loc[sim["simhash"] == 0, "doc_id"]) == {1, 2}
+    pairs = entrymod.queries()["simhash_neardups"](spark, sf_dir).toPandas()
+    assert list(zip(pairs["id_a"], pairs["id_b"])) == [(3, 4)]
+
+
+def test_simhash_bits_bands_guards(spark):
+    from servico_ocr_spark.operators import simhash_near_duplicates
+
+    df = _docs(spark, [(1, "casa rio")])
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_near_duplicates(df, bits=50, bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(df, max_hamming=5, bands=4)
+    with pytest.raises(ValueError, match="bits must be"):
+        simhash(df, bits=64)
+
+
+def test_simhash_band_candidate_rate_subquadratic(spark):
+    """Telemetry for the scale knob: on a corpus of mutually-disjoint docs
+    the raw band-join candidate count must be far below the n(n-1)/2 pair
+    space — 15-bit bands make expected collisions ~ bands * C(n,2) / 2^15."""
+    from servico_ocr_spark.operators.dedup import (
+        _simhash_banded_join,
+        _simhash_sigs,
+    )
+
+    n = 120
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(n)
+    ]
+    sigs = _simhash_sigs(_docs(spark, rows), "text", "doc_id", 60).drop("n")
+    cands = (
+        _simhash_banded_join(sigs, 60, 4)
+        .select("id_a", "id_b").distinct().count()
+    )
+    assert cands < n  # pair space is n(n-1)/2 = 7140; expect ~1 collision
+
+
+def test_ngram_df_cap_kills_boilerplate_fanout(spark, tmp_path):
+    """Docs that share ONLY a corpus-wide boilerplate shingle must not
+    pair once the shingle's df exceeds the cap (it carries no near-dup
+    signal and its join key alone would be quadratic at scale), while
+    genuinely similar docs still pair — and the DuckDB oracle agrees."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from servico_ocr_spark.operators import ngram_jaccard_pairs
+    from tests.driver_sim import compare
+
+    boiler = "termos de uso aqui"
+    rows = [
+        # 8 docs sharing only the boilerplate shingle run (df=10 > cap=5)
+        (i, f"{boiler} conteudo unico {i} palavra{i} extra{i} fim{i}")
+        for i in range(8)
+    ] + [
+        # a true near-dup pair with unique (rare) shingles
+        (100, f"{boiler} processo legal numero cem identico texto corpo"),
+        (101, f"{boiler} processo legal numero cem identico texto corpo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold_pct=20, max_doc_freq=5
+    ).toPandas()
+    got = sorted(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == [(100, 101)], got
+
+    # oracle lockstep at the driver's binding cap
+    sf_dir = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    spark_out = entrymod.queries()["ngram_jaccard"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(entrymod.oracle_sql()["ngram_jaccard"]).df()
+    problems = compare("ngram_jaccard_boiler", spark_out, want)
+    assert not problems, problems
+
+
+def test_minhash_word_df_cap_binding(spark):
+    """With a binding word-df cap, a stop-word shared by every doc stops
+    contributing to signatures and verification jaccard alike."""
+    from servico_ocr_spark.operators import minhash_near_duplicates
+
+    stop = "de"
+    rows = [
+        (1, f"{stop} casa rio foro"),
+        (2, f"{stop} casa rio foro"),
+        (3, f"{stop} completamente outro conteudo distinto"),
+        (4, f"{stop} mais outro texto diferente ainda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_duplicates(
+        df, threshold=0.9, max_word_df=2
+    ).toPandas()
+    assert sorted(zip(pairs["id_a"], pairs["id_b"])) == [(1, 2)]
+    assert list(pairs["jaccard_pct"]) == [100]  # 'de' excluded both sides
+
+
+def test_resolve_srp_planes_scales_with_corpus():
+    from servico_ocr_spark.operators.similarity import resolve_srp_planes
+
+    assert resolve_srp_planes(0) == 4
+    assert resolve_srp_planes(500) == 5
+    assert resolve_srp_planes(10**6) == 10
+    assert resolve_srp_planes(10**12) == 20  # ~sqrt(n)-sized buckets
+
+
+def test_embedding_neardups_multiprobe_recall(spark):
+    """An identical vector pair must be found regardless of plane count
+    (same bucket), and multi-probe must also keep a near-identical pair
+    that a single hamming-1 plane flip separates."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),          # identical to 0
+        (2, [0.9, 0.1, 0.05, 0.0]),          # near 0/1
+        (3, [-1.0, 0.2, -0.3, 0.9]),         # far from all
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_duplicates(
+        emb, threshold_e6=900000, planes=8, multi_probe=True
+    ).toPandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in found
+    assert all(3 not in p for p in found)
