@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "token_boxes",
     "word_stats",
     "dedup_exact_prefix",
+    # the consumer-facing dedup shape: groups + keeper (linear output),
+    # built on the minhash pair graph — pair queries stay internals
+    "neardup_components",
     "simhash",
     "ngram_jaccard",
     "fingerprint",

@@ -27,31 +27,34 @@ def language_id(df: DataFrame, text_col: str = "text",
 
     Ties (including the all-zero case) resolve to the alphabetically first
     language code — deterministic and engine-portable.
+
+    Shape: posexplode + conditional-sum aggregation (whole-stage codegen),
+    NOT array higher-order functions — the HOF mirror
+    (``size(filter(words, array_contains(...)))``) runs interpreted per
+    element and measured 2.0× slower at sf0.1 (1.34 s vs 0.68 s, best of
+    3; BENCH/BASELINE.md §3). Word-less docs are restored by a left join
+    (explode emits no rows for them) with all-zero hits.
     """
-    words = words_array(F.col(text_col))
-
-    def _marker_array(markers):
-        return F.array(*[F.lit(m) for m in markers])
-
-    # array_contains (not Column.isin) — isin is unsupported on lambda
-    # variables inside higher-order functions. NB: the HOF lambda must take
-    # exactly one positional arg (a second arg means (elem, index)).
-    def _hits(markers):
-        arr = _marker_array(markers)
-        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
-
-    hit_cols = {
-        lang: _hits(markers).cast("long")
+    wx = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_array(F.col(text_col))).alias("w"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("w").isin(markers), 1).otherwise(0))
+        .cast("long").alias(f"hits_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    hits = wx.groupBy("doc_id").agg(*aggs)
+    base = df.select(F.col(id_col).alias("doc_id")).join(hits, "doc_id", "left")
+    cols = {
+        lang: F.coalesce(F.col(f"hits_{lang}"), F.lit(0))
+        for lang in sorted(LANG_MARKERS)
     }
-    out = df.select(F.col(id_col).alias("doc_id"), *[
-        c.alias(f"hits_{lang}") for lang, c in hit_cols.items()
-    ])
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)])
+    best = F.greatest(*cols.values())
     guess = F.lit(None).cast("string")
     for lang in sorted(LANG_MARKERS, reverse=True):
-        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(guess)
-    return out.select(
+        guess = F.when(cols[lang] == best, F.lit(lang)).otherwise(guess)
+    return base.select(
         "doc_id", guess.alias("guessed_lang"), best.alias("best_hits")
     )
 
@@ -78,28 +81,40 @@ def quality_score(df: DataFrame, text_col: str = "text",
     Facets: mean word length (×100), stopword ratio (‰), digit-token
     ratio (‰), distinct-word ratio (‰). Bucket: 'good' if stopword ratio
     ≥ 100‰ and 20 ≤ words ≤ 100000 and mean word len in [2,15], else 'low'.
+
+    Shape: posexplode + one aggregation (codegen) instead of per-facet
+    array HOFs — the HOF mirror measured 1.8× slower at sf0.1 (1.66 s vs
+    0.93 s, best of 3; BENCH/BASELINE.md §3). Word-less docs are restored
+    by a left join with zero facets and bucket 'low'.
     """
-    words = words_array(F.col(text_col))
-    n_words = F.size(words).cast("long")
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    marker_arr = F.array(*[F.lit(m) for m in all_markers])
-    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
-    digit_tokens = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
-    total_len = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    wx = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_array(F.col(text_col))).alias("w"),
     )
-    mwl_x100 = F.when(n_words > 0, F.floor(total_len * 100 / n_words)).otherwise(
+    m = wx.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("total_len"),
+        F.sum(F.when(F.col("w").isin(all_markers), 1).otherwise(0))
+        .cast("long").alias("stop_hits"),
+        F.sum(F.when(F.col("w").rlike("^[0-9]+$"), 1).otherwise(0))
+        .cast("long").alias("digit_tokens"),
+        F.countDistinct("w").cast("long").alias("n_distinct"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id")).join(m, "doc_id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    nz = n_words > 0
+    mwl_x100 = F.when(nz, F.floor(F.col("total_len") * 100 / n_words)).otherwise(
         F.lit(0)
     )
-    stop_pm = F.when(n_words > 0, F.floor(stop_hits * 1000 / n_words)).otherwise(
+    stop_pm = F.when(nz, F.floor(F.col("stop_hits") * 1000 / n_words)).otherwise(
         F.lit(0)
     )
     digit_pm = F.when(
-        n_words > 0, F.floor(digit_tokens * 1000 / n_words)
+        nz, F.floor(F.col("digit_tokens") * 1000 / n_words)
     ).otherwise(F.lit(0))
     distinct_pm = F.when(
-        n_words > 0,
-        F.floor(F.size(F.array_distinct(words)) * 1000 / n_words),
+        nz, F.floor(F.col("n_distinct") * 1000 / n_words)
     ).otherwise(F.lit(0))
     bucket = F.when(
         (stop_pm >= 100)
@@ -109,8 +124,8 @@ def quality_score(df: DataFrame, text_col: str = "text",
         & (mwl_x100 <= 1500),
         F.lit("good"),
     ).otherwise(F.lit("low"))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_words.alias("n_words"),
         mwl_x100.alias("mean_word_len_x100"),
         stop_pm.alias("stopword_permille"),

@@ -66,11 +66,15 @@ def stub_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
 
 
 def tesseract_searchable_pdf(url: str, boxes: list, paginas: int) -> bytes:
-    """Production renderer twin (import-gated): per-page
-    ``image_to_pdf_or_hocr`` + PyPDF2 merge, as app/util_pdf_ocr.py:34-63.
-    Needs the rasterized page images (sources.ocr_engine pdf2image
-    stage) wired alongside the box analysis — pass this as
-    ``renderer=`` to :func:`write_artifacts` in such a deployment."""
+    """WIRING PLACEHOLDER — always raises, never renders. The production
+    design (per-page ``image_to_pdf_or_hocr`` + PyPDF2 merge, as
+    app/util_pdf_ocr.py:34-63) needs the rasterized page images from the
+    sources.ocr_engine pdf2image stage threaded alongside the box
+    analysis, and that plumbing does not exist yet: even with pytesseract
+    and PyPDF2 installed this function raises ``NotImplementedError`` on
+    the first row. Deployments must implement the image pass-through
+    before using this as ``renderer=``; until then the default
+    :func:`stub_searchable_pdf` is the only working renderer."""
     try:
         import pytesseract  # noqa: F401
         import PyPDF2  # noqa: F401
