@@ -485,25 +485,35 @@ def ngram_jaccard_pairs(
         "g",
         max_doc_freq,
     )
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # per-doc shingle counts ride along as a window column instead of a
+    # separate sizes relation: a sizes groupBy + two pair joins would
+    # re-evaluate the whole shingle subtree (posexplode → lead window →
+    # distinct → df-cap) two MORE times — 4 copies total vs 2 here.
+    # Measured 1.36 → 1.14 s at sf0.1; at real scale halving the scan/
+    # shingle evaluations is the dominant effect. (The same restructure
+    # was measured on minhash verification and REJECTED — its word
+    # subtree is one cheap explode, so the extra window shuffle cost more
+    # than the duplication saved; see BENCH/BASELINE.md §2.)
+    sized = exploded.withColumn(
+        "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     pairs = (
-        exploded.alias("a")
+        sized.alias("a")
         .join(
-            exploded.alias("b"),
+            sized.alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
         )
         .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n_grams", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n_grams", "nb"), "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.floor(
