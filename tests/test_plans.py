@@ -152,3 +152,24 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_scans_input_exactly_twice(spark):
+    """The shingle subtree must be evaluated only for the two self-join
+    sides — the r2 restructure removed the sizes relation that re-scanned
+    the input two MORE times (sizes now ride as a window column)."""
+    plan = _plan(entrymod._q_ngram_jaccard(spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+
+
+def test_simhash_neardups_scans_input_exactly_twice(spark):
+    """The 60-aggregation signature subtree is expensive; the band join
+    must reference it only via its two aliases (the signature rides with
+    the band rows — no third join-back to the signature relation)."""
+    plan = _plan(entrymod._q_simhash_neardups(spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+
+
+def test_embedding_neardups_scans_input_exactly_twice(spark):
+    plan = _plan(entrymod._q_embedding_neardups(spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
