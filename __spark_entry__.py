@@ -196,12 +196,16 @@ _MINHASH_BANDS = 2  # 2 bands × 8 rows: P(candidate | J) = 1-(1-J^8)^2 —
 #                     with dense mid-range similarity.
 _MINHASH_THRESHOLD = 0.80
 # word document-frequency cap, wired through signature AND verification on
-# both sides (operators/dedup.py DEFAULT_MAX_DOC_FREQ is the scale default;
-# the sf corpus has a 31-word vocabulary with df up to ~402/500, so 450
-# keeps sf results stable while proving the capped plumbing end-to-end —
-# the binding-cap case is exercised by ngram_jaccard's cap of 5 and the
-# boilerplate unit test).
-_MINHASH_MAX_WORD_DF = 450
+# both sides (operators/dedup.py DEFAULT_MAX_DOC_FREQ is the scale
+# default). The synthetic corpus has a 31-word vocabulary whose per-word
+# df tracks corpus size (max ~402 of 500 docs at sf0.01, ~3923 of 5000 at
+# sf0.1) — a cap below those guts every word set and degenerates the
+# dedup semantics, so the driver/bench constant sits ABOVE the df range
+# at both the correctness scale (sf0.01) and the bench scale (sf0.1):
+# non-binding there, proving the capped plumbing end-to-end, while the
+# binding-cap case is exercised by ngram_jaccard's cap of 5 and the
+# boilerplate unit tests.
+_MINHASH_MAX_WORD_DF = 4000
 
 
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,10 +464,12 @@ FROM ranked WHERE rank <= {_ANN_K}
 
 
 _EMB_NEARDUP_T = 400000  # sf embeddings are near-orthogonal random vectors; max pair ~0.49
-_EMB_NEARDUP_PLANES = 8  # scale-aware tier (resolve_srp_planes(10^5)); the
-#                          driver pins it so the oracle twin stays static.
-#                          Multi-probe (hamming-1 buckets) keeps recall up
-#                          at the wider plane count on both sides.
+_EMB_NEARDUP_PLANES = 8  # = resolve_srp_planes(65536), i.e. the ~2^16-row
+#                          tier — pinned WIDER than the sf corpora resolve
+#                          to (sf0.01 -> 5) so the static oracle twin
+#                          exercises the scale tier; multi-probe
+#                          (hamming-1 buckets) keeps recall up at the
+#                          wider plane count on both sides.
 
 
 def _q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

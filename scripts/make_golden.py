@@ -73,7 +73,12 @@ def golden_frames(pages_rows: list) -> tuple[pd.DataFrame, pd.DataFrame]:
                     "n_spans": len(row["spans"]),
                 }
             )
-    docs_df = pd.DataFrame(docs)
+    # sort by url: the committed file must not encode Spark's scan-split
+    # row order (a partitioning change would otherwise fail the drift test
+    # with zero semantic drift); the driver's compare is order-insensitive
+    docs_df = (
+        pd.DataFrame(docs).sort_values("url").reset_index(drop=True)
+    )
     lin = pd.DataFrame(lineage)
     lineage_df = (
         lin.groupby("status", as_index=False)

@@ -33,9 +33,21 @@ DEFAULT_MAX_DOC_FREQ = 10_000
 def _cap_doc_freq(features: DataFrame, feature_col: str,
                   max_doc_freq: int | None) -> DataFrame:
     """Drop (doc_id, feature) rows whose feature occurs in more than
-    ``max_doc_freq`` docs. One window count over the feature key — the
-    shuffle it introduces is on the same key as the downstream candidate
-    equi-join, so the exchange is reused, not added."""
+    ``max_doc_freq`` docs.
+
+    Shape choice, measured both ways: the window count evaluates the
+    (possibly expensive) feature subtree ONCE but funnels all rows of a
+    hot feature into one window group — a bounded, *linear* straggler
+    (df_max rows buffered/spilled in one task, ~1.6 GB at df=10^8),
+    which is the price of preventing the *quadratic* join fan-out
+    downstream. The alternative — groupBy(feature).count() + join back,
+    whose probe side AQE skew-split can spread — re-evaluates the feature
+    subtree a second time per reference: measured 1.77 s vs 1.17 s for
+    ngram_jaccard at sf0.1 (4 scans vs 2), and at real scale the doubled
+    shingle/scan work dominates a linear straggler that only the handful
+    of boilerplate keys ever hit. If a corpus has so many >max_doc_freq
+    features that window spill dominates, flip to the join shape — the
+    semantics are identical (parity-tested)."""
     if max_doc_freq is None:
         return features
     win = Window.partitionBy(feature_col)
@@ -289,10 +301,11 @@ def _simhash_sigs(df: DataFrame, text_col: str, id_col: str,
     ``sum((h >> b) & 1)`` — much smaller generated code than nested
     CASE ±1 sums (codegen compile time is a real per-query constant).
 
-    Signature bits: 0..47 from h48(word); 48..95 from h48('~' || word)
-    (a second independent 48-bit draw — only computed when bits > 48).
-    Signed-long safety caps bits at 63, and bit 63 itself is excluded so
-    ``1 << b`` never wraps negative in either engine.
+    Signature bits: 0..47 from h48(word); bits 48 and up from h48('~' ||
+    word), a second independent 48-bit draw (only computed when
+    bits > 48). Signed-long safety caps ``bits`` at 63 — so at most bits
+    48..62 of the signature draw from the second hash, and bit 63 is
+    excluded entirely because ``1 << 63`` wraps negative in both engines.
     """
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")

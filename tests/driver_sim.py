@@ -7,6 +7,7 @@ Usage: python tests/driver_sim.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -100,9 +101,35 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # the flagship oracles are committed golden parquets generated at ONE
+    # sf (tests/golden/INPUTS.json); at any other sf_dir they would
+    # false-fail on correct code, so fall back to a rows-only check there.
+    # The driver itself always gates at the golden sf (sf0.01).
+    golden_sf = None
+    try:
+        import json as _json
+
+        with open(os.path.join(os.path.dirname(__file__), "golden",
+                               "INPUTS.json")) as fh:
+            golden_sf = _json.load(fh)["sf_dir"].rstrip("/")
+    except Exception:
+        pass
+    golden_only = {"extract_docs", "extract_lineage"}
+
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if (name in golden_only and golden_sf is not None
+                and sf_dir.rstrip("/") != golden_sf):
+            try:
+                n = len(fn(spark, sf_dir).toPandas())
+            except Exception as exc:
+                print(f"[FAIL] {name}: spark error: {str(exc)[:300]}")
+                failed.append(name)
+                continue
+            print(f"[rows] {name}: {n} rows (golden oracle is for "
+                  f"{golden_sf}; rows-only at this sf)")
             continue
         try:
             sdf = fn(spark, sf_dir)
