@@ -49,3 +49,76 @@ def dedupe_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API) — running per-key totals
+# ---------------------------------------------------------------------------
+
+try:  # the v2 stateful API needs pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """ValueState-backed running (n_docs, chars_sum) per key — the
+        streaming twin of the batch `source_rollup` leaf rows, kept
+        exactly-once across micro-batches and restarts by the state store
+        (reference status counters, app/util_processar_pasta.py:137-168,
+        re-expressed as managed streaming state)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            self._totals = handle.getValueState(
+                "totals",
+                StructType([
+                    StructField("n_docs", LongType()),
+                    StructField("chars_sum", LongType()),
+                ]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else None
+            n_docs, chars_sum = (int(prev[0]), int(prev[1])) if prev else (0, 0)
+            for batch in rows:
+                n_docs += len(batch)
+                chars_sum += int(batch["n_chars"].sum())
+            self._totals.update((n_docs, chars_sum))
+            yield pd.DataFrame(
+                {"source": [key[0]], "n_docs": [n_docs],
+                 "chars_sum": [chars_sum]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_source_totals(stream: DataFrame) -> DataFrame:
+        """Streaming DataFrame (source, n_chars, ...) → one updated
+        (source, n_docs, chars_sum) row per key per micro-batch, running
+        across the stream's lifetime.
+
+        Uses ``transformWithStateInPandas`` (the current-generation
+        stateful API: typed state variables + timers + TTL) rather than
+        the legacy ``applyInPandasWithState`` above — both are kept so the
+        engine demonstrates each API generation. Runtime requirements
+        beyond pyspark: the RocksDB state store provider (set
+        ``spark.sql.streaming.stateStore.providerClass`` to
+        ``...state.RocksDBStateStoreProvider``) AND the ``protobuf``
+        Python package — the API's state-server protocol imports
+        ``google.protobuf`` in the streaming Python runner, and without it
+        the query fails at start with
+        STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (observed in this
+        sandbox, which ships pyspark without protobuf; the test
+        skip-gates on the import accordingly).
+        """
+        return stream.groupBy("source").transformWithStateInPandas(
+            _RunningTotalsProcessor(),
+            outputStructType="source string, n_docs long, chars_sum long",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    running_source_totals = None

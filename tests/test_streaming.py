@@ -103,3 +103,87 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     b = batch.sort_values(key).reset_index(drop=True)
     s = streamed.sort_values(key).reset_index(drop=True)
     assert b.equals(s)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): per-source
+    running totals accumulate across micro-batches AND across query
+    restarts (ValueState in the RocksDB state store survives via the
+    checkpoint)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas's streaming Python runner "
+        "needs protobuf, not shipped in this sandbox",
+    )
+    from servico_ocr_spark.streaming.stateful import running_source_totals
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "doc_id long, source string, n_chars long"
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(input_dir)
+            (
+                running_source_totals(stream)
+                .writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        spark.createDataFrame(
+            [(1, "srcA", 100), (2, "srcA", 50), (3, "srcB", 7)], schema
+        ).write.mode("append").parquet(input_dir)
+        run_once()
+        out = spark.read.parquet(output_dir).toPandas()
+        got = {r.source: (r.n_docs, r.chars_sum) for r in out.itertuples()}
+        assert got == {"srcA": (2, 150), "srcB": (1, 7)}
+
+        # restart with new data: totals continue from persisted state
+        spark.createDataFrame(
+            [(4, "srcA", 10), (5, "srcC", 1)], schema
+        ).write.mode("append").parquet(input_dir)
+        run_once()
+        out2 = spark.read.parquet(output_dir).toPandas()
+        latest = (
+            out2.groupby("source").agg({"n_docs": "max", "chars_sum": "max"})
+        )
+        assert latest.loc["srcA"].tolist() == [3, 160]
+        assert latest.loc["srcB"].tolist() == [1, 7]
+        assert latest.loc["srcC"].tolist() == [1, 1]
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+
+def test_transform_with_state_plan_construction(spark, tmp_path):
+    """The v2-stateful operator's plan must construct and carry the right
+    schema even where protobuf is absent (the runner dependency is only
+    needed at query start — construction is pinned unconditionally)."""
+    from servico_ocr_spark.streaming.stateful import running_source_totals
+
+    schema = "doc_id long, source string, n_chars long"
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame([(1, "s", 5)], schema).write.parquet(input_dir)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    df = running_source_totals(stream)
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<source:string,n_docs:bigint,chars_sum:bigint>"
+    )
