@@ -100,3 +100,87 @@ def test_kernel_is_pure(rows):
                 for b in enriched]
 
     assert run(rows) == run(rows)
+
+
+def test_simhash_pairs_equal_bruteforce_hamming(spark):
+    """Pigeonhole completeness, differentially: the banded operator must
+    return EXACTLY the pairs a brute-force O(n^2) hamming scan over the
+    same signatures finds (banding is a pure candidate pruner — zero
+    recall loss for max_hamming <= bands-1, zero false positives after
+    verification)."""
+    import itertools
+
+    from servico_ocr_spark.operators import simhash, simhash_near_duplicates
+
+    # deterministic corpus with clusters of near-identical word sets
+    rows = []
+    base_words = [f"w{i}" for i in range(24)]
+    for d in range(30):
+        words = list(base_words)
+        # mutate a few words per doc so hamming distances spread 0..60
+        for j in range(d % 7):
+            words[j] = f"m{d}x{j}"
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute, "corpus must actually contain qualifying pairs"
+
+
+def test_ngram_jaccard_equal_bruteforce(spark):
+    """The shingle equi-join is complete for threshold > 0 (a qualifying
+    pair shares at least one surviving shingle), so the operator must
+    equal a brute-force O(n^2) jaccard over per-doc shingle sets —
+    including under a binding df cap, applied identically to both."""
+    import itertools
+
+    from servico_ocr_spark.operators import ngram_jaccard_pairs
+    from servico_ocr_spark.operators.common import h48  # noqa: F401 (parity via op)
+
+    boiler = "termo de uso padrao aqui"  # shared by ALL docs -> df-capped
+    rows = []
+    for d in range(10):
+        base = [f"g{d}w{k}" for k in range(12)]
+        rows.append((2 * d, f"{boiler} " + " ".join(base)))
+        rows.append(
+            (2 * d + 1,
+             f"{boiler} " + " ".join(base[:10] + [f"x{d}a", f"x{d}b"]))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 8
+
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    df_counts = {}
+    for s in sets.values():
+        for g in s:
+            df_counts[g] = df_counts.get(g, 0) + 1
+    capped = {d: {g for g in s if df_counts[g] <= cap} for d, s in sets.items()}
+    brute = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        inter = len(capped[a] & capped[b])
+        union = len(capped[a]) + len(capped[b]) - inter
+        if union and (inter * 100) // union >= 20:
+            brute[(a, b)] = (inter * 100) // union
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_pct"]
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold_pct=20, max_doc_freq=cap
+        ).collect()
+    }
+    assert got == brute
+    assert brute, "corpus must actually contain qualifying pairs"
