@@ -195,24 +195,31 @@ _MINHASH_BANDS = 2  # 2 bands × 8 rows: P(candidate | J) = 1-(1-J^8)^2 —
 #                     candidates, which is quadratic death on a corpus
 #                     with dense mid-range similarity.
 _MINHASH_THRESHOLD = 0.80
-# word document-frequency cap, wired through signature AND verification on
-# both sides (operators/dedup.py DEFAULT_MAX_DOC_FREQ is the scale
+# Word document-frequency cap, wired through signature AND verification
+# on both sides (operators/dedup.py DEFAULT_MAX_DOC_FREQ is the scale
 # default). The synthetic corpus has a 31-word vocabulary whose per-word
-# df tracks corpus size (max ~402 of 500 docs at sf0.01, ~3923 of 5000 at
-# sf0.1) — a cap below those guts every word set and degenerates the
-# dedup semantics, so the driver/bench constant sits ABOVE the df range
-# at both the correctness scale (sf0.01) and the bench scale (sf0.1):
-# non-binding there, proving the capped plumbing end-to-end, while the
+# df TRACKS corpus size (~80% of docs per word at every sf: max 402/500
+# at sf0.01, 3923/5000 at sf0.1), so no constant cap is safe at every
+# scale — it either binds (gutting the word sets and degenerating the
+# dedup semantics) or must be retuned per sf. The cap is therefore
+# derived from the corpus: words in more than 90% of docs are boilerplate
+# (the corpus's ~80% ceiling stays safely below it at any sf by the law
+# of large numbers). The DuckDB twin computes the same bound inline; the
 # binding-cap case is exercised by ngram_jaccard's cap of 5 and the
 # boilerplate unit tests.
-_MINHASH_MAX_WORD_DF = 4000
+# cap = ceil(9·n/10), computed in exact integer arithmetic on BOTH sides
+# (a float 0.9·n differs from 9n/10 at some n under IEEE rounding)
+def _minhash_word_cap(spark: SparkSession, sf_dir: str) -> int:
+    n_docs = _read(spark, sf_dir, "documents").count()
+    return (9 * n_docs + 9) // 10
 
 
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
-        threshold=_MINHASH_THRESHOLD, max_word_df=_MINHASH_MAX_WORD_DF,
+        threshold=_MINHASH_THRESHOLD,
+        max_word_df=_minhash_word_cap(spark, sf_dir),
     )
 
 
@@ -222,9 +229,10 @@ def _o_minhash_neardups() -> str:
     return f"""
 WITH base AS ({_d_words_cte()}),
 wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+cap AS (SELECT ((9 * count(*) + 9) // 10)::BIGINT AS v FROM documents),
 wx AS (SELECT doc_id, w FROM (
            SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
-       WHERE df <= {_MINHASH_MAX_WORD_DF}),
+       WHERE df <= (SELECT v FROM cap)),
 dw AS (SELECT doc_id, list(w) AS ws FROM wx GROUP BY doc_id),
 sig AS (
     SELECT wx.doc_id, t.i, min({mh}) AS mh
@@ -259,7 +267,8 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
         docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
-        threshold=_MINHASH_THRESHOLD, max_word_df=_MINHASH_MAX_WORD_DF,
+        threshold=_MINHASH_THRESHOLD,
+        max_word_df=_minhash_word_cap(spark, sf_dir),
     )
     return neardup_components(docs, pairs)
 

@@ -121,4 +121,10 @@ try:  # the v2 stateful API needs pyspark >= 4.0
         )
 
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
-    running_source_totals = None
+
+    def running_source_totals(stream: DataFrame) -> DataFrame:
+        """Unavailable: the v2 stateful API needs pyspark >= 4.0."""
+        raise RuntimeError(
+            "transformWithStateInPandas requires pyspark >= 4.0; use "
+            "dedupe_stream/applyInPandasWithState on this runtime"
+        )

@@ -121,9 +121,9 @@ def main():
         if only and name not in only:
             continue
         if (name in golden_only and golden_sf is not None
-                and sf_dir.rstrip("/") != golden_sf):
+                and os.path.realpath(sf_dir) != os.path.realpath(golden_sf)):
             try:
-                n = len(fn(spark, sf_dir).toPandas())
+                n = fn(spark, sf_dir).count()
             except Exception as exc:
                 print(f"[FAIL] {name}: spark error: {str(exc)[:300]}")
                 failed.append(name)
