@@ -184,3 +184,37 @@ def test_ngram_jaccard_equal_bruteforce(spark):
     }
     assert got == brute
     assert brute, "corpus must actually contain qualifying pairs"
+
+
+def test_simhash_pairs_bruteforce_random_corpora(spark):
+    """Same pigeonhole-completeness differential over seeded-random word
+    sets (vocab mixing shared and doc-unique words) — catches band-split
+    or hash-boundary bugs the structured corpus might mask."""
+    import itertools
+    import random
+
+    from servico_ocr_spark.operators import simhash, simhash_near_duplicates
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"v{k}" for k in range(40)]
+        rows = []
+        for d in range(25):
+            k = rng.randint(3, 20)
+            words = rng.sample(vocab, k) + [
+                f"d{d}u{j}" for j in range(rng.randint(0, 3))
+            ]
+            rng.shuffle(words)
+            rows.append((d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        brute = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_duplicates(df, max_hamming=3).collect()
+        }
+        assert got == brute, (seed, got ^ brute)
