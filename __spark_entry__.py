@@ -259,9 +259,10 @@ WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
 
 
 def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup grouping over the minhash pair graph. The
-    iterative min-label propagation is driver-orchestrated but entirely
-    distributed per round; the oracle is an exact recursive-CTE twin."""
+    """Transitive near-dup grouping over the minhash pair graph.
+    Alternating large-star/small-star contraction (O(log D) rounds) is
+    driver-orchestrated but entirely distributed per round; the oracle
+    is an exact recursive-CTE twin."""
     from servico_ocr_spark.operators import neardup_components
 
     docs = _read(spark, sf_dir, "documents")

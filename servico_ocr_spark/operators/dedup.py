@@ -219,73 +219,130 @@ def neardup_components(
     pairs_df: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: the grouping
     step a dedup pipeline needs after pair enumeration (a doc transitively
     near-identical to a kept doc must drop even without a direct edge).
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round takes the min label over itself and its neighbors;
-    at fixpoint the label is the component's smallest id — the
-    deterministic survivor. The driver loop is orchestration only (the
-    standard shape for iterative algorithms on Spark, cf. GraphX Pregel);
-    all data work is distributed joins/aggregations. ``localCheckpoint``
-    cuts lineage each round so plans don't grow unboundedly, and
-    convergence needs O(component diameter) rounds — near-dup graphs are
-    clique-ish, so a handful. Returns (doc_id, component_id, keeper).
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    rewires every node's strictly-larger neighbors (large-star) and then
+    its smaller neighbors (small-star) to the neighborhood minimum. Edge
+    "distances" to the component minimum roughly halve per round, so
+    convergence is O(log D) rounds in the component diameter D — plain
+    min-label propagation is O(D), which hard-fails on boilerplate
+    *chains* (A~B~C~... with no shortcut edges) whose diameter exceeds
+    any fixed round cap. At the fixpoint the edge set is a union of
+    stars, each rooted at its component's smallest id — the deterministic
+    survivor.
+
+    The driver loop is orchestration only (the standard shape for
+    iterative algorithms on Spark, cf. GraphX Pregel); all per-round work
+    is two groupBy-min aggregations + two equi-joins, fully distributed.
+    Each round runs exactly ONE action: a checksum aggregation over the
+    new edge set that doubles as the materialization of its *lazy*
+    ``localCheckpoint`` (lineage cut + convergence signal in one job).
+    Checksum equality only *suspects* a fixpoint; an exact anti-join
+    verification confirms it before the loop exits, so a colliding
+    checksum can never silently truncate components.
+
+    Pair endpoints are assumed to be drawn from ``ids_df`` (they are, for
+    every pair enumerator in this module applied to the same corpus);
+    endpoints outside it still propagate connectivity but are dropped
+    from the output.
+
+    If ``telemetry`` is a dict, ``telemetry["rounds"]`` is set to the
+    number of contraction rounds executed (convergence-health signal for
+    production runs). Returns (doc_id, component_id, keeper).
     """
-    labels = (
-        ids_df.select(F.col(id_col).cast("long").alias("node"))
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint()
-    )
+    nodes = ids_df.select(F.col(id_col).cast("long").alias("node"))
+    # canonical orientation: u > v for every stored edge
+    pa, pb = F.col("id_a").cast("long"), F.col("id_b").cast("long")
     edges = (
-        pairs_df.select(F.col("id_a").cast("long").alias("a"),
-                        F.col("id_b").cast("long").alias("b"))
-        .unionByName(
-            pairs_df.select(F.col("id_b").cast("long").alias("a"),
-                            F.col("id_a").cast("long").alias("b"))
-        )
+        pairs_df.select(F.greatest(pa, pb).alias("u"),
+                        F.least(pa, pb).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        neigh_min = (
-            edges.join(labels, F.col("a") == F.col("node"))
-            .groupBy("b")
-            .agg(F.min("lab").alias("nlab"))
+    prev_sig = None
+    rounds = 0
+    converged = False
+    while rounds < max_iterations:
+        rounds += 1
+        # large-star: for every node, point each strictly-larger neighbor
+        # at the minimum of the closed neighborhood. Output stays
+        # max->min oriented because min(u, mn) <= u < v.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(neigh_min, F.col("node") == F.col("b"), "left")
+        nmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(nmin, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-                ).alias("lab"),
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
             )
-            .localCheckpoint()
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
+        # small-star: per larger endpoint u, rewire u and all its smaller
+        # neighbors to the smallest of them (mn <= v < u throughout).
+        smin = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(smin, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(smin.select("u", F.col("mn").alias("v")))
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+        # ONE action per round: the checksum agg materializes the lazy
+        # checkpoint. bit_xor (not sum) so the 10^12-edge case cannot
+        # overflow under ANSI arithmetic; count + per-column xor + xor of
+        # a pair hash makes accidental collision astronomically unlikely,
+        # and a collision is caught by the exact check below anyway.
+        new_edges = small.localCheckpoint(eager=False)
+        sig = tuple(
+            new_edges.agg(
+                F.count("*").alias("c"),
+                F.coalesce(F.bit_xor("u"), F.lit(0)).alias("xu"),
+                F.coalesce(F.bit_xor("v"), F.lit(0)).alias("xv"),
+                F.coalesce(
+                    F.bit_xor(h48(F.concat_ws(",", "u", "v"))), F.lit(0)
+                ).alias("xh"),
+            ).first()
+        )
+        if sig == prev_sig:
+            # suspected fixpoint -> exact set-equality confirmation
+            # (counts already match via sig; one cheap extra action)
+            if new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0:
+                edges = new_edges
+                converged = True
+                break
+        prev_sig = sig
+        edges = new_edges
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+    if not converged:
         raise RuntimeError(
             f"neardup_components did not converge in {max_iterations} "
-            "rounds (component diameter exceeds the cap); raise "
-            "max_iterations — returning partial labels would silently "
-            "split true components"
+            "star-contraction rounds (needs ~log2 of the largest "
+            "component diameter); raise max_iterations — returning "
+            "partial labels would silently split true components"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lab").alias("component_id"),
-        F.when(F.col("node") == F.col("lab"), F.lit(1))
-        .otherwise(F.lit(0)).cast("int").alias("keeper"),
+    # fixpoint edge set = disjoint min-rooted stars: (node, root) per
+    # non-root node. min() is defensive against duplicate star edges.
+    return (
+        nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce(F.col("v"), F.col("node"))).alias("lab"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("component_id"),
+            F.when(F.col("node") == F.col("lab"), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("keeper"),
+        )
     )
 
 

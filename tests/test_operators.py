@@ -49,6 +49,43 @@ def test_neardup_components_chain_transitivity(spark):
     assert [d for d, (_, k) in sorted(out.items()) if k == 1] == [1, 5]
 
 
+def test_neardup_components_long_chain_logarithmic_rounds(spark):
+    """A 257-node path graph (diameter 256 — far past the 50-round cap
+    that plain min-label propagation would hard-error on) must collapse
+    to one component in O(log D) star-contraction rounds. Bound asserted:
+    2*log2(D) + 4 slack for the tail + the convergence-confirm round."""
+    import math
+
+    from servico_ocr_spark.operators import neardup_components
+
+    n = 257
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    # adversarial order-scramble: edge (i, i+1) written high-to-low half
+    # the time so orientation canonicalization is actually exercised
+    pairs = spark.createDataFrame(
+        [(i + 1, i) if i % 2 else (i, i + 1) for i in range(1, n)],
+        "id_a long, id_b long",
+    )
+    telemetry: dict = {}
+    out = neardup_components(ids, pairs, telemetry=telemetry).collect()
+    assert {r["component_id"] for r in out} == {1}
+    assert sorted(r["doc_id"] for r in out) == list(range(1, n + 1))
+    assert [r["doc_id"] for r in out if r["keeper"] == 1] == [1]
+    bound = 2 * math.ceil(math.log2(n - 1)) + 4
+    assert telemetry["rounds"] <= bound, telemetry
+
+
+def test_neardup_components_isolated_and_empty_edges(spark):
+    """No pairs at all: every node is its own keeper component."""
+    from servico_ocr_spark.operators import neardup_components
+
+    ids = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["component_id"], r["keeper"])
+           for r in neardup_components(ids, pairs).collect()}
+    assert out == {7: (7, 1), 9: (9, 1)}
+
+
 def test_simhash_identical_docs_equal(spark):
     text = "casa rio foro justiça"
     df = _docs(spark, [(1, text), (2, text), (3, "algo completamente diverso")])
