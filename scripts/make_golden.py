@@ -37,7 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "tests", "golden")
 
-_N_PAGES_RE = re.compile(r'"n_pages":(\d+)')
+# [0-9], NOT \d: Python \d matches Unicode digits (and int() parses them)
+# while the Spark twin's JVM regexp_extract is ASCII-only — pin identical
+# ASCII semantics so the golden can never diverge on exotic digits.
+_N_PAGES_RE = re.compile(r'"n_pages":([0-9]+)')
 
 
 def _est_pages(html: bytes) -> int:

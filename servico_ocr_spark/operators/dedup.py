@@ -21,12 +21,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .common import distinct_words, h48, norm_text
 
-#: Default document-frequency cap for candidate-join features (words /
-#: shingles). A feature present in more docs than this carries no
+#: RECOMMENDED document-frequency cap for candidate-join features (words
+#: / shingles). A feature present in more docs than this carries no
 #: discriminative near-dup signal, and — decisive at web scale — one
 #: boilerplate shingle shared by 10^8 docs would alone create a 10^16-row
 #: join key. Capping df bounds the per-key fan-out of every candidate
 #: equi-join to DEFAULT_MAX_DOC_FREQ² regardless of corpus size.
+#: The library functions default to ``None`` (uncapped — capping CHANGES
+#: result semantics: docs whose features are all capped out drop from
+#: pairing, and jaccard is computed over the surviving features only), so
+#: the cap is an explicit opt-in; every production entry point in this
+#: repo passes one explicitly. At 10^6+ docs, always pass a cap.
 DEFAULT_MAX_DOC_FREQ = 10_000
 
 
@@ -158,7 +163,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_word_df: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_word_df: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with true word-set Jaccard ≥ threshold.
 
@@ -170,7 +175,11 @@ def minhash_near_duplicates(
     semantics: jaccard over discriminative words). Without it, one
     stop-word shared by 10^8 docs makes the verification equi-join's
     fan-out quadratic in corpus size; with it, per-key fan-out is bounded
-    by max_word_df² whatever the corpus. Pass ``None`` to disable.
+    by max_word_df² whatever the corpus. Default is ``None`` (uncapped)
+    because the cap changes result semantics — a doc whose words are ALL
+    capped out disappears from pairing entirely; opt in explicitly
+    (``DEFAULT_MAX_DOC_FREQ`` is the recommended web-scale value, and
+    every entry point in this repo passes a cap).
 
     Verification joins the exploded distinct-word table against the
     candidate pairs and counts matches — array_intersect over wide arrays
@@ -513,7 +522,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold_pct: int = 50,
-    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-word-shingle Jaccard (integer percent).
 
@@ -521,8 +530,10 @@ def ngram_jaccard_pairs(
     before the candidate join (jaccard is then over the discriminative
     shingles only — numerator AND denominator). A boilerplate shingle
     shared corpus-wide otherwise creates a single join key with quadratic
-    fan-out; the cap bounds every key at max_doc_freq². Pass ``None`` to
-    disable.
+    fan-out; the cap bounds every key at max_doc_freq². Default ``None``
+    (uncapped) — capping changes result semantics, so it is an explicit
+    opt-in; pass ``DEFAULT_MAX_DOC_FREQ`` (or tighter) at web scale, as
+    every entry point in this repo does.
 
     Shingle table is distinct per doc; candidates come from a shingle
     equi-join (never a cross join). Performance notes, both load-bearing

@@ -111,15 +111,23 @@ def embedding_near_duplicates(
     O(n²) pair space is never materialized), then exactly re-scored. With
     p planes the expected candidate fraction is ~2^-p per random pair plus
     the true-neighbor mass; ``planes`` defaults to the scale-aware
-    :func:`resolve_srp_planes` (pass ``n_rows`` to skip the count job, or
-    ``planes`` to pin it — the recall/bucket-size tradeoff is then yours).
+    :func:`resolve_srp_planes`. NOTE: that default runs an eager
+    ``count()`` job at plan-CONSTRUCTION time — pass ``n_rows`` (or pin
+    ``planes``) when constructing plans lazily; the recall/bucket-size
+    tradeoff is then yours.
 
     ``multi_probe`` also probes every bucket at Hamming distance 1 (flip
-    each plane bit on one join side), recovering most of the recall a
-    higher plane count costs: candidate volume grows ×(p+1) while random
-    collisions stay at ~(p+1)/2^p — still vanishing with p. A qualifying
-    pair is found at most once (its bucket XOR is a single mask), so no
-    distinct-dedup pass is needed.
+    each plane bit on one join side): candidate volume grows ×(p+1) while
+    random collisions stay at ~(p+1)/2^p — still vanishing with p. A
+    qualifying pair is found at most once (its bucket XOR is a single
+    mask), so no distinct-dedup pass is needed. Recall caveat: Hamming-1
+    probing recovers most of the recall only for HIGH-similarity pairs
+    (near-identical vectors, small angle → few plane disagreements); for
+    pairs near a moderate threshold (e.g. cos 0.4 at 8 planes) expected
+    plane disagreements exceed 1 and recall stays low — this operator is
+    a near-DUPLICATE detector, not a general similarity join. For
+    moderate-threshold recall, lower ``planes`` (more verification work)
+    or use :func:`lsh_topk` with more probe buckets.
     """
     if planes is None:
         n = n_rows if n_rows is not None else embeddings.count()

@@ -112,6 +112,57 @@ def test_tesseract_tokens_feed_analysis_kernel(mocked_ocr_libs):
     assert conf_count == 3 and conf_sum == 95 * 3
 
 
+def _real_ocr_stack_present() -> bool:
+    """True only when BOTH the Python libs and the tesseract binary exist
+    (probed at collection time, like the protobuf/iceberg gates)."""
+    import importlib.util
+    import shutil
+
+    return (
+        importlib.util.find_spec("pytesseract") is not None
+        and importlib.util.find_spec("PIL") is not None
+        and shutil.which("tesseract") is not None
+    )
+
+
+@pytest.mark.skipif(
+    not _real_ocr_stack_present(),
+    reason="real OCR stack (pytesseract + Pillow + tesseract binary) not "
+    "installed in this environment",
+)
+def test_real_tesseract_smoke_png_through_kernel():
+    """Real-binary smoke (VERDICT r2 item 7): render one PNG with actual
+    Pillow, OCR it with the actual tesseract binary, and flow the rows
+    through the analysis kernel. Asserts schema + non-empty boxes only —
+    NOT byte-identity, because real OCR output varies across tesseract
+    versions/models."""
+    import io
+    import subprocess
+
+    from PIL import Image, ImageDraw
+
+    from servico_ocr_spark.sources.ocr_engine import tesseract_tokens
+
+    img = Image.new("RGB", (600, 120), "white")
+    ImageDraw.Draw(img).text((20, 40), "CASA RIO FORO", fill="black")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    langs = subprocess.run(
+        ["tesseract", "--list-langs"], capture_output=True, text=True
+    ).stdout
+    lang = "por" if "por" in langs.split() else "eng"
+
+    rows = tesseract_tokens(buf.getvalue(), kind="png", lang=lang)
+    assert rows, "real tesseract must emit at least structural rows"
+    for row in rows:
+        assert list(row) == TOKEN_COLUMNS
+    boxes, n_pages, _, conf_count = analyze_document(rows)
+    assert n_pages == 1
+    assert boxes, "a rendered text line must yield at least one box"
+    assert conf_count > 0
+
+
 def test_tesseract_tokens_raises_without_libs():
     """Without the OCR stack the boundary must fail loudly, not return
     empty tokens (ocr_engine.py import gate)."""
