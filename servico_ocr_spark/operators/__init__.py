@@ -9,16 +9,20 @@ and multimodal column plumbing.
 
 from .dedup import (  # noqa: F401
     exact_duplicates,
+    minhash_candidate_telemetry,
     minhash_near_duplicates,
     minhash_signatures,
     neardup_components,
+    ngram_candidate_telemetry,
     ngram_jaccard_pairs,
     simhash,
+    simhash_candidate_telemetry,
     simhash_near_duplicates,
 )
 from .multimodal import extract_media_features, synth_media_table  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
+    embedding_candidate_telemetry,
     embedding_near_duplicates,
     ivf_ann_topk,
     lsh_ann_topk,

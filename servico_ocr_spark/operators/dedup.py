@@ -63,6 +63,30 @@ def _cap_doc_freq(features: DataFrame, feature_col: str,
     )
 
 
+def _telemetry_row(candidates: DataFrame, verified: DataFrame) -> DataFrame:
+    """One-row banding-health metric: (candidates, verified,
+    verified_per_million). The ratio is the quantity that must stay far
+    from 10^6 at scale — candidates ≈ verified means the bands are doing
+    nothing (every candidate survives: thresholds too loose) while a
+    vanishing ratio means candidate volume is wasted work (bands too
+    coarse for the corpus). Computed from the operator's OWN subplans, so
+    running it re-executes them — production runs sample or schedule it,
+    they don't pay it per job."""
+    c = candidates.agg(F.count("*").cast("long").alias("candidates"))
+    v = verified.agg(F.count("*").cast("long").alias("verified"))
+    return c.crossJoin(v).select(
+        "candidates",
+        "verified",
+        F.when(
+            F.col("candidates") > 0,
+            F.floor(F.col("verified") * 1000000 / F.col("candidates")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("verified_per_million"),
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, keep_id).
@@ -185,6 +209,33 @@ def minhash_near_duplicates(
     candidate pairs and counts matches — array_intersect over wide arrays
     is an interpreted per-pair set operation and was the sf0.1 hotspot.
     """
+    return _minhash_build(df, text_col, id_col, num_hashes, bands,
+                          threshold, max_word_df)[1]
+
+
+def minhash_candidate_telemetry(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """Banding-health metrics for :func:`minhash_near_duplicates` with the
+    same parameters: one row (candidates, verified, verified_per_million)
+    where candidates = distinct LSH band-collision pairs and verified =
+    pairs passing true-jaccard verification. See :func:`_telemetry_row`
+    for how to read it (and its recompute cost)."""
+    cands, result = _minhash_build(df, text_col, id_col, num_hashes,
+                                   bands, threshold, max_word_df)
+    return _telemetry_row(cands, result)
+
+
+def _minhash_build(df, text_col, id_col, num_hashes, bands, threshold,
+                   max_word_df):
+    """(candidate pairs, verified pairs) — shared by the operator and its
+    telemetry twin so the two can never diverge."""
     wx = _cap_doc_freq(
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -217,10 +268,11 @@ def minhash_near_duplicates(
     jacc_pct = F.floor(
         F.col("inter") * 100 / (F.col("na") + F.col("nb") - F.col("inter"))
     )
-    return (
+    verified = (
         joined.select("id_a", "id_b", jacc_pct.alias("jaccard_pct"))
         .where(F.col("jaccard_pct") >= int(threshold * 100))
     )
+    return cands, verified
 
 
 def neardup_components(
@@ -449,6 +501,30 @@ def simhash_near_duplicates(
     signature happens to have popcount ≤ max_hamming. (Exact-empty
     duplicates belong to :func:`exact_duplicates`.)
     """
+    return _simhash_pairs_build(df, text_col, id_col, max_hamming, bits,
+                                bands)[1]
+
+
+def simhash_candidate_telemetry(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding-health metrics for :func:`simhash_near_duplicates` with the
+    same parameters: candidates = RAW band-collision rows (a pair counted
+    once per agreeing band — the actual join volume, which is what must
+    stay ≪ n² at scale), verified = distinct pairs within max_hamming."""
+    cands, result = _simhash_pairs_build(df, text_col, id_col,
+                                         max_hamming, bits, bands)
+    return _telemetry_row(cands, result)
+
+
+def _simhash_pairs_build(df, text_col, id_col, max_hamming, bits, bands):
+    """(raw band-join candidates, verified pairs) — shared by the
+    operator and its telemetry twin."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"pigeonhole banding needs max_hamming ({max_hamming}) "
@@ -463,11 +539,9 @@ def simhash_near_duplicates(
     sigs = _simhash_sigs(df, text_col, id_col, bits).where(
         F.col("n") > 0
     ).drop("n")
-    return (
-        _simhash_banded_join(sigs, bits, bands)
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    cands = _simhash_banded_join(sigs, bits, bands)
+    verified = cands.where(F.col("hamming") <= max_hamming).distinct()
+    return cands, verified
 
 
 def _simhash_banded_join(sigs: DataFrame, bits: int, bands: int) -> DataFrame:
@@ -547,6 +621,29 @@ def ngram_jaccard_pairs(
       hash so results stay engine-exact.
     Docs with fewer than n words produce no shingles (and thus no pairs).
     """
+    return _ngram_build(df, text_col, id_col, n, threshold_pct,
+                        max_doc_freq)[1]
+
+
+def ngram_candidate_telemetry(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Banding-health metrics for :func:`ngram_jaccard_pairs` with the
+    same parameters: candidates = doc pairs sharing ≥ 1 surviving
+    shingle, verified = pairs at or above the jaccard threshold."""
+    cands, result = _ngram_build(df, text_col, id_col, n, threshold_pct,
+                                 max_doc_freq)
+    return _telemetry_row(cands, result)
+
+
+def _ngram_build(df, text_col, id_col, n, threshold_pct, max_doc_freq):
+    """(candidate pairs, verified pairs) — shared by the operator and its
+    telemetry twin."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -593,7 +690,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    verified = (
         pairs.select(
             "id_a",
             "id_b",
@@ -603,3 +700,4 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_pct") >= threshold_pct)
     )
+    return pairs.select("id_a", "id_b"), verified

@@ -129,6 +129,41 @@ def embedding_near_duplicates(
     moderate-threshold recall, lower ``planes`` (more verification work)
     or use :func:`lsh_topk` with more probe buckets.
     """
+    return _embedding_neardup_build(
+        embeddings, threshold_e6, planes, id_col, vec_col, dim, n_rows,
+        multi_probe,
+    )[1]
+
+
+def embedding_candidate_telemetry(
+    embeddings: DataFrame,
+    threshold_e6: int = 400000,
+    planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Bucketing-health metrics for :func:`embedding_near_duplicates`
+    with the same parameters: one row (candidates, verified,
+    verified_per_million) where candidates = SRP bucket-collision pairs
+    (incl. multi-probe) and verified = pairs at or above the cosine
+    threshold. Recomputes the operator's subplans — sample it, don't pay
+    it per production job."""
+    from .dedup import _telemetry_row
+
+    cands, result = _embedding_neardup_build(
+        embeddings, threshold_e6, planes, id_col, vec_col, dim, n_rows,
+        multi_probe,
+    )
+    return _telemetry_row(cands, result)
+
+
+def _embedding_neardup_build(embeddings, threshold_e6, planes, id_col,
+                             vec_col, dim, n_rows, multi_probe):
+    """(candidate pairs, verified pairs) — shared by the operator and its
+    telemetry twin."""
     if planes is None:
         n = n_rows if n_rows is not None else embeddings.count()
         planes = resolve_srp_planes(n)
@@ -159,10 +194,11 @@ def embedding_near_duplicates(
         / (F.sqrt(F.col("na").cast("double"))
            * F.sqrt(F.col("nb").cast("double")))
     ).cast("long")
-    return (
+    verified = (
         pairs.select("id_a", "id_b", cos.alias("cos_sim_e6"))
         .where(F.col("cos_sim_e6") >= threshold_e6)
     )
+    return pairs.select("id_a", "id_b"), verified
 
 
 def _h48_py(s: str) -> int:

@@ -86,6 +86,58 @@ def test_neardup_components_isolated_and_empty_edges(spark):
     assert out == {7: (7, 1), 9: (9, 1)}
 
 
+def test_candidate_telemetry_consistent_with_operators(spark):
+    """Each candidate->verify operator's telemetry twin must report
+    verified == the operator's own output count and candidates >=
+    verified (banding can only over-generate, never under-report), with
+    the ratio consistent. Telemetry is a separate 1-row DataFrame, so the
+    operator outputs themselves are unchanged (CORRECTNESS-neutral)."""
+    from servico_ocr_spark.operators import (
+        embedding_candidate_telemetry,
+        minhash_candidate_telemetry,
+        ngram_candidate_telemetry,
+        ngram_jaccard_pairs,
+        simhash_candidate_telemetry,
+        simhash_near_duplicates,
+    )
+
+    text = "justiça processo relatório análise parágrafo decisão artigo"
+    docs = _docs(spark, [
+        (1, text), (2, text), (3, text + " extra"),
+        (4, "totally different words entirely unrelated body"),
+        (5, "outro conjunto de palavras sem relação alguma aqui"),
+    ])
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0]),
+         (4, [-1.0, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    cases = [
+        (minhash_candidate_telemetry(docs, threshold=0.9),
+         minhash_near_duplicates(docs, threshold=0.9)),
+        (simhash_candidate_telemetry(docs, max_hamming=3),
+         simhash_near_duplicates(docs, max_hamming=3)),
+        (ngram_candidate_telemetry(docs, n=3, threshold_pct=50),
+         ngram_jaccard_pairs(docs, n=3, threshold_pct=50)),
+        (embedding_candidate_telemetry(emb, threshold_e6=990000, planes=4),
+         None),
+    ]
+    for tele_df, op_df in cases:
+        row = tele_df.collect()
+        assert len(row) == 1
+        t = row[0]
+        assert set(t.asDict()) == {"candidates", "verified",
+                                   "verified_per_million"}
+        assert t["candidates"] >= t["verified"] >= 0
+        if t["candidates"]:
+            assert t["verified_per_million"] == (
+                t["verified"] * 1000000 // t["candidates"]
+            )
+        if op_df is not None:
+            assert t["verified"] == op_df.count()
+        assert t["verified"] > 0  # every fixture has at least one true pair
+
+
 def test_simhash_identical_docs_equal(spark):
     text = "casa rio foro justiça"
     df = _docs(spark, [(1, text), (2, text), (3, "algo completamente diverso")])
