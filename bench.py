@@ -33,34 +33,52 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-BENCH_QUERIES = [
-    "extract_docs",
-    "token_boxes",
-    "word_stats",
-    "dedup_exact_prefix",
-    # the consumer-facing dedup shape: groups + keeper (linear output),
-    # built on the minhash pair graph — pair queries stay internals
-    "neardup_components",
-    "simhash",
-    "ngram_jaccard",
-    "fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_counts",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_neardups",
-    "events_json",
-    "pricing_summary",
-    "top_revenue_orders",
-    "first_orders",
-    "sessionize",
-    "source_rollup",
-    "windowed_events",
-    "repeat_pairs",
-    "media_features",
-]
+# Query families: the JSON line reports a subtotal per family alongside
+# the per-query timings, so a large output-mass query (neardup_components
+# is Θ(true pairs) by construction) cannot visually mask a regression in
+# a sub-second family. Round-over-round comparison: compare families
+# first, then drill into queries (see BENCH/BASELINE.md §3).
+BENCH_FAMILIES = {
+    "extraction": [
+        "extract_docs",
+        "token_boxes",
+        "word_stats",
+        "repeat_pairs",
+    ],
+    "dedup": [
+        "dedup_exact_prefix",
+        # the consumer-facing dedup shape: groups + keeper (linear
+        # output), built on the minhash pair graph — pair queries stay
+        # internals
+        "neardup_components",
+        "simhash",
+        "ngram_jaccard",
+    ],
+    "textstats": [
+        "fingerprint",
+        "lang_id",
+        "quality_score",
+        "token_counts",
+    ],
+    "ann": [
+        "ann_brute_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "embedding_neardups",
+    ],
+    "relational": [
+        "events_json",
+        "pricing_summary",
+        "top_revenue_orders",
+        "first_orders",
+        "sessionize",
+        "source_rollup",
+    ],
+    "streaming_batch_twins": ["windowed_events"],
+    "multimodal": ["media_features"],
+}
+
+BENCH_QUERIES = [q for fam in BENCH_FAMILIES.values() for q in fam]
 
 
 def _materialize(df) -> None:
@@ -105,12 +123,17 @@ def run_suite() -> None:
         timings[name] = elapsed
         total += elapsed
     spark.stop()
+    families = {
+        fam: round(sum(timings[q] for q in qs_in_fam), 3)
+        for fam, qs_in_fam in BENCH_FAMILIES.items()
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
+                "families": families,
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
             }
