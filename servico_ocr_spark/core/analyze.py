@@ -42,6 +42,7 @@ Deliberately replicated quirks (graded on byte-identity):
 from __future__ import annotations
 
 import re
+from bisect import bisect_left, bisect_right
 
 from .geometry import PageGeometry
 from .text import collapse_box_text, fold_accents_symbols
@@ -105,10 +106,12 @@ def assemble_boxes(rows):
                 "qtd_linhas": 0,
             }
 
-        def flush(pending):
+        def flush(pending, parts):
             nonlocal box_counter
-            # incluir_dados (:116-122)
-            txt = collapse_box_text(pending["texto"])
+            # incluir_dados (:116-122); texto accumulated as " w1 w2 ..."
+            # (leading separator) — list-join equals the reference's
+            # per-word ``+= f" {text}"`` concatenation byte for byte
+            txt = collapse_box_text(" ".join(parts))
             if txt:
                 pending["texto"] = txt
                 box_counter += 1
@@ -116,31 +119,36 @@ def assemble_boxes(rows):
                 boxes.append(pending)
 
         prev_block = -1
-        prev_par_line = ""
+        # (par_num, line_num) tuple equality ≡ the reference's
+        # f"{par}-{line}" string equality ('-'-separated ints are unambiguous)
+        prev_par_line = None
         pending = new_box()
+        parts = [""]
         for row in page_rows:
             if row["block_num"] != prev_block:
                 prev_block = row["block_num"]
-                prev_par_line = ""
-                flush(pending)
+                prev_par_line = None
+                flush(pending, parts)
                 pending = new_box()
+                parts = [""]
             if row["level"] == 2:
                 pending["box_xyla"] = [
                     int(row["left"]), int(row["top"]),
                     int(row["width"]), int(row["height"]),
                 ]
             text = row["text"]
-            if (not text) or row["conf"] < CONF_LIMIT:
+            conf = row["conf"]
+            if (not text) or conf < CONF_LIMIT:
                 continue
-            par_line = f"{row['par_num']}-{row['line_num']}"
+            par_line = (row["par_num"], row["line_num"])
             if prev_par_line != par_line:
                 pending["qtd_linhas"] += 1
                 prev_par_line = par_line
             # :157 — ql is always '' (self-comparison quirk)
-            pending["texto"] += f" {text}"
-            conf_sum += int(row["conf"])
+            parts.append(text)
+            conf_sum += int(conf)
             conf_count += 1
-        flush(pending)
+        flush(pending, parts)
 
     return boxes, conf_sum, conf_count
 
@@ -164,16 +172,17 @@ def _collect_page_stats(boxes):
             pages.append(page)
             page_box_counts[page] = 0
         page_box_counts[page] += 1
-        h_edges[page].append(y)
-        h_edges[page].append(y + h)
-        v_edges[page].append(x)
-        v_edges[page].append(x + w)
+        h_edges[page] += (y, y + h)
+        v_edges[page] += (x, x + w)
         line_heights[page].append(h / n_lines)
 
         norm = fold_accents_symbols(box["texto"])
-        box["palavras"] = set(t for t in norm.split(" ") if len(t) > 1)
-        box["qtd_palavras"] = len(box["palavras"])
-        box["qtd_letras"] = len(set(c for c in norm if c))
+        words = {t for t in norm.split(" ") if len(t) > 1}
+        box["palavras"] = words
+        box["qtd_palavras"] = len(words)
+        # chars of a str are never falsy, so the reference's
+        # ``set(c for c in norm if c)`` (:206-210) ≡ set(norm)
+        box["qtd_letras"] = len(set(norm))
         box["alt_linhas"] = round(h / n_lines)  # banker's rounding (:211)
         box["tipo_sugerido"] = ""
 
@@ -189,28 +198,44 @@ def _margins_borders_orderkeys(boxes, line_heights, v_edges, h_edges,
     (the stale ``margens`` quirk) and the last page index."""
     geom = None
     page = -1
+    vedges = hedges = None
+    n_boxes = alt_med = 0
     for box in boxes:
         x, y, w, h = box["box_xyla"]
         pw, ph = box["pagina_la"]
         if box["pagina"] != page:
             page = box["pagina"]
             geom = PageGeometry(pw, ph)  # may raise FaixaGeometryError
-        box["qtd_boxes"] = page_box_counts[box["pagina"]]
+            vedges = v_edges[page]
+            hedges = h_edges[page]
+            n_boxes = page_box_counts[page]
+            lh = line_heights[page]
+            alt_med = round(sum(lh) / len(lh))
+        box["qtd_boxes"] = n_boxes
         box["pagina_tipo"] = geom.kind
 
-        # nearest-neighbor margins; any([0]) is falsy — quirk kept (:231-238)
-        left_c = [v for v in v_edges[page] if v < x]
-        right_c = [v for v in v_edges[page] if v > x + w]
-        top_c = [v for v in h_edges[page] if v < y]
-        bot_c = [v for v in h_edges[page] if v > y + h]
-        e = x - left_c[-1] if any(left_c) else x
-        d = right_c[0] - x - w if any(right_c) else pw - x - w
-        s = y - top_c[-1] if any(top_c) else y
-        i = bot_c[0] - y - h if any(bot_c) else ph - y - h
+        # Nearest-neighbor margins via bisect on the (already sorted) edge
+        # lists — replaces the reference's per-box linear scans (:231-238)
+        # with O(log E) lookups; byte-identical results. The ``any([0]) is
+        # falsy`` quirk is kept: for a sorted int slice, ``any(slice)`` is
+        # True iff the slice is non-empty and not all-zero, i.e. its first
+        # and last elements aren't both 0.
+        li = bisect_left(vedges, x)
+        e = x - vedges[li - 1] if li and not (vedges[0] == 0 and vedges[li - 1] == 0) \
+            else x
+        ri = bisect_right(vedges, x + w)
+        d = vedges[ri] - x - w \
+            if ri < len(vedges) and not (vedges[ri] == 0 and vedges[-1] == 0) \
+            else pw - x - w
+        ti = bisect_left(hedges, y)
+        s = y - hedges[ti - 1] if ti and not (hedges[0] == 0 and hedges[ti - 1] == 0) \
+            else y
+        bi = bisect_right(hedges, y + h)
+        i = hedges[bi] - y - h \
+            if bi < len(hedges) and not (hedges[bi] == 0 and hedges[-1] == 0) \
+            else ph - y - h
         box["margens_edsi"] = [e, d - 1, s, i - 1]
-        box["alt_linhas_med"] = round(
-            sum(line_heights[page]) / len(line_heights[page])
-        )
+        box["alt_linhas_med"] = alt_med
 
         # border flags + sort bias (:245-257)
         box["bordas"] = []
