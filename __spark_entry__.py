@@ -419,6 +419,194 @@ WHERE floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter)) >= 20
 
 
 # ===========================================================================
+# Binding-regime dedup fixtures: path-graph chains and hot-shingle
+# boilerplate (derived deterministically from doc_id alone, so the df cap
+# and the component iteration are exercised in their BINDING regimes at
+# every sf — the natural corpus is template-heavy/clique-ish and never
+# binds them; see operators/dedup.py neardup_components docstring on why
+# chains are the adversarial case for connected components)
+# ===========================================================================
+
+_CHAIN_LEN = 32  # docs per chain (g = doc_id div 32, p = doc_id % 32)
+_CHAIN_WIN = 20  # sliding word window; J(distance d) = (20-d)/(20+d)
+# threshold 80 keeps distance<=2 edges (81.8%) and drops d=3 (73.9%) — a
+# bandwidth-2 path graph whose diameter grows with chain length, with NO
+# shortcut edge between chain ends
+_CHAIN_THRESHOLD = 80
+_CHAIN_K = 16
+_CHAIN_BANDS = 8  # 8 bands x 2 rows: P(candidate|J=0.9) = 1-(1-J^2)^8
+#                   ~= 1-1.4e-4 — adjacent chain edges virtually never
+#                   miss banding, and the oracle mirrors the banding
+#                   exactly anyway (determinism, not recall, is what the
+#                   driver compare needs)
+
+
+def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-graph near-dup corpus: doc p in chain g holds the md5-derived
+    words w(g, p) .. w(g, p+19), so adjacent docs share 19 of 21 distinct
+    words and similarity decays linearly with chain distance. Pure JVM
+    expressions; the DuckDB twin builds the identical table from the same
+    md5 arithmetic."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    words = F.expr(
+        f"transform(sequence(doc_id % {_CHAIN_LEN}, "
+        f"doc_id % {_CHAIN_LEN} + {_CHAIN_WIN - 1}), "
+        f"j -> substr(md5(concat(cast(doc_id div {_CHAIN_LEN} as string), "
+        f"'_', cast(j as string))), 1, 8))"
+    )
+    return docs.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+def _d_chain_wx() -> str:
+    """DuckDB (doc_id, w) distinct-word twin of ``_chain_corpus`` +
+    ``distinct_words`` (8-char md5 hex survives normalization verbatim)."""
+    return f"""
+wx AS (
+    SELECT DISTINCT doc_id,
+           substr(md5((doc_id // {_CHAIN_LEN})::VARCHAR || '_' ||
+                      ((doc_id % {_CHAIN_LEN}) + j.j)::VARCHAR), 1, 8) AS w
+    FROM documents CROSS JOIN range({_CHAIN_WIN}) j(j)
+)"""
+
+
+def _o_minhash_pairs_from_wx(k: int, bands: int, threshold_pct: int) -> str:
+    """Signature→band→candidate→verify CTE chain over a prebuilt ``wx``
+    (doc_id, w) table — lockstep with operators/dedup.py
+    ``_minhash_build``. Emits CTEs up to ``mp(id_a, id_b, jaccard_pct)``."""
+    rows = k // bands
+    mh = _d_h48("(t.i::VARCHAR || ':' || w)")
+    return f"""
+sig AS (
+    SELECT wx.doc_id, t.i, min({mh}) AS mh
+    FROM wx CROSS JOIN range({k}) t(i)
+    GROUP BY wx.doc_id, t.i
+),
+bandsx AS (
+    SELECT doc_id, i // {rows} AS band,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
+    FROM sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandsx a JOIN bandsx b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM wx GROUP BY doc_id),
+inters AS (
+    SELECT c.id_a, c.id_b, count(*) AS ic
+    FROM cand c JOIN wx a ON a.doc_id = c.id_a
+                JOIN wx b ON b.doc_id = c.id_b AND b.w = a.w
+    GROUP BY c.id_a, c.id_b
+),
+mp AS (
+    SELECT x.id_a, x.id_b,
+           floor(x.ic * 100 / (sa.n + sb.n - x.ic))::BIGINT AS jaccard_pct
+    FROM inters x JOIN sizes sa ON sa.doc_id = x.id_a
+                  JOIN sizes sb ON sb.doc_id = x.id_b
+    WHERE floor(x.ic * 100 / (sa.n + sb.n - x.ic)) >= {threshold_pct}
+)"""
+
+
+def _q_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup over a path graph: every chain must collapse into
+    ONE component although no direct edge links its ends — the regime
+    where plain min-label propagation is O(diameter) rounds and
+    star-contraction's O(log D) matters."""
+    from servico_ocr_spark.operators import neardup_components
+
+    chain = _chain_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        chain, num_hashes=_CHAIN_K, bands=_CHAIN_BANDS,
+        threshold=_CHAIN_THRESHOLD / 100, max_word_df=None,
+    )
+    return neardup_components(chain, pairs)
+
+
+def _o_chain_components() -> str:
+    return f"""
+WITH RECURSIVE {_d_chain_wx()},
+{_o_minhash_pairs_from_wx(_CHAIN_K, _CHAIN_BANDS, _CHAIN_THRESHOLD)},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM mp
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM mp
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(r) AS component_id,
+       (CASE WHEN node = min(r) THEN 1 ELSE 0 END)::INT AS keeper
+FROM reach GROUP BY node
+"""
+
+
+_HOTSHINGLE_BOILER = 15  # boilerplate words shared by EVERY doc (df = n)
+_HOTSHINGLE_UNIQ = 10  # discriminative words; doc pair (2u, 2u+1) shares 9
+_HOTSHINGLE_CAP = 5  # BINDING at every sf: boilerplate df = n >> 5, while
+#                      discriminative words have df <= 2 structurally —
+#                      unlike the natural corpus, a constant cap is safe
+#                      here at any scale
+_HOTSHINGLE_THRESHOLD = 80  # capped pair jaccard = 9/11 = 81% >= 80;
+#                             without the cap every unrelated pair shares
+#                             the 15 boilerplate words (J = 15/35 = 43%) —
+#                             candidate fan-out quadratic in n
+
+
+def _hotshingle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-boilerplate corpus: every doc carries the same 15
+    boilerplate words plus a 10-word discriminative window shared (9/11)
+    with its partner doc (doc_id div 2). Exercises the word-df cap in its
+    binding regime: without the cap the boilerplate makes every doc pair
+    a mid-similarity candidate."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    boiler = F.array(
+        *[F.lit(f"boilerplate{i}") for i in range(_HOTSHINGLE_BOILER)]
+    )
+    uniq = F.expr(
+        f"transform(sequence(doc_id % 2, doc_id % 2 + {_HOTSHINGLE_UNIQ - 1}), "
+        f"j -> substr(md5(concat(cast(doc_id div 2 as string), 'u', "
+        f"cast(j as string))), 1, 8))"
+    )
+    return docs.select(
+        "doc_id", F.array_join(F.concat(boiler, uniq), " ").alias("text")
+    )
+
+
+def _q_hotshingle_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        _hotshingle_corpus(spark, sf_dir),
+        num_hashes=_CHAIN_K, bands=_CHAIN_BANDS,
+        threshold=_HOTSHINGLE_THRESHOLD / 100,
+        max_word_df=_HOTSHINGLE_CAP,
+    )
+
+
+def _o_hotshingle_neardups() -> str:
+    return f"""
+WITH wx0 AS (
+    SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               substr(md5((doc_id // 2)::VARCHAR || 'u' ||
+                          ((doc_id % 2) + j.j)::VARCHAR), 1, 8) AS w
+        FROM documents CROSS JOIN range({_HOTSHINGLE_UNIQ}) j(j)
+        UNION ALL
+        SELECT doc_id, 'boilerplate' || i.i::VARCHAR AS w
+        FROM documents CROSS JOIN range({_HOTSHINGLE_BOILER}) i(i)
+    )
+),
+wx AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+    WHERE df <= {_HOTSHINGLE_CAP}
+),
+{_o_minhash_pairs_from_wx(_CHAIN_K, _CHAIN_BANDS, _HOTSHINGLE_THRESHOLD)}
+SELECT id_a, id_b, jaccard_pct FROM mp
+"""
+
+
+# ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
 
@@ -1228,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "chain_components": _q_chain_components,
+        "hotshingle_neardups": _q_hotshingle_neardups,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1261,6 +1451,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
+        "chain_components": _o_chain_components(),
+        "hotshingle_neardups": _o_hotshingle_neardups(),
         "ann_brute_topk": _o_ann_brute_topk(),
         "ann_ivf_topk": _o_ann_ivf_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),

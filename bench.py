@@ -51,6 +51,11 @@ BENCH_FAMILIES = {
         # output), built on the minhash pair graph — pair queries stay
         # internals
         "neardup_components",
+        # binding-regime fixtures (derived from doc_id, every sf): the
+        # path-graph chain corpus (component iteration depth) and the
+        # hot-shingle corpus (word-df cap actually dropping features)
+        "chain_components",
+        "hotshingle_neardups",
         "simhash",
         "ngram_jaccard",
     ],

@@ -126,3 +126,35 @@ def test_repeat_pairs_keeps_empty_word_docs(spark, tmp_path):
     problems = compare("repeat_pairs_empty", got, want)
     assert not problems, problems
     assert len(got) == 1 and int(got["symdiff"].iloc[0]) == 5
+
+
+def test_chain_components_collapse_paths(spark):
+    """Binding-regime guard for the chain fixture: every 32-doc chain must
+    collapse into ONE component with a single keeper (the chain-min
+    doc_id), although verified edges only link docs <= 2 apart — a path
+    graph whose diameter grows with chain length, the case where plain
+    min-label propagation needs O(diameter) rounds."""
+    import math
+
+    df = entrymod._q_chain_components(spark, SF).toPandas()
+    n = len(df)
+    assert n > 0
+    sizes = df.groupby("component_id").size()
+    assert len(sizes) == math.ceil(n / entrymod._CHAIN_LEN)
+    keepers = df.groupby("component_id")["keeper"].sum()
+    assert (keepers == 1).all()
+    # the component label is the smallest doc_id of its chain
+    assert (df["component_id"] == (df["doc_id"] // entrymod._CHAIN_LEN)
+            .map(lambda g: df[df["doc_id"] // entrymod._CHAIN_LEN == g]
+                 ["doc_id"].min())).all()
+
+
+def test_hotshingle_df_cap_binding(spark):
+    """Binding-regime guard for the hot-shingle fixture: with the df cap
+    the 15 universal boilerplate words are dropped, so EXACTLY the
+    designed partner pairs (2u, 2u+1) survive at jaccard 9/11 = 81%."""
+    df = entrymod._q_hotshingle_neardups(spark, SF).toPandas()
+    assert len(df) > 0
+    assert (df["jaccard_pct"] == 81).all()
+    assert (df["id_b"] - df["id_a"] == 1).all()
+    assert (df["id_a"] % 2 == 0).all()
