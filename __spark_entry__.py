@@ -115,6 +115,68 @@ def _q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# extract→dedup integration: minhash near-dups over EXTRACTED text of the
+# chain + hot-shingle fixture subsets (corpus.pages_from_documents overrides
+# their words; extraction's conf filter then perturbs each doc's word set
+# ~10% independently, so design-point similarities land around 0.6-0.75).
+# The oracle runs the same minhash SQL over the committed golden
+# extracted-text parquet — locking the full pipeline extraction → text →
+# pair enumeration end to end.
+# ---------------------------------------------------------------------------
+
+_EN_K = 16
+_EN_BANDS = 8  # 8 bands x 2 rows: P(candidate | J=0.75) ≈ 0.9987 — the
+#                post-extraction design-point pairs reliably survive
+#                banding (2 rows x 8 gave only ~19% there)
+_EN_THRESHOLD = 60
+_EN_CAP = 22  # structural bound for the fixture subsets: chain window
+#               words reach df <= 20, partner-window words df <= 2, while
+#               the 15 boilerplate words have df = |hot subset| (~n/22) —
+#               the cap binds from roughly sf0.01 upward
+
+
+def _q_extract_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    subset = docs.where(F.pmod(F.col("doc_id"), F.lit(11)).isin(5, 7))
+    pages = pages_from_documents(subset)
+    analysis = run_extraction(pages, balance=True)
+    extracted = docs_table(analysis).select(
+        F.col("url").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+    )
+    pairs = minhash_near_duplicates(
+        extracted, num_hashes=_EN_K, bands=_EN_BANDS,
+        threshold=_EN_THRESHOLD / 100, max_word_df=_EN_CAP,
+    )
+    return (
+        pairs.groupBy("jaccard_pct")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("jaccard_pct")
+    )
+
+
+def _o_extract_neardups() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    return f"""
+WITH gt AS (
+    SELECT url AS doc_id, extracted_text AS text
+    FROM read_parquet('{_GOLDEN_DIR}/extract_texts_sf0.01.parquet')
+    WHERE regexp_extract(url, '([0-9]+)$', 1)::BIGINT % 11 IN (5, 7)
+),
+base AS (SELECT doc_id, {words} AS words FROM gt),
+wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+wx AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+    WHERE df <= {_EN_CAP}
+),
+{_o_minhash_pairs_from_wx(_EN_K, _EN_BANDS, _EN_THRESHOLD)}
+SELECT jaccard_pct, count(*)::BIGINT AS n_pairs
+FROM mp GROUP BY jaccard_pct ORDER BY jaccard_pct
+"""
+
+
 # ===========================================================================
 # X1/X2 — normalization  |  A3/A4 — distinct word/char stats
 # ===========================================================================
@@ -1408,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs": _q_extract_docs,
         "extract_lineage": _q_extract_lineage,
+        "extract_neardups": _q_extract_neardups,
         "text_normalize": _q_text_normalize,
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
@@ -1443,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_docs": _O_EXTRACT_DOCS,
         "extract_lineage": _O_EXTRACT_LINEAGE,
+        "extract_neardups": _o_extract_neardups(),
         "text_normalize": _O_TEXT_NORMALIZE,
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,

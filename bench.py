@@ -41,6 +41,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_FAMILIES = {
     "extraction": [
         "extract_docs",
+        # extract→dedup integration over the fixture subsets (minhash on
+        # EXTRACTED text)
+        "extract_neardups",
         "token_boxes",
         "word_stats",
         "repeat_pairs",

@@ -50,12 +50,17 @@ def _est_pages(html: bytes) -> int:
     return int(m.group(1)) if m else 1
 
 
-def golden_frames(pages_rows: list) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(extract_docs golden, extract_lineage golden) from (url, html) rows,
-    via the pure-Python oracle kernel."""
+def golden_frames(
+    pages_rows: list,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """(extract_docs, extract_lineage, extract_texts goldens) from
+    (url, html) rows, via the pure-Python oracle kernel. extract_texts
+    carries the full extracted_text per ok url — the input table for
+    oracles of queries that run DOWNSTREAM of extraction (extract_neardups
+    computes minhash over it in SQL)."""
     from servico_ocr_spark.pipeline import _error_row, analyze_page_row
 
-    docs, lineage = [], []
+    docs, lineage, texts = [], [], []
     for url, html in pages_rows:
         try:
             row = analyze_page_row(url, bytes(html))
@@ -76,6 +81,7 @@ def golden_frames(pages_rows: list) -> tuple[pd.DataFrame, pd.DataFrame]:
                     "n_spans": len(row["spans"]),
                 }
             )
+            texts.append({"url": url, "extracted_text": row["extracted_text"]})
     # sort by url: the committed file must not encode Spark's scan-split
     # row order (a partitioning change would otherwise fail the drift test
     # with zero semantic drift); the driver's compare is order-insensitive
@@ -89,7 +95,10 @@ def golden_frames(pages_rows: list) -> tuple[pd.DataFrame, pd.DataFrame]:
         .sort_values("status")
         .reset_index(drop=True)
     )
-    return docs_df, lineage_df
+    texts_df = (
+        pd.DataFrame(texts).sort_values("url").reset_index(drop=True)
+    )
+    return docs_df, lineage_df, texts_df
 
 
 DOCS_ARROW_SCHEMA = pa.schema(
@@ -105,6 +114,9 @@ DOCS_ARROW_SCHEMA = pa.schema(
 )
 LINEAGE_ARROW_SCHEMA = pa.schema(
     [("status", pa.string()), ("n_docs", pa.int64()), ("est_pages_sum", pa.int64())]
+)
+TEXTS_ARROW_SCHEMA = pa.schema(
+    [("url", pa.string()), ("extracted_text", pa.string())]
 )
 
 
@@ -126,7 +138,7 @@ def main() -> None:
     pages_rows = collect_pages(spark, sf_dir)
     spark.stop()
 
-    docs_df, lineage_df = golden_frames(pages_rows)
+    docs_df, lineage_df, texts_df = golden_frames(pages_rows)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     pq.write_table(
         pa.Table.from_pandas(docs_df, schema=DOCS_ARROW_SCHEMA, preserve_index=False),
@@ -137,6 +149,12 @@ def main() -> None:
             lineage_df, schema=LINEAGE_ARROW_SCHEMA, preserve_index=False
         ),
         os.path.join(GOLDEN_DIR, "extract_lineage_sf0.01.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            texts_df, schema=TEXTS_ARROW_SCHEMA, preserve_index=False
+        ),
+        os.path.join(GOLDEN_DIR, "extract_texts_sf0.01.parquet"),
     )
     with open(f"{sf_dir}/documents.parquet", "rb") as fh:
         input_md5 = hashlib.md5(fh.read()).hexdigest()

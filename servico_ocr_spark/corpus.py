@@ -128,6 +128,37 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
             "cast(pmod(xxhash64(url), 7) + 1 as int))"
         ),
     )
+    # Binding-regime dedup fixtures flowing THROUGH extraction (layout
+    # archetype keeps its hash assignment; only the words change):
+    # - chain subset (doc_id ≡ 5 mod 11): doc k = doc_id div 11 carries
+    #   the sliding window w(k div 32, k%32 .. k%32+19) — adjacent subset
+    #   docs are near-dups with NO shortcut between chain ends;
+    # - hot-shingle subset (doc_id ≡ 7 mod 11): 15 universal boilerplate
+    #   words + a 10-word window shared with the partner doc (k div 2).
+    # Both are pure md5 arithmetic, so the extract_neardups DuckDB oracle
+    # regenerates the same subsets from the url's trailing doc_id.
+    chain_text = F.expr(
+        "array_join(transform("
+        "  sequence((doc_id div 11) % 32, (doc_id div 11) % 32 + 19), "
+        "  j -> substr(md5(concat(cast(doc_id div 352 as string), '_c_', "
+        "cast(j as string))), 1, 8)), ' ')"
+    )
+    hot_text = F.expr(
+        "concat("
+        " array_join(transform(sequence(0, 14), "
+        "  i -> concat('boilerplate', cast(i as string))), ' '), ' ',"
+        " array_join(transform("
+        "  sequence((doc_id div 11) % 2, (doc_id div 11) % 2 + 9), "
+        "  j -> substr(md5(concat(cast(doc_id div 22 as string), '_hs_', "
+        "cast(j as string))), 1, 8)), ' '))"
+    )
+    doc_mod = F.pmod(F.col("doc_id"), F.lit(11))
+    df = df.withColumn(
+        "text",
+        F.when(doc_mod == 5, chain_text)
+        .when(doc_mod == 7, hot_text)
+        .otherwise(F.col("text")),
+    )
     payload = F.to_json(
         F.struct(
             F.lit("synthdoc/v1").alias("fmt"),

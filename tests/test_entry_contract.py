@@ -35,7 +35,7 @@ def test_oracle_keys_subset_of_queries():
 # extract_docs/extract_lineage oracles are committed sf0.01 goldens
 # (scripts/make_golden.py) — checked by test_golden_oracle_current below
 # and by tests/driver_sim.py at sf0.01, not by this sf0.001 parity test.
-_GOLDEN_QUERIES = {"extract_docs", "extract_lineage"}
+_GOLDEN_QUERIES = {"extract_docs", "extract_lineage", "extract_neardups"}
 
 
 @pytest.mark.parametrize(
@@ -83,12 +83,15 @@ def test_golden_oracle_current(spark):
         )
 
     pages_rows = make_golden.collect_pages(spark, golden_sf)
-    docs_df, lineage_df = make_golden.golden_frames(pages_rows)
+    docs_df, lineage_df, texts_df = make_golden.golden_frames(pages_rows)
     docs_df = pa.Table.from_pandas(
         docs_df, schema=make_golden.DOCS_ARROW_SCHEMA, preserve_index=False
     ).to_pandas()
     lineage_df = pa.Table.from_pandas(
         lineage_df, schema=make_golden.LINEAGE_ARROW_SCHEMA, preserve_index=False
+    ).to_pandas()
+    texts_df = pa.Table.from_pandas(
+        texts_df, schema=make_golden.TEXTS_ARROW_SCHEMA, preserve_index=False
     ).to_pandas()
 
     committed_docs = pd.read_parquet(
@@ -97,8 +100,12 @@ def test_golden_oracle_current(spark):
     committed_lineage = pd.read_parquet(
         os.path.join(make_golden.GOLDEN_DIR, "extract_lineage_sf0.01.parquet")
     )
+    committed_texts = pd.read_parquet(
+        os.path.join(make_golden.GOLDEN_DIR, "extract_texts_sf0.01.parquet")
+    )
     pd.testing.assert_frame_equal(docs_df, committed_docs)
     pd.testing.assert_frame_equal(lineage_df, committed_lineage)
+    pd.testing.assert_frame_equal(texts_df, committed_texts)
 
 
 def test_repeat_pairs_keeps_empty_word_docs(spark, tmp_path):
