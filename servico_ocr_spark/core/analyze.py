@@ -554,6 +554,7 @@ def document_stats(boxes):
     (north_star 'estatisticas'; per-box versions at app/util_ocr.py:206-210).
     """
     norm = fold_accents_symbols("\n".join(b["texto"] for b in boxes))
-    words = set(t for t in norm.split(" ") if len(t) > 1)
-    chars = set(c for c in norm if c)
+    words = {t for t in norm.split(" ") if len(t) > 1}
+    # chars of a str are never falsy: set(c for c in norm if c) ≡ set(norm)
+    chars = set(norm)
     return len(chars), len(words)

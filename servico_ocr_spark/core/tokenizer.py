@@ -50,7 +50,7 @@ def _h(*parts) -> int:
     test scaffolding on the hot path — in production the OCR engine sits
     here — and crc32 is ~5× cheaper than md5 while staying process- and
     partitioning-independent)."""
-    key = "|".join(str(p) for p in parts).encode("utf-8")
+    key = "|".join(map(str, parts)).encode("utf-8")
     lo = zlib.crc32(key)
     hi = zlib.crc32(key, 0x5F3759DF)
     return (hi << 32) | lo
