@@ -173,3 +173,15 @@ def test_simhash_neardups_scans_input_exactly_twice(spark):
 def test_embedding_neardups_scans_input_exactly_twice(spark):
     plan = _plan(entrymod._q_embedding_neardups(spark, SF))
     assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+
+
+def test_minhash_fixture_reuses_exchanges(spark):
+    """The minhash build references its capped word table six times
+    logically (sig self-join x2, verification x2, sizes x2); the EXECUTED
+    plan must collapse them via runtime exchange reuse — otherwise
+    extract_neardups would re-run the extraction mapInPandas once per
+    reference instead of once per job (BENCH/PLANS.md §6)."""
+    df = entrymod.queries()["hotshingle_neardups"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan[:4000]
