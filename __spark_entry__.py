@@ -19,7 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from servico_ocr_spark.core.text import ACCENT_DST, ACCENT_SRC
-from servico_ocr_spark.corpus import pages_from_documents
+from servico_ocr_spark.corpus import (
+    _HTML_PARA_WORDS,
+    HTML_ENTITY_TEXT,
+    html_pages_from_documents,
+    pages_from_documents,
+)
 from servico_ocr_spark.operators import (
     brute_force_topk,
     exact_duplicates,
@@ -36,6 +41,7 @@ from servico_ocr_spark.operators import (
     token_counts,
 )
 from servico_ocr_spark.operators.common import h48, norm_text, words_array
+from servico_ocr_spark.operators.webtext import extract_main_content
 from servico_ocr_spark.operators.textstats import LANG_MARKERS
 from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
 
@@ -174,6 +180,122 @@ wx AS (
 {_o_minhash_pairs_from_wx(_EN_K, _EN_BANDS, _EN_THRESHOLD)}
 SELECT jaccard_pct, count(*)::BIGINT AS n_pairs
 FROM mp GROUP BY jaccard_pct ORDER BY jaccard_pct
+"""
+
+
+# ===========================================================================
+# HTML main-content extraction (north rule: boilerplate strip / DOM
+# heuristics over Common-Crawl-style pages). Unlike the OCR flagship, this
+# kernel is fully SQL-predictable on the synthetic corpus: the oracle
+# reconstructs the expected extracted text (content words regrouped into
+# 12-word paragraphs, plus the entity fixture paragraph, minus the
+# link-dense blocks) directly from the documents table — a live
+# end-to-end hash check of parse → drop-tags → link-density → spans.
+# ===========================================================================
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = html_pages_from_documents(_read(spark, sf_dir, "documents"))
+    res = extract_main_content(pages)
+    return res.select(
+        "url",
+        h48(F.col("main_text")).alias("main_h48"),
+        "main_chars",
+        "main_words",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_blocks",
+        "n_kept",
+        "n_dropped_link",
+        "n_links",
+    )
+
+
+def _q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = html_pages_from_documents(_read(spark, sf_dir, "documents"))
+    res = extract_main_content(pages)
+    return res.select(
+        "url", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "url",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("span.start").cast("long").alias("span_start"),
+        F.col("span.end").cast("long").alias("span_end"),
+    )
+
+
+_O_HTML_URL = "('https://example.test/' || source || '/' || doc_id::VARCHAR)"
+
+
+def _o_html_paras_cte() -> str:
+    """Shared CTE text: documents → per-doc 12-word paragraph relation
+    (exactly what corpus.html_pages_from_documents wraps in <p> tags)."""
+    k = _HTML_PARA_WORDS
+    return f"""
+w AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+),
+paras AS (
+    SELECT doc_id, source, i,
+           array_to_string(ws[(i*{k}+1):(i*{k}+{k})], ' ') AS para
+    FROM (SELECT doc_id, source, ws,
+                 unnest(range((len(ws) - 1) // {k} + 1)) AS i
+          FROM w) t
+)"""
+
+
+def _o_html_extract() -> str:
+    ent = HTML_ENTITY_TEXT
+    return f"""
+WITH {_o_html_paras_cte()},
+joined AS (
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS body,
+           count(*)::BIGINT AS np
+    FROM paras GROUP BY doc_id
+),
+m AS (
+    SELECT d.doc_id, d.source,
+           CASE WHEN d.doc_id % 17 = 2 AND j.body IS NOT NULL
+                    THEN '{ent}' || chr(10) || j.body
+                WHEN d.doc_id % 17 = 2 THEN '{ent}'
+                ELSE coalesce(j.body, '') END AS main_text,
+           coalesce(j.np, 0) + CASE WHEN d.doc_id % 17 = 2 THEN 1 ELSE 0 END
+               AS n_kept,
+           len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
+               + CASE WHEN d.doc_id % 17 = 2 THEN 5 ELSE 0 END AS main_words,
+           CASE WHEN d.doc_id % 13 = 1 THEN 1 ELSE 0 END AS spam
+    FROM documents d LEFT JOIN joined j USING (doc_id)
+)
+SELECT {_O_HTML_URL} AS url,
+       {_d_h48('main_text')} AS main_h48,
+       len(main_text)::BIGINT AS main_chars,
+       main_words,
+       n_kept::BIGINT AS n_spans,
+       (n_kept + spam + 1)::BIGINT AS n_blocks,
+       n_kept::BIGINT AS n_kept,
+       (1 + spam)::BIGINT AS n_dropped_link,
+       (3 + 2 * spam)::BIGINT AS n_links
+FROM m
+"""
+
+
+def _o_html_spans() -> str:
+    return f"""
+WITH {_o_html_paras_cte()},
+allp AS (
+    SELECT doc_id, source, i, para FROM paras
+    UNION ALL
+    SELECT doc_id, source, -1 AS i, '{HTML_ENTITY_TEXT}' AS para
+    FROM documents WHERE doc_id % 17 = 2
+)
+SELECT {_O_HTML_URL} AS url,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)::BIGINT
+           AS span_idx,
+       (sum(len(para) + 1) OVER (PARTITION BY doc_id ORDER BY i)
+           - len(para) - 1)::BIGINT AS span_start,
+       (sum(len(para) + 1) OVER (PARTITION BY doc_id ORDER BY i) - 1)::BIGINT
+           AS span_end
+FROM allp
 """
 
 
@@ -1471,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs": _q_extract_docs,
         "extract_lineage": _q_extract_lineage,
         "extract_neardups": _q_extract_neardups,
+        "html_extract": _q_html_extract,
+        "html_spans": _q_html_spans,
         "text_normalize": _q_text_normalize,
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
@@ -1507,6 +1631,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_docs": _O_EXTRACT_DOCS,
         "extract_lineage": _O_EXTRACT_LINEAGE,
         "extract_neardups": _o_extract_neardups(),
+        "html_extract": _o_html_extract(),
+        "html_spans": _o_html_spans(),
         "text_normalize": _O_TEXT_NORMALIZE,
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,

@@ -44,6 +44,9 @@ BENCH_FAMILIES = {
         # extract→dedup integration over the fixture subsets (minhash on
         # EXTRACTED text)
         "extract_neardups",
+        # the north rule's web face: HTML boilerplate strip / DOM
+        # heuristics over synthesized Common-Crawl-style pages
+        "html_extract",
         "token_boxes",
         "word_stats",
         "repeat_pairs",

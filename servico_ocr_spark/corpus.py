@@ -177,3 +177,96 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
         "text",
         "lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-HTML page synthesis (the north rule's web face; consumed by
+# operators/webtext.extract_main_content). Deterministic and *predictable in
+# SQL*: the boilerplate is fixed markup, the main content is the document's
+# words regrouped into <p> blocks of _HTML_PARA_WORDS, so a DuckDB oracle
+# can reconstruct the expected extracted text exactly (__spark_entry__
+# html_extract / html_spans). Two deterministic adversarial subsets:
+#   - doc_id % 17 == 2: an entity-laden KEPT paragraph is prepended
+#     (exercises charref/entity decoding: &amp; &eacute; &#8211; &#37;);
+#   - doc_id % 13 == 1: a link-only promo paragraph is injected, which the
+#     extractor must DROP by link density;
+# and every page carries a link-dense share bar in a *non*-semantic <div>
+# (dropped by density, not by tag) plus nav/header/aside/footer/script
+# boilerplate (dropped by tag).
+# ---------------------------------------------------------------------------
+
+_HTML_PARA_WORDS = 12
+
+_HTML_HEAD = (
+    '<html><head><title>doc</title><script>var skip=1;</script>'
+    "<style>p{margin:0}</style></head><body>"
+    '<nav><a href="/">home</a> <a href="/t">tags</a> '
+    '<a href="/s">search</a></nav>'
+    "<header><h1>synthetic corpus</h1></header>"
+    '<main><div class="content">'
+)
+_HTML_SHAREBAR = (
+    '</div></main><div class="share"><a href="/s1">share</a> '
+    '<a href="/s2">tweet</a> | <a href="/s3">print</a></div>'
+)
+_HTML_TAIL = (
+    '<aside><ul><li><a href="/r1">related one</a></li>'
+    '<li><a href="/r2">related two</a></li></ul></aside>'
+    "<footer><p>copyright 2026 example.test</p></footer></body></html>"
+)
+_HTML_ENTITY_P = "<p>R&amp;D caf&eacute; &#8211; nota 100&#37;</p>"
+#: what the extractor must decode _HTML_ENTITY_P to (oracle twin)
+HTML_ENTITY_TEXT = "R&D café – nota 100%"
+_HTML_SPAM_P = (
+    '<p class="promo"><a href="/p0">promo zero</a> '
+    '<a href="/p1">promo one</a></p>'
+)
+
+
+def html_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source) → Common-Crawl-style pages
+    with REAL html bytes (url, warc_ts, html, text, lang). Pure JVM."""
+    df = documents.select(
+        F.concat(
+            F.lit("https://example.test/"), F.col("source"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    df = df.withColumn(
+        "_ws", F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    )
+    # content paragraphs: words regrouped 12 per <p>. transform() here is
+    # interpreted per *paragraph* (~n_words/12 elements), fine for a
+    # fixture builder; the measured operator is the extractor itself.
+    paras = F.expr(
+        "CASE WHEN size(_ws) = 0 THEN '' ELSE array_join(transform("
+        f"  sequence(0, (size(_ws) - 1) div {_HTML_PARA_WORDS}), "
+        f"  i -> concat('<p>', array_join(slice(_ws, i * {_HTML_PARA_WORDS}"
+        f" + 1, {_HTML_PARA_WORDS}), ' '), '</p>')), '') END"
+    )
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(17)) == 2, F.lit(_HTML_ENTITY_P)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 1, F.lit(_HTML_SPAM_P)
+        ).otherwise(F.lit("")),
+        paras,
+        F.lit(_HTML_SHAREBAR),
+        F.lit(_HTML_TAIL),
+    )
+    return df.select(
+        "url",
+        "warc_ts",
+        F.encode(html, "UTF-8").alias("html"),
+        "text",
+        "lang",
+    )

@@ -27,6 +27,7 @@ from .similarity import (  # noqa: F401
     ivf_ann_topk,
     lsh_ann_topk,
 )
+from .webtext import extract_main_content  # noqa: F401
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

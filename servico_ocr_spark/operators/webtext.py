@@ -1,0 +1,101 @@
+"""Spark face of the HTML main-content extractor (north-rule web face).
+
+``extract_main_content`` wraps the pure kernel
+(`core/html_extract.extract_main`) in exactly ONE Arrow-batched
+``mapInPandas`` boundary — the same execution shape as the OCR pipeline
+(`pipeline.run_extraction`): the scan stays JVM-side and column-pruned to
+``(url, html)``, the per-document Python work is batch-vectorized through
+Arrow, and everything downstream (hashing, joins, dedup over the
+extracted text) is whole-stage-codegen DataFrame expressions again.
+
+At 100 TB the operator is embarrassingly parallel (no shuffle at all —
+``.explain`` shows scan → mapInPandas, nothing else), so scaling is
+bounded by input split sizing (`spark.sql.files.maxPartitionBytes`) and
+kernel throughput, not the planner. Skewed page sizes are mild compared
+with the OCR path's multipage PDFs (HTML bytes per doc vary ~10², not
+10⁴); reuse `pipeline.run_extraction`'s salted repartition if a corpus
+proves otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..core.html_extract import extract_main
+
+SPAN_SCHEMA = StructType(
+    [
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+    ]
+)
+
+MAIN_CONTENT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("main_text", StringType(), True),
+        StructField("spans", ArrayType(SPAN_SCHEMA), True),
+        StructField("n_blocks", LongType(), True),
+        StructField("n_kept", LongType(), True),
+        StructField("n_dropped_link", LongType(), True),
+        StructField("n_links", LongType(), True),
+        StructField("main_chars", LongType(), True),
+        StructField("main_words", LongType(), True),
+    ]
+)
+
+_METRIC_COLS = (
+    "n_blocks", "n_kept", "n_dropped_link", "n_links",
+    "main_chars", "main_words",
+)
+
+
+def extract_main_content(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_words: int = 0,
+) -> DataFrame:
+    """pages(url, html:binary) → main text + spans + block metrics.
+
+    Lenient end to end: corrupt bytes decode with replacement and parse
+    leniently (``html.parser`` never raises), so a bad page yields an
+    empty/odd row, never a failed task — the reference's error-isolation
+    stance (app/util_processar_pasta.py:412-421) without a side channel,
+    because unlike OCR there is no exception path to route.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            results = [
+                extract_main(h, min_words=min_words)
+                for h in batch[html_col]
+            ]
+            out = pd.DataFrame(
+                {
+                    "url": batch[url_col].astype(str),
+                    "main_text": [r["main_text"] for r in results],
+                    "spans": [
+                        [
+                            {"start": start, "end": end}
+                            for start, end in r["spans"]
+                        ]
+                        for r in results
+                    ],
+                }
+            )
+            for col in _METRIC_COLS:
+                out[col] = pd.array(
+                    [r[col] for r in results], dtype="int64"
+                )
+            yield out
+
+    return pages.select(url_col, html_col).mapInPandas(
+        kernel, schema=MAIN_CONTENT_SCHEMA
+    )

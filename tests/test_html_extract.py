@@ -1,0 +1,178 @@
+"""HTML main-content extraction: kernel rules, Spark operator identity,
+and the scale properties of the plan (no shuffle, pruned scan).
+
+The kernel's keep/drop rules are exactly specified (core/html_extract.py
+docstring) so the driver oracle can predict them in SQL; these tests pin
+the rules on handcrafted pages the synthetic corpus doesn't cover
+(nesting, malformed markup, density boundary, min_words, void tags).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from servico_ocr_spark.core.html_extract import extract_blocks, extract_main
+from servico_ocr_spark.corpus import html_pages_from_documents
+from servico_ocr_spark.operators.webtext import extract_main_content
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# kernel rules
+# ---------------------------------------------------------------------------
+
+def test_drop_tags_nested_and_cdata():
+    html = (
+        "<head><title>t</title><script>var a = '<p>not a block</p>';"
+        "</script></head>"
+        "<nav>skip <div>nested inside nav stays dropped</div></nav>"
+        "<p>kept one</p>"
+        "<footer><p>copyright</p><aside>deep</aside></footer>"
+        "<p>kept two</p>"
+    )
+    r = extract_main(html)
+    assert r["main_text"] == "kept one\nkept two"
+    assert r["n_blocks"] == 2 and r["n_kept"] == 2
+
+
+def test_entities_and_charrefs_decode():
+    r = extract_main(b"<p>a &amp; b &lt;c&gt; &#65;&eacute;</p>")
+    assert r["main_text"] == "a & b <c> Aé"
+
+
+def test_link_density_boundary_exact():
+    # 3 * link_chars == total_chars → kept (rule is strict >)
+    kept = extract_main("<p><a>ab</a> cdef</p>")  # link 2, total 6
+    assert kept["n_kept"] == 1 and kept["n_dropped_link"] == 0
+    # one char more inside the anchor → dropped
+    dropped = extract_main("<p><a>abc</a> cdef</p>")  # link 3, total 7
+    assert dropped["n_kept"] == 0 and dropped["n_dropped_link"] == 1
+    # whitespace never counts toward either side
+    ws = extract_main("<p><a> a b </a> cdefg</p>")  # link 2, total 7
+    assert ws["n_kept"] == 1
+
+
+def test_min_words_filter():
+    html = "<p>one</p><p>two words</p><p>three little words</p>"
+    r = extract_main(html, min_words=2)
+    assert r["main_text"] == "two words\nthree little words"
+    # min_words drops are not link drops
+    assert r["n_dropped_link"] == 0 and r["n_blocks"] == 3
+
+
+def test_malformed_markup_is_lenient():
+    # unclosed <p>, stray end tags, unbalanced drop region ends
+    r = extract_main("</div></nav><p>first<p>second<div>third")
+    assert r["main_text"] == "first\nsecond\nthird"
+    # unclosed <a> keeps counting into the block (truthful density)
+    r2 = extract_main("<p><a>all link text here")
+    assert r2["n_kept"] == 0 and r2["n_dropped_link"] == 1
+
+
+def test_void_tags_br_hr():
+    r = extract_main("<p>one<br>two</p><p>alpha<hr>beta</p>")
+    # br is whitespace inside the block; hr flushes a new block
+    assert r["main_text"] == "one two\nalpha\nbeta"
+    r2 = extract_main("<p>one<br/>two</p>")
+    assert r2["main_text"] == "one two"
+
+
+def test_whitespace_collapse_and_spans():
+    r = extract_main("<p>  a\n\t b  </p><p> c </p>")
+    assert r["main_text"] == "a b\nc"
+    assert r["spans"] == [(0, 3), (4, 5)]
+    for start, end in r["spans"]:
+        assert "\n" not in r["main_text"][start:end]
+
+
+def test_degenerate_inputs_never_raise():
+    assert extract_main(None)["main_text"] == ""
+    assert extract_main(b"")["n_blocks"] == 0
+    assert extract_main(b"\x00\xff\x1a\x00")["n_kept"] == 1  # junk → 1 blob
+    assert extract_main("plain text no tags")["main_text"] == (
+        "plain text no tags"
+    )
+
+
+def test_extract_blocks_counts():
+    blocks = extract_blocks('<p>x <a href="/">y</a> z</p>')
+    assert blocks == [("x y z", 3, 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Spark operator == kernel, independent of partitioning
+# ---------------------------------------------------------------------------
+
+def _expected_rows(pages_pdf: pd.DataFrame) -> list:
+    rows = []
+    for _, row in pages_pdf.iterrows():
+        r = extract_main(row["html"])
+        rows.append((row["url"], r["main_text"],
+                     [tuple(s) for s in r["spans"]], r["n_blocks"],
+                     r["n_kept"], r["n_dropped_link"], r["n_links"]))
+    return sorted(rows)
+
+
+def test_operator_matches_kernel_any_partitioning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    pages = html_pages_from_documents(docs)
+    pages_pdf = pages.toPandas()
+    expected = _expected_rows(pages_pdf)
+    for n_parts in (1, 7):
+        res = extract_main_content(pages.repartition(n_parts)).collect()
+        got = sorted(
+            (r["url"], r["main_text"],
+             [(s["start"], s["end"]) for s in r["spans"]], r["n_blocks"],
+             r["n_kept"], r["n_dropped_link"], r["n_links"])
+            for r in res
+        )
+        assert got == expected
+
+
+def test_fixture_subsets_behave(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    res = extract_main_content(html_pages_from_documents(docs)).withColumn(
+        "doc_id",
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long"),
+    )
+    rows = {r["doc_id"]: r for r in res.collect()}
+    assert len(rows) == docs.count()
+    for doc_id, r in rows.items():
+        spam = 1 if doc_id % 13 == 1 else 0
+        ent = 1 if doc_id % 17 == 2 else 0
+        # share bar + optional promo dropped by density, never by tag
+        assert r["n_dropped_link"] == 1 + spam, doc_id
+        assert r["n_links"] == 3 + 2 * spam, doc_id
+        assert r["n_kept"] == r["n_blocks"] - 1 - spam, doc_id
+        first = r["main_text"].split("\n", 1)[0]
+        if ent:
+            assert first == "R&D café – nota 100%", doc_id
+        else:
+            assert "promo" not in r["main_text"] and "R&D" not in first
+        # spans tile main_text exactly, separated by single newlines
+        assert len(r["spans"]) == r["n_kept"]
+        prev_end = None
+        for span in r["spans"]:
+            if prev_end is not None:
+                assert span["start"] == prev_end + 1
+            prev_end = span["end"]
+        if r["spans"]:
+            assert prev_end == len(r["main_text"])
+
+
+# ---------------------------------------------------------------------------
+# plan: embarrassingly parallel, pruned scan, one Arrow boundary
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_extract_plan_shuffle_free_and_pruned(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(extract_main_content(html_pages_from_documents(docs)))
+    assert "Exchange" not in plan  # no shuffle anywhere in the operator
+    assert plan.count("MapInPandas") == 1  # exactly one Python boundary
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    # page synthesis needs doc_id/text/source only — lang/n_chars pruned
+    assert "n_chars" not in scan and "lang" not in scan
