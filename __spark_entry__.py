@@ -41,7 +41,10 @@ from servico_ocr_spark.operators import (
     token_counts,
 )
 from servico_ocr_spark.operators.common import h48, norm_text, words_array
-from servico_ocr_spark.operators.webtext import extract_main_content
+from servico_ocr_spark.operators.webtext import (
+    drop_repeated_paragraphs,
+    extract_main_content,
+)
 from servico_ocr_spark.operators.textstats import LANG_MARKERS
 from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
 
@@ -222,6 +225,26 @@ def _q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB_MAX_DF = 5  # binds the entity fixture paragraph (df ≈ n/17) at every
+#                 sf AND organic 12-word repeats from sf0.1 up (31 content
+#                 paras exceed df 5 there; max content df at sf0.01 is 4)
+
+
+def _q_html_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = html_pages_from_documents(_read(spark, sf_dir, "documents"))
+    cleaned = drop_repeated_paragraphs(
+        extract_main_content(pages), max_df=_HB_MAX_DF
+    )
+    return cleaned.select(
+        "url",
+        h48(F.col("clean_text")).alias("clean_h48"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        "n_paras",
+        "n_kept",
+        "n_dropped",
+    )
+
+
 _O_HTML_URL = "('https://example.test/' || source || '/' || doc_id::VARCHAR)"
 
 
@@ -276,6 +299,38 @@ SELECT {_O_HTML_URL} AS url,
        (1 + spam)::BIGINT AS n_dropped_link,
        (3 + 2 * spam)::BIGINT AS n_links
 FROM m
+"""
+
+
+def _o_html_boilerplate_dedup() -> str:
+    return f"""
+WITH {_o_html_paras_cte()},
+allp AS (
+    SELECT doc_id, source, i, para FROM paras
+    UNION ALL
+    SELECT doc_id, source, -1 AS i, '{HTML_ENTITY_TEXT}' AS para
+    FROM documents WHERE doc_id % 17 = 2
+),
+dfs AS (
+    SELECT doc_id, i, para,
+           count(*) OVER (PARTITION BY para) AS df
+    FROM allp
+),
+agg AS (
+    SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY i)
+               FILTER (df <= {_HB_MAX_DF}) AS clean_text,
+           count(*)::BIGINT AS n_paras,
+           count(*) FILTER (df <= {_HB_MAX_DF})::BIGINT AS n_kept
+    FROM dfs GROUP BY doc_id
+)
+SELECT {_O_HTML_URL} AS url,
+       {_d_h48("coalesce(clean_text, '')")} AS clean_h48,
+       len(coalesce(clean_text, ''))::BIGINT AS clean_chars,
+       coalesce(n_paras, 0)::BIGINT AS n_paras,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       (coalesce(n_paras, 0) - coalesce(n_kept, 0))::BIGINT AS n_dropped
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -1595,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_neardups": _q_extract_neardups,
         "html_extract": _q_html_extract,
         "html_spans": _q_html_spans,
+        "html_boilerplate_dedup": _q_html_boilerplate_dedup,
         "text_normalize": _q_text_normalize,
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
@@ -1633,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_neardups": _o_extract_neardups(),
         "html_extract": _o_html_extract(),
         "html_spans": _o_html_spans(),
+        "html_boilerplate_dedup": _o_html_boilerplate_dedup(),
         "text_normalize": _O_TEXT_NORMALIZE,
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,

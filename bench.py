@@ -53,6 +53,9 @@ BENCH_FAMILIES = {
     ],
     "dedup": [
         "dedup_exact_prefix",
+        # CCNet-style corpus-wide boilerplate paragraph removal over the
+        # html face (extraction kernel + window df + reassembly groupBy)
+        "html_boilerplate_dedup",
         # the consumer-facing dedup shape: groups + keeper (linear
         # output), built on the minhash pair graph — pair queries stay
         # internals

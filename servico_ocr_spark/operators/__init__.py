@@ -27,7 +27,10 @@ from .similarity import (  # noqa: F401
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from .webtext import extract_main_content  # noqa: F401
+from .webtext import (  # noqa: F401
+    drop_repeated_paragraphs,
+    extract_main_content,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

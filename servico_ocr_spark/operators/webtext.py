@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType, IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -98,4 +98,78 @@ def extract_main_content(
 
     return pages.select(url_col, html_col).mapInPandas(
         kernel, schema=MAIN_CONTENT_SCHEMA
+    )
+
+
+def drop_repeated_paragraphs(
+    docs: DataFrame,
+    max_df: int,
+    id_col: str = "url",
+    text_col: str = "main_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate paragraph removal (CCNet/RefinedWeb-style).
+
+    A paragraph that occurs more than ``max_df`` times across the corpus
+    (cookie banners, footers that survived per-page heuristics, templated
+    blurbs) is dropped from EVERY document; remaining paragraphs are
+    re-joined in original order. All JVM expressions, two inherent
+    shuffles and ONE pass over the input: a window count partitioned by
+    the paragraph text (exact — partitioning by a hash digest instead
+    would merge distinct paragraphs at 10^12-paragraph scale: birthday
+    collisions on 48 bits are certain there), then a groupBy on the
+    document id to reassemble. Every input document survives: empty/null
+    texts ride through ``posexplode_outer`` as sentinel rows instead of a
+    restoring join (which would re-execute the expensive upstream — e.g.
+    the extraction MapInPandas — a second time just to list ids), and the
+    sentinel rows are salted with the doc id in the window key so a
+    corpus with many empty documents cannot create a hot '' partition.
+
+    A paragraph with corpus-wide df ~10^8 makes its window partition a
+    straggler — same measured trade as the minhash word-df cap
+    (`dedup._cap_doc_freq`, BENCH/PLANS.md §5): the count-only window
+    beat the groupBy+join-back shape and the skew is one linear scan.
+
+    Returns (id_col, clean_text, n_paras, n_kept, n_dropped).
+    """
+    paras = (
+        docs.select(id_col, F.posexplode_outer(F.split(text_col, sep)))
+        .withColumnRenamed("pos", "p_idx")
+        .withColumnRenamed("col", "para")
+    )
+    real = F.col("para").isNotNull() & (F.col("para") != "")
+    paras = paras.withColumn(
+        "salt", F.when(real, F.lit("")).otherwise(F.col(id_col))
+    )
+    paras = paras.withColumn(
+        "df",
+        F.count(F.when(real, F.lit(1))).over(
+            Window.partitionBy("para", "salt")
+        ),
+    )
+    keep = real & (F.col("df") <= F.lit(max_df))
+    return (
+        paras.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("p_idx", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum(real.cast("long")).alias("n_paras"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            "n_paras",
+            "n_kept",
+            (F.col("n_paras") - F.col("n_kept")).alias("n_dropped"),
+        )
     )

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from servico_ocr_spark.core.html_extract import extract_blocks, extract_main
 from servico_ocr_spark.corpus import html_pages_from_documents
-from servico_ocr_spark.operators.webtext import extract_main_content
+from servico_ocr_spark.operators.webtext import (
+    drop_repeated_paragraphs,
+    extract_main_content,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -158,6 +161,83 @@ def test_fixture_subsets_behave(spark):
             prev_end = span["end"]
         if r["spans"]:
             assert prev_end == len(r["main_text"])
+
+
+def test_html_face_resume_idempotence(spark, tmp_path):
+    """The checkpoint/resume anti-join (pipeline.resume_filter) composes
+    unchanged with the web face: half run → full run → re-run gives
+    exactly-once rows per url."""
+    from servico_ocr_spark.pipeline import resume_filter
+
+    out = str(tmp_path / "html_out")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    pages = html_pages_from_documents(docs)
+    for batch in (pages.limit(20), pages, pages):
+        todo = resume_filter(spark, batch, out)
+        extract_main_content(todo).write.mode("append").parquet(out)
+    res = spark.read.parquet(out)
+    assert res.count() == 40
+    assert res.select("url").distinct().count() == 40
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate paragraph removal
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_semantics(spark):
+    rows = [
+        ("a", "boiler\nunique one\nboiler2"),
+        ("b", "boiler\nunique two"),
+        ("c", "boiler\nboiler2"),
+        ("d", "boiler"),  # 100% boilerplate → empty text, row retained
+        ("e", ""),        # empty doc → row retained with zero counts
+        ("f", None),      # null doc → same
+    ]
+    df = spark.createDataFrame(rows, "url string, main_text string")
+    got = {
+        r["url"]: (r["clean_text"], r["n_paras"], r["n_kept"], r["n_dropped"])
+        for r in drop_repeated_paragraphs(df, max_df=2).collect()
+    }
+    assert got == {
+        "a": ("unique one\nboiler2", 3, 2, 1),  # df(boiler)=4 > 2 dropped
+        "b": ("unique two", 2, 1, 1),
+        "c": ("boiler2", 2, 1, 1),  # df(boiler2)=2 ≤ 2 kept (rule is >)
+        "d": ("", 1, 0, 1),
+        "e": ("", 0, 0, 0),
+        "f": ("", 0, 0, 0),
+    }
+
+
+def test_paragraph_dedup_drops_entity_fixture_corpus_wide(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cleaned = drop_repeated_paragraphs(
+        extract_main_content(html_pages_from_documents(docs)), max_df=5
+    ).withColumn(
+        "doc_id", F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    )
+    rows = cleaned.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        # the entity paragraph appears in every doc_id%17==2 doc
+        # (df ≈ n/17 ≫ 5) so paragraph-dedup must strip it everywhere
+        assert "R&D" not in r["clean_text"], r["url"]
+        if r["doc_id"] % 17 == 2:
+            assert r["n_dropped"] >= 1, r["url"]
+
+
+def test_paragraph_dedup_single_input_pass_no_join(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        drop_repeated_paragraphs(
+            extract_main_content(html_pages_from_documents(docs)), max_df=5
+        )
+    )
+    # the kernel must run ONCE (a restoring join would re-execute it just
+    # to list ids); only the paragraph-count window and the reassembly
+    # groupBy may shuffle
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
 
 
 # ---------------------------------------------------------------------------
