@@ -103,6 +103,102 @@ def test_extract_blocks_counts():
 
 
 # ---------------------------------------------------------------------------
+# fast scanner vs stdlib reference (well-formed domain) + recovery spec
+# ---------------------------------------------------------------------------
+
+_FUZZ_TAGS = [
+    "p", "div", "a", "br", "hr", "script", "style", "nav", "span", "li",
+    "ul", "h1", "td", "em", "table", "footer", "form", "svg", "title",
+    "body", "aside", "article", "custom-x",
+]
+_FUZZ_TEXT = [
+    "alpha", "beta", "&amp;", "&lt;x", "&#65;", "tok", "x<1y", "a&b",
+    "&ampx", "&notit;", "5< 6 >7", "&#x41;", "é ü", "< <", "&amp", "&",
+    "<a\xa0b ", "</a\xa0>", "</td\xa0junk>", "<p\xa0x>",
+]
+_FUZZ_ATTRS = [
+    "", " href=foo", ' class="x y"', " href=foo/", " a/", " checked",
+    " x='1'/", "/", " /", " b=c/d", ' data-x="a>b"', " x = 'q' y",
+    ' q="/"', " a = ", " a=&amp;b", "\xa0q", " a=b\xa0c",
+]
+
+
+def _fuzz_page(rng) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 50)):
+        r = rng.random()
+        if r < 0.35:
+            parts.append(rng.choice(_FUZZ_TEXT) + rng.choice([" ", ""]))
+        elif r < 0.62:
+            parts.append(f"<{rng.choice(_FUZZ_TAGS)}{rng.choice(_FUZZ_ATTRS)}>")
+        elif r < 0.82:
+            t = rng.choice(_FUZZ_TAGS)
+            parts.append(rng.choice([
+                f"</{t}>", f"</ {t} >", f"</{t} junk>", "</>", "</1>",
+                f"</{t}\t>", f"</{t}\xa0>",
+            ]))
+        else:
+            parts.append(rng.choice([
+                "<!-- c -->", "<!-- x --   >", "<!doctype html>",
+                "<![CDATA[ z ]]>", "<?php ?>", "<?x>", "<!x>", "&#x41;",
+                "<3", "< p>",
+            ]))
+    return "".join(parts)
+
+
+def test_fast_scanner_matches_stdlib_reference_fuzz():
+    """On markup whose constructs are all terminated, the regex scanner is
+    block-for-block identical to the stdlib ``html.parser`` reference —
+    including tolerant end tags, self-closing decisions, entity decoding,
+    quoted ``>`` in attrs, and stdlib's ASCII-only tag-name charset
+    (U+00A0 is part of a NAME, not a delimiter). 20k seeded cases were
+    run at development time; this keeps a 3k-regression slice."""
+    import random
+
+    from servico_ocr_spark.core.html_extract import extract_blocks_reference
+
+    for i in range(3000):
+        rng = random.Random(3_000_000 + i)
+        page = _fuzz_page(rng)
+        assert extract_blocks(page) == extract_blocks_reference(page), page
+
+
+def test_fast_scanner_recovery_spec():
+    """On UNTERMINATED constructs the scanner is the specification (the
+    stdlib recovery is version-dependent and can raise — see module
+    docstring): the construct's chars ride as text and real tags after
+    it still parse."""
+    # stdlib parse_marked_section RAISES AssertionError here
+    assert extract_blocks("<![junk]>x") == [("x", 1, 0, 0)]
+    # unterminated comment degrades to text; <p>/<td> still flush
+    assert extract_blocks("a<!-- <p>hello<td>world") == [
+        ("a<!--", 5, 0, 0), ("hello", 5, 0, 0), ("world", 5, 0, 0)
+    ]
+    # unterminated script: rest of document is script data (dropped)
+    assert extract_blocks("<script>var x = 1; <p>never") == []
+    # unterminated start tag at EOF: rides as text
+    assert extract_blocks("pre<p class='x") == [
+        ("pre<p class='x", 13, 0, 0)
+    ]
+
+
+def test_fast_scanner_self_closing_and_name_charset():
+    # trailing '/' glued to an unquoted value is PART OF THE VALUE:
+    # <a href=foo/> opens an anchor (stdlib attrfind_tolerant semantics)
+    assert extract_blocks("<p><a href=foo/>x</a> yz</p>") == [
+        ("x yz", 3, 1, 1)
+    ]
+    # ...but after a valueless attr NAME it self-closes: no anchor
+    assert extract_blocks("<p><a foo/>x</a> yz</p>") == [("x yz", 3, 0, 0)]
+    # U+00A0 is a name char: <a\xa0b> is tag "a\xa0b", not an anchor
+    assert extract_blocks("<p><a\xa0b>x</a\xa0b> yz</p>") == [
+        ("x yz", 3, 0, 0)
+    ]
+    # '<p / >' is a plain start tag (slash not directly before '>')
+    assert extract_blocks("<p / >x") == [("x", 1, 0, 0)]
+
+
+# ---------------------------------------------------------------------------
 # Spark operator == kernel, independent of partitioning
 # ---------------------------------------------------------------------------
 
