@@ -44,6 +44,8 @@ from servico_ocr_spark.operators.common import h48, norm_text, words_array
 from servico_ocr_spark.operators.webtext import (
     drop_repeated_paragraphs,
     extract_main_content,
+    web_analysis,
+    web_partition_metrics,
 )
 from servico_ocr_spark.operators.textstats import LANG_MARKERS
 from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
@@ -225,6 +227,23 @@ def _q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup THROUGH the per-partition lineage path: the driver
+    hash-checks that web_analysis + web_partition_metrics tile the corpus
+    exactly (partition sums == SQL-predicted totals), live at every sf."""
+    pages = html_pages_from_documents(_read(spark, sf_dir, "documents"))
+    per_part = web_partition_metrics(web_analysis(pages))
+    return per_part.agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("total_blocks").alias("total_blocks"),
+        F.sum("kept_blocks").alias("kept_blocks"),
+        F.sum("link_dropped_blocks").alias("link_dropped_blocks"),
+        F.sum("total_links").alias("total_links"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("total_words").alias("total_words"),
+    )
+
+
 _HB_MAX_DF = 5  # binds the entity fixture paragraph (df ≈ n/17) at every
 #                 sf AND organic 12-word repeats from sf0.1 up (31 content
 #                 paras exceed df 5 there; max content df at sf0.01 is 4)
@@ -298,6 +317,39 @@ SELECT {_O_HTML_URL} AS url,
        n_kept::BIGINT AS n_kept,
        (1 + spam)::BIGINT AS n_dropped_link,
        (3 + 2 * spam)::BIGINT AS n_links
+FROM m
+"""
+
+
+def _o_html_corpus_stats() -> str:
+    ent = HTML_ENTITY_TEXT
+    return f"""
+WITH {_o_html_paras_cte()},
+joined AS (
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS body,
+           count(*)::BIGINT AS np
+    FROM paras GROUP BY doc_id
+),
+m AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 17 = 2 AND j.body IS NOT NULL
+                    THEN '{ent}' || chr(10) || j.body
+                WHEN d.doc_id % 17 = 2 THEN '{ent}'
+                ELSE coalesce(j.body, '') END AS main_text,
+           coalesce(j.np, 0) + CASE WHEN d.doc_id % 17 = 2 THEN 1 ELSE 0 END
+               AS n_kept,
+           len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
+               + CASE WHEN d.doc_id % 17 = 2 THEN 5 ELSE 0 END AS main_words,
+           CASE WHEN d.doc_id % 13 = 1 THEN 1 ELSE 0 END AS spam
+    FROM documents d LEFT JOIN joined j USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_pages,
+       sum(n_kept + spam + 1)::BIGINT AS total_blocks,
+       sum(n_kept)::BIGINT AS kept_blocks,
+       sum(1 + spam)::BIGINT AS link_dropped_blocks,
+       sum(3 + 2 * spam)::BIGINT AS total_links,
+       sum(len(main_text))::BIGINT AS total_chars,
+       sum(main_words)::BIGINT AS total_words
 FROM m
 """
 
@@ -1651,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "html_spans": _q_html_spans,
         "html_boilerplate_dedup": _q_html_boilerplate_dedup,
+        "html_corpus_stats": _q_html_corpus_stats,
         "text_normalize": _q_text_normalize,
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
@@ -1690,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _o_html_extract(),
         "html_spans": _o_html_spans(),
         "html_boilerplate_dedup": _o_html_boilerplate_dedup(),
+        "html_corpus_stats": _o_html_corpus_stats(),
         "text_normalize": _O_TEXT_NORMALIZE,
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,

@@ -47,6 +47,8 @@ BENCH_FAMILIES = {
         # the north rule's web face: HTML boilerplate strip / DOM
         # heuristics over synthesized Common-Crawl-style pages
         "html_extract",
+        # extraction + per-partition lineage metrics rollup (web face)
+        "html_corpus_stats",
         "token_boxes",
         "word_stats",
         "repeat_pairs",

@@ -101,6 +101,75 @@ def extract_main_content(
     )
 
 
+def web_analysis(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_words: int = 0,
+) -> DataFrame:
+    """Web-face analog of ``pipeline.run_extraction``'s analysis table:
+    the main-content extraction plus lineage columns (``partition_id``,
+    ``status``, ``dthr``), mirroring the OCR face's per-row lineage
+    (schemas.LINEAGE_COLUMNS; reference status lifecycle
+    app/util_processar_pasta.py:146-156). ``status`` is always ``'ok'``:
+    the HTML kernel is total (corrupt bytes decode with replacement and
+    the scanner never raises), so unlike OCR there is no error path to
+    route — a bad page is an ordinary row with zero blocks.
+
+    ``spark_partition_id()`` is taken directly on the mapInPandas output
+    (no exchange in between), so it identifies the exact task that ran
+    the kernel for each row — at 10^12 docs that is what a re-run /
+    straggler investigation needs to find the offending input split.
+    """
+    return (
+        extract_main_content(
+            pages, url_col=url_col, html_col=html_col, min_words=min_words
+        )
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("status", F.lit("ok"))
+        .withColumn(
+            "dthr", F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+        )
+    )
+
+
+def web_partition_metrics(analysis: DataFrame) -> DataFrame:
+    """Per-partition rollup of a ``web_analysis`` result: one row per
+    executed input partition with page counts and extraction-quality
+    sums (the web-face twin of the north rule's per-partition lineage +
+    metrics). Partial aggregation (map-side combine) makes this a
+    near-free side output even at full scale."""
+    return analysis.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_blocks").alias("total_blocks"),
+        F.sum("n_kept").alias("kept_blocks"),
+        F.sum("n_dropped_link").alias("link_dropped_blocks"),
+        F.sum("n_links").alias("total_links"),
+        F.sum("main_chars").alias("total_chars"),
+        F.sum("main_words").alias("total_words"),
+    )
+
+
+def run_web_resumable(
+    spark,
+    pages: DataFrame,
+    output_path: str,
+    min_words: int = 0,
+    url_buckets: int | None = None,
+) -> None:
+    """Checkpointed, resumable web-face batch run: anti-join processed
+    urls → extract → append (exactly ``pipeline.run_resumable`` with the
+    HTML kernel in place of OCR). Safe to re-run after a crash; every
+    url is written exactly once."""
+    from ..pipeline import resume_filter, write_analysis
+
+    todo = resume_filter(spark, pages, output_path)
+    write_analysis(
+        web_analysis(todo, min_words=min_words), output_path,
+        url_buckets=url_buckets,
+    )
+
+
 def drop_repeated_paragraphs(
     docs: DataFrame,
     max_df: int,

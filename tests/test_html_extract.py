@@ -260,20 +260,51 @@ def test_fixture_subsets_behave(spark):
 
 
 def test_html_face_resume_idempotence(spark, tmp_path):
-    """The checkpoint/resume anti-join (pipeline.resume_filter) composes
-    unchanged with the web face: half run → full run → re-run gives
-    exactly-once rows per url."""
-    from servico_ocr_spark.pipeline import resume_filter
+    """The checkpointed web-face runner (run_web_resumable) gives
+    exactly-once rows per url with lineage columns: half run → full run
+    → re-run, counts go 20 → 40 → 40."""
+    from servico_ocr_spark.operators.webtext import run_web_resumable
 
     out = str(tmp_path / "html_out")
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
     pages = html_pages_from_documents(docs)
-    for batch in (pages.limit(20), pages, pages):
-        todo = resume_filter(spark, batch, out)
-        extract_main_content(todo).write.mode("append").parquet(out)
-    res = spark.read.parquet(out)
-    assert res.count() == 40
-    assert res.select("url").distinct().count() == 40
+    for batch, expected in ((pages.limit(20), 20), (pages, 40), (pages, 40)):
+        run_web_resumable(spark, batch, out)
+        res = spark.read.parquet(out)
+        assert res.count() == expected
+        assert res.select("url").distinct().count() == expected
+    assert {r["status"] for r in res.select("status").distinct().collect()} \
+        == {"ok"}
+    assert res.schema["partition_id"].dataType.simpleString() == "int"
+
+
+def test_web_partition_metrics_tile_corpus(spark):
+    """Per-partition lineage metrics: one row per executed partition, and
+    the partition sums reconstruct the corpus totals exactly at any
+    partitioning."""
+    from servico_ocr_spark.operators.webtext import (
+        web_analysis, web_partition_metrics,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    pages = html_pages_from_documents(docs)
+    expected = None
+    for n_parts in (1, 5):
+        analysis = web_analysis(pages.repartition(n_parts))
+        metrics = web_partition_metrics(analysis).collect()
+        assert len(metrics) == n_parts
+        assert sorted(m["partition_id"] for m in metrics) == list(range(n_parts))
+        totals = tuple(
+            sum(m[c] for m in metrics)
+            for c in ("n_pages", "total_blocks", "kept_blocks",
+                      "link_dropped_blocks", "total_links", "total_chars",
+                      "total_words")
+        )
+        assert totals[0] == 60
+        if expected is None:
+            expected = totals
+        else:
+            assert totals == expected  # partitioning-independent
 
 
 # ---------------------------------------------------------------------------
