@@ -191,6 +191,7 @@ def run_scaling() -> None:
     eff = results[4 * n]["docs_per_s"] / (4 * results[n]["docs_per_s"])
     out = {
         "metric": f"scaling_efficiency_{n}_to_{4 * n}_cores",
+        "face": os.environ.get("SCALING_FACE", "ocr"),
         "value": round(eff, 3),
         "unit": "ratio",
         "n": {k: v for k, v in results[n].items() if k != "checksum"},
@@ -247,9 +248,19 @@ def run_scaling_level(cores: int) -> None:
         # pre-spread the cached input across tasks: the source is ONE
         # parquet file, and a 2-partition cache would serialize the
         # shuffle-map side of the timed balance step
-        pages = (
-            pages_from_documents(scaled).repartition(cores * part_mult).cache()
-        )
+        face = os.environ.get("SCALING_FACE", "ocr")
+        if face == "web":
+            from servico_ocr_spark.corpus import html_pages_from_documents
+
+            pages = (
+                html_pages_from_documents(scaled)
+                .repartition(cores * part_mult).cache()
+            )
+        else:
+            pages = (
+                pages_from_documents(scaled)
+                .repartition(cores * part_mult).cache()
+            )
         n_docs = pages.count()  # cache input so the timed run excludes gen
 
         # Untimed pre-pass, two jobs at once:
@@ -260,14 +271,23 @@ def run_scaling_level(cores: int) -> None:
         #     first run is ~2.5× slower than steady state, which is a
         #     constant, not throughput.
         sample = pages.where(F.pmod(F.xxhash64("url"), F.lit(8)) == 0)
-        checksum = run_extraction(sample, num_partitions=cores * part_mult).agg(
+        if face == "web":
+            from servico_ocr_spark.operators.webtext import web_analysis
+
+            sample_out, text_col = web_analysis(sample), "main_text"
+        else:
+            sample_out, text_col = (
+                run_extraction(sample, num_partitions=cores * part_mult),
+                "extracted_text",
+            )
+        checksum = sample_out.agg(
             F.md5(
                 F.concat_ws(
                     "|",
                     F.sort_array(
                         F.collect_list(
                             F.concat_ws(":", "url", F.md5(F.coalesce(
-                                "extracted_text", F.lit(""))))
+                                text_col, F.lit(""))))
                         )
                     ),
                 )
@@ -281,7 +301,12 @@ def run_scaling_level(cores: int) -> None:
         # The DataFrame is built ONCE outside the loop: Catalyst
         # analysis/optimization is a serial driver-side constant, and
         # timing it would dilute the higher-parallelism level 4× more.
-        analysis = run_extraction(pages, num_partitions=cores * part_mult)
+        if face == "web":
+            from servico_ocr_spark.operators.webtext import web_analysis
+
+            analysis = web_analysis(pages)
+        else:
+            analysis = run_extraction(pages, num_partitions=cores * part_mult)
         runs = []
         for _ in range(3):
             start = time.perf_counter()
@@ -290,28 +315,38 @@ def run_scaling_level(cores: int) -> None:
         elapsed = min(runs)
         print(f"# cores={cores} runs={runs}", file=sys.stderr)
 
-        # untimed: page mass from the JVM-side estimate (exact for the
-        # synthetic corpus)
-        from servico_ocr_spark.pipeline import with_page_estimate
-
-        pages_total = int(
-            with_page_estimate(pages.select("url", "html"))
-            .agg(F.sum("est_pages")).collect()[0][0]
-        )
-        spark.stop()
-        print(
-            json.dumps(
-                {
-                    "cores": cores,
-                    "docs": n_docs,
-                    "est_pages": pages_total,
-                    "wall_s": round(elapsed, 2),
-                    "docs_per_s": round(n_docs / elapsed, 2),
-                    "pages_per_s": round(pages_total / elapsed, 2),
-                    "checksum": checksum,
-                }
+        # untimed: input mass — page count from the JVM-side estimate on
+        # the OCR face (exact for the synthetic corpus), raw html bytes
+        # on the web face (the web mass unit is MB, not pages)
+        if face == "web":
+            html_bytes = int(
+                pages.agg(F.sum(F.octet_length("html"))).collect()[0][0]
             )
-        )
+            pages_total = 0
+        else:
+            from servico_ocr_spark.pipeline import with_page_estimate
+
+            html_bytes = 0
+            pages_total = int(
+                with_page_estimate(pages.select("url", "html"))
+                .agg(F.sum("est_pages")).collect()[0][0]
+            )
+        spark.stop()
+        result = {
+            "cores": cores,
+            "face": face,
+            "docs": n_docs,
+            "wall_s": round(elapsed, 2),
+            "docs_per_s": round(n_docs / elapsed, 2),
+            "checksum": checksum,
+        }
+        if face == "web":
+            result["html_mb"] = round(html_bytes / 1e6, 1)
+            result["mb_per_s"] = round(html_bytes / 1e6 / elapsed, 2)
+        else:
+            result["est_pages"] = pages_total
+            result["pages_per_s"] = round(pages_total / elapsed, 2)
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
