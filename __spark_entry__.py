@@ -27,7 +27,9 @@ from servico_ocr_spark.corpus import (
 )
 from servico_ocr_spark.operators import (
     brute_force_topk,
+    drop_repeated_paragraphs,
     exact_duplicates,
+    extract_main_content,
     extract_media_features,
     language_id,
     lsh_ann_topk,
@@ -39,14 +41,10 @@ from servico_ocr_spark.operators import (
     synth_media_table,
     text_fingerprint,
     token_counts,
-)
-from servico_ocr_spark.operators.common import h48, norm_text, words_array
-from servico_ocr_spark.operators.webtext import (
-    drop_repeated_paragraphs,
-    extract_main_content,
     web_analysis,
     web_partition_metrics,
 )
+from servico_ocr_spark.operators.common import h48, norm_text, words_array
 from servico_ocr_spark.operators.textstats import LANG_MARKERS
 from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
 
@@ -286,10 +284,13 @@ paras AS (
 )"""
 
 
-def _o_html_extract() -> str:
+def _o_html_main_cte() -> str:
+    """Shared CTE text (one copy — _o_html_extract and
+    _o_html_corpus_stats must reconstruct the SAME per-page expectation):
+    paras → per-doc main_text / n_kept / main_words / spam, mirroring
+    corpus.html_pages_from_documents' entity and link-spam subsets."""
     ent = HTML_ENTITY_TEXT
     return f"""
-WITH {_o_html_paras_cte()},
 joined AS (
     SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS body,
            count(*)::BIGINT AS np
@@ -307,7 +308,13 @@ m AS (
                + CASE WHEN d.doc_id % 17 = 2 THEN 5 ELSE 0 END AS main_words,
            CASE WHEN d.doc_id % 13 = 1 THEN 1 ELSE 0 END AS spam
     FROM documents d LEFT JOIN joined j USING (doc_id)
-)
+)"""
+
+
+def _o_html_extract() -> str:
+    return f"""
+WITH {_o_html_paras_cte()},
+{_o_html_main_cte()}
 SELECT {_O_HTML_URL} AS url,
        {_d_h48('main_text')} AS main_h48,
        len(main_text)::BIGINT AS main_chars,
@@ -322,27 +329,9 @@ FROM m
 
 
 def _o_html_corpus_stats() -> str:
-    ent = HTML_ENTITY_TEXT
     return f"""
 WITH {_o_html_paras_cte()},
-joined AS (
-    SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS body,
-           count(*)::BIGINT AS np
-    FROM paras GROUP BY doc_id
-),
-m AS (
-    SELECT d.doc_id,
-           CASE WHEN d.doc_id % 17 = 2 AND j.body IS NOT NULL
-                    THEN '{ent}' || chr(10) || j.body
-                WHEN d.doc_id % 17 = 2 THEN '{ent}'
-                ELSE coalesce(j.body, '') END AS main_text,
-           coalesce(j.np, 0) + CASE WHEN d.doc_id % 17 = 2 THEN 1 ELSE 0 END
-               AS n_kept,
-           len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
-               + CASE WHEN d.doc_id % 17 = 2 THEN 5 ELSE 0 END AS main_words,
-           CASE WHEN d.doc_id % 13 = 1 THEN 1 ELSE 0 END AS spam
-    FROM documents d LEFT JOIN joined j USING (doc_id)
-)
+{_o_html_main_cte()}
 SELECT count(*)::BIGINT AS n_pages,
        sum(n_kept + spam + 1)::BIGINT AS total_blocks,
        sum(n_kept)::BIGINT AS kept_blocks,

@@ -245,22 +245,29 @@ def run_scaling_level(cores: int) -> None:
             )
             .drop("rep")
         )
-        # pre-spread the cached input across tasks: the source is ONE
-        # parquet file, and a 2-partition cache would serialize the
-        # shuffle-map side of the timed balance step
+        # Face selection is resolved ONCE so the warm-up/checksum plan,
+        # the timed plan, and the page builder can never desynchronize.
         face = os.environ.get("SCALING_FACE", "ocr")
         if face == "web":
             from servico_ocr_spark.corpus import html_pages_from_documents
+            from servico_ocr_spark.operators.webtext import web_analysis
 
-            pages = (
-                html_pages_from_documents(scaled)
-                .repartition(cores * part_mult).cache()
-            )
+            build_pages = html_pages_from_documents
+            run_face = web_analysis
+            text_col = "main_text"
         else:
-            pages = (
-                pages_from_documents(scaled)
-                .repartition(cores * part_mult).cache()
+            build_pages = pages_from_documents
+            run_face = (
+                lambda df: run_extraction(
+                    df, num_partitions=cores * part_mult
+                )
             )
+            text_col = "extracted_text"
+
+        # pre-spread the cached input across tasks: the source is ONE
+        # parquet file, and a 2-partition cache would serialize the
+        # shuffle-map side of the timed balance step
+        pages = build_pages(scaled).repartition(cores * part_mult).cache()
         n_docs = pages.count()  # cache input so the timed run excludes gen
 
         # Untimed pre-pass, two jobs at once:
@@ -271,16 +278,7 @@ def run_scaling_level(cores: int) -> None:
         #     first run is ~2.5× slower than steady state, which is a
         #     constant, not throughput.
         sample = pages.where(F.pmod(F.xxhash64("url"), F.lit(8)) == 0)
-        if face == "web":
-            from servico_ocr_spark.operators.webtext import web_analysis
-
-            sample_out, text_col = web_analysis(sample), "main_text"
-        else:
-            sample_out, text_col = (
-                run_extraction(sample, num_partitions=cores * part_mult),
-                "extracted_text",
-            )
-        checksum = sample_out.agg(
+        checksum = run_face(sample).agg(
             F.md5(
                 F.concat_ws(
                     "|",
@@ -301,12 +299,7 @@ def run_scaling_level(cores: int) -> None:
         # The DataFrame is built ONCE outside the loop: Catalyst
         # analysis/optimization is a serial driver-side constant, and
         # timing it would dilute the higher-parallelism level 4× more.
-        if face == "web":
-            from servico_ocr_spark.operators.webtext import web_analysis
-
-            analysis = web_analysis(pages)
-        else:
-            analysis = run_extraction(pages, num_partitions=cores * part_mult)
+        analysis = run_face(pages)
         runs = []
         for _ in range(3):
             start = time.perf_counter()

@@ -165,12 +165,16 @@ def extract_blocks_reference(html: str) -> list[tuple[str, int, int, int]]:
 # exact block semantics of ``_BlockParser``: same DROP/BLOCK/a/br/hr
 # handling, same entity decoding (``html.unescape`` is the same
 # replacement table ``convert_charrefs`` uses), same whitespace collapse.
-# Equivalence on markup whose constructs are all *terminated* is pinned
-# by a seeded fuzz differential against ``extract_blocks_reference``
-# (test_html_extract.py). On UNTERMINATED constructs the scanner is the
-# spec and deliberately diverges from stdlib (whose recovery is a
-# version-dependent private detail, and which can even RAISE — stdlib
-# ``parse_marked_section`` asserts on ``<![junk]>``):
+# Equivalence on markup whose constructs are all *terminated* and whose
+# attribute quotes are balanced is pinned by a seeded fuzz differential
+# against ``extract_blocks_reference`` (test_html_extract.py; the fuzz
+# alphabet stays inside that envelope). Outside it — unterminated
+# constructs, and tags with UNBALANCED attribute quotes (``<div a=">``),
+# where stdlib's attrfind can swallow everything to the next quote while
+# the scanner leaves the non-matching tag as text and keeps parsing —
+# the scanner is the spec and deliberately diverges from stdlib (whose
+# recovery is a version-dependent private detail, and which can even
+# RAISE — stdlib ``parse_marked_section`` asserts on ``<![junk]>``):
 #   * stdlib EOF recovery consumes an unterminated ``<!--``/``<![``/
 #     start/end tag up to the next ``>`` as text; the scanner instead
 #     leaves the construct's characters as text and KEEPS PARSING real
@@ -183,7 +187,10 @@ def extract_blocks_reference(html: str) -> list[tuple[str, int, int, int]]:
 
 #: one token per markup construct; text between matches is character data.
 #: Attribute values may contain ``>`` only when quoted — same tolerance as
-#: the stdlib parser. A ``<`` not starting a construct stays text, as does
+#: the stdlib parser *while quotes are balanced* (an unbalanced quote
+#: makes the tag unmatched text here, where stdlib's attrfind may instead
+#: swallow input to the next quote — see the envelope note above).
+#: A ``<`` not starting a construct stays text, as does
 #: an unterminated construct (no alternative matches → the run rides to
 #: the next construct, which is where stdlib resynchronizes too).
 #: Alternatives mirror stdlib dispatch order: ``<!--`` is always a strict

@@ -310,8 +310,13 @@ def neardup_components(
 
     Pair endpoints are assumed to be drawn from ``ids_df`` (they are, for
     every pair enumerator in this module applied to the same corpus);
-    endpoints outside it still propagate connectivity but are dropped
-    from the output.
+    endpoints outside it still propagate connectivity (they can bridge
+    two corpus docs) but are dropped from the output, and each emitted
+    component is re-rooted at its smallest id *present in* ``ids_df`` so
+    the keeper invariant — exactly one ``keeper=1`` row per emitted
+    component — holds even when the raw star root is such an outside
+    node (one output-sized groupBy-min + join, linear and tiny next to
+    the pair mass; an exact no-op when endpoints ⊆ ids).
 
     If ``telemetry`` is a dict, ``telemetry["rounds"]`` is set to the
     number of contraction rounds executed (convergence-health signal for
@@ -394,14 +399,23 @@ def neardup_components(
         )
     # fixpoint edge set = disjoint min-rooted stars: (node, root) per
     # non-root node. min() is defensive against duplicate star edges.
-    return (
+    labeled = (
         nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
         .groupBy("node")
         .agg(F.min(F.coalesce(F.col("v"), F.col("node"))).alias("lab"))
+    )
+    # Re-root at the smallest id present in ids_df: when a pairs_df
+    # endpoint OUTSIDE ids_df is the component minimum, the raw star
+    # root never appears as an output row and the component would have
+    # no keeper. When endpoints ⊆ ids (every in-module enumerator), the
+    # root is already a corpus id and this is an exact no-op.
+    roots = labeled.groupBy("lab").agg(F.min("node").alias("root"))
+    return (
+        labeled.join(roots, "lab")
         .select(
             F.col("node").alias("doc_id"),
-            F.col("lab").alias("component_id"),
-            F.when(F.col("node") == F.col("lab"), F.lit(1))
+            F.col("root").alias("component_id"),
+            F.when(F.col("node") == F.col("root"), F.lit(1))
             .otherwise(F.lit(0)).cast("int").alias("keeper"),
         )
     )

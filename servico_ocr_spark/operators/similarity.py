@@ -127,7 +127,7 @@ def embedding_near_duplicates(
     plane disagreements exceed 1 and recall stays low — this operator is
     a near-DUPLICATE detector, not a general similarity join. For
     moderate-threshold recall, lower ``planes`` (more verification work)
-    or use :func:`lsh_topk` with more probe buckets.
+    or use :func:`lsh_ann_topk` with more probe buckets.
     """
     return _embedding_neardup_build(
         embeddings, threshold_e6, planes, id_col, vec_col, dim, n_rows,

@@ -19,6 +19,7 @@ proves otherwise.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -201,8 +202,14 @@ def drop_repeated_paragraphs(
 
     Returns (id_col, clean_text, n_paras, n_kept, n_dropped).
     """
+    # F.split takes a Java regex while F.array_join below re-joins with
+    # the LITERAL sep — escape so a metachar separator ('|', '.') splits
+    # literally too (re.escape backslash-escapes punctuation only, which
+    # Java Pattern reads identically).
     paras = (
-        docs.select(id_col, F.posexplode_outer(F.split(text_col, sep)))
+        docs.select(
+            id_col, F.posexplode_outer(F.split(text_col, re.escape(sep)))
+        )
         .withColumnRenamed("pos", "p_idx")
         .withColumnRenamed("col", "para")
     )

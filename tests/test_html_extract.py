@@ -335,6 +335,23 @@ def test_paragraph_dedup_semantics(spark):
     }
 
 
+def test_paragraph_dedup_metachar_separator_is_literal(spark):
+    """sep is a LITERAL both ways: F.split takes a Java regex while the
+    rejoin is literal, so a metachar separator ('|') must be escaped on
+    the split side or the text explodes per character and is reassembled
+    as garbage."""
+    rows = [("a", "keep one|boiler|keep two"), ("b", "boiler|other")]
+    df = spark.createDataFrame(rows, "url string, main_text string")
+    got = {
+        r["url"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in drop_repeated_paragraphs(df, max_df=1, sep="|").collect()
+    }
+    assert got == {
+        "a": ("keep one|keep two", 3, 2),
+        "b": ("other", 2, 1),
+    }
+
+
 def test_paragraph_dedup_drops_entity_fixture_corpus_wide(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     cleaned = drop_repeated_paragraphs(

@@ -86,6 +86,24 @@ def test_neardup_components_isolated_and_empty_edges(spark):
     assert out == {7: (7, 1), 9: (9, 1)}
 
 
+def test_neardup_components_out_of_corpus_endpoints_keep_invariant(spark):
+    """pairs_df endpoints missing from ids_df (stale pair table, filtered
+    corpus) may bridge components but must NOT become component labels:
+    every emitted component is re-rooted at its smallest id present in
+    ids_df, so exactly one keeper=1 row exists per component — a raw star
+    root of 0 here would otherwise label (5,7) with no keeper at all."""
+    from servico_ocr_spark.operators import neardup_components
+
+    ids = spark.createDataFrame([(5,), (7,), (9,)], "doc_id long")
+    # 0 is outside the corpus AND the component minimum; it bridges 5-7
+    pairs = spark.createDataFrame(
+        [(5, 0), (0, 7)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["component_id"], r["keeper"])
+           for r in neardup_components(ids, pairs).collect()}
+    assert out == {5: (5, 1), 7: (5, 0), 9: (9, 1)}
+
+
 def test_candidate_telemetry_consistent_with_operators(spark):
     """Each candidate->verify operator's telemetry twin must report
     verified == the operator's own output count and candidates >=
