@@ -5,6 +5,18 @@ Default mode (driver contract): run the headline queries at
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
+``--ab <git-ref> [query ...]`` mode (instance-proof cross-round
+comparison): check the named ref out into a ``git worktree``, then run
+the SAME queries against both trees back-to-back ON THIS BOX, each tree
+in its own subprocess/SparkSession with the suite methodology (untimed
+warm run, best of 3 timed). Emits one JSON line with per-query
+``{ref, head, ratio}`` plus a ``flagged`` list (ratio > 1.3 either way).
+Rationale: the sandbox VM is re-provisioned between rounds and runs
+identical code up to ~3.9× slower/faster per query (round-3 finding on
+``ann_ivf_topk``), so raw BENCH_r{N}.json numbers are only comparable
+within one box — this harness makes every cross-round claim a same-box
+A/B instead.
+
 ``--scaling`` mode (BASELINE.md two-cluster-size evidence): run the
 extraction pipeline on the same input at N and 4N pinned cores
 (default local[4] vs local[16]; ``SCALING_N`` overrides), report docs/s +
@@ -342,10 +354,127 @@ def run_scaling_level(cores: int) -> None:
         print(json.dumps(result))
 
 
+def _time_queries(query_names: list[str], app_name: str) -> dict[str, float]:
+    """Suite-methodology timings (warm run + best-of-3) for named queries.
+
+    Imports ``__spark_entry__`` from whatever tree is FIRST on sys.path —
+    the caller is responsible for pointing sys.path at the right checkout.
+    """
+    import __spark_entry__ as entrymod
+    from servico_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        app_name=app_name,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings = {}
+    for name in query_names:
+        _materialize(qs[name](spark, SF_DIR))
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            _materialize(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+    spark.stop()
+    return timings
+
+
+def run_ab_tree(tree: str, query_csv: str) -> None:
+    """Subprocess body for --ab: time queries against ONE checkout.
+
+    Re-roots sys.path at ``tree`` (this file may live in a different
+    checkout than the code under test — the parent always invokes HEAD's
+    bench.py so old trees don't need to know about --ab).
+    """
+    tree = os.path.abspath(tree)
+    if tree != REPO:
+        while REPO in sys.path:
+            sys.path.remove(REPO)
+    sys.path.insert(0, tree)
+    os.chdir(tree)
+    timings = _time_queries(
+        query_csv.split(","), app_name=f"servico-ocr-ab-{os.path.basename(tree)}"
+    )
+    print(json.dumps(timings))
+
+
+def run_ab(ref: str, requested: list[str]) -> None:
+    """Same-box A/B: HEAD vs a git ref, per-query steady-state timings."""
+    import subprocess
+
+    sha = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", ref],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    tree = f"/tmp/spark_ab_{sha}"
+    if not os.path.isdir(tree):
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", tree, sha],
+            check=True, capture_output=True,
+        )
+
+    # queries the REF tree knows about (importing __spark_entry__ does not
+    # start Spark) — the comparison set is the intersection
+    ref_names = set(json.loads(subprocess.run(
+        [sys.executable, "-c",
+         "import sys, json; sys.path.insert(0, sys.argv[1]); "
+         "import __spark_entry__ as e; "
+         "print(json.dumps(sorted(e.queries().keys())))", tree],
+        capture_output=True, text=True, check=True, cwd=tree,
+    ).stdout.strip().splitlines()[-1]))
+    names = [q for q in (requested or BENCH_QUERIES) if q in ref_names]
+    skipped = [q for q in (requested or BENCH_QUERIES) if q not in ref_names]
+
+    def run_tree(tree_path: str) -> dict:
+        env = dict(os.environ, PYTHONPATH=tree_path)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--ab-run", tree_path, ",".join(names)],
+            capture_output=True, text=True, check=True, cwd=tree_path, env=env,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # ref first, HEAD second, back-to-back on the same box; each side is
+    # internally warm-run + best-of-3 so box phase has to drift WITHIN the
+    # few-minute window to bias a query
+    ref_t = run_tree(tree)
+    head_t = run_tree(REPO)
+    table = {
+        q: {
+            "ref": ref_t[q],
+            "head": head_t[q],
+            "ratio": round(head_t[q] / ref_t[q], 3) if ref_t[q] > 0 else None,
+        }
+        for q in names
+    }
+    flagged = sorted(
+        q for q, row in table.items()
+        if row["ratio"] is not None and (row["ratio"] > 1.3 or row["ratio"] < 1 / 1.3)
+    )
+    print(json.dumps({
+        "metric": "ab_seconds_head_over_ref",
+        "ref": sha,
+        "sf": _sf_of(SF_DIR),
+        "queries": table,
+        "flagged_over_1.3x": flagged,
+        "head_only_queries_skipped": skipped,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling-run" in sys.argv:
         run_scaling_level(int(sys.argv[sys.argv.index("--scaling-run") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--ab-run" in sys.argv:
+        i = sys.argv.index("--ab-run")
+        run_ab_tree(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        run_ab(sys.argv[i + 1], sys.argv[i + 2:])
     else:
         run_suite()
