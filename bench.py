@@ -269,9 +269,16 @@ def run_scaling_level(cores: int) -> None:
             text_col = "main_text"
         else:
             build_pages = pages_from_documents
+            # SCALING_RENDERS=1 re-enables per-doc md/html render strings;
+            # default off — the renders roughly double per-doc output bytes
+            # (each embeds the full text again), pure Arrow mass that feeds
+            # this box's single-socket bandwidth ceiling while a text-only
+            # training-data consumer never reads them. Both settings are
+            # reported in BENCH/BASELINE.md §1.
+            renders = os.environ.get("SCALING_RENDERS", "0") == "1"
             run_face = (
                 lambda df: run_extraction(
-                    df, num_partitions=cores * part_mult
+                    df, num_partitions=cores * part_mult, renders=renders
                 )
             )
             text_col = "extracted_text"
@@ -340,6 +347,8 @@ def run_scaling_level(cores: int) -> None:
         result = {
             "cores": cores,
             "face": face,
+            "renders": face != "web"
+            and os.environ.get("SCALING_RENDERS", "0") == "1",
             "docs": n_docs,
             "wall_s": round(elapsed, 2),
             "docs_per_s": round(n_docs / elapsed, 2),

@@ -27,6 +27,7 @@ Spark-first design notes (this is where the 100 TB story lives):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -46,10 +47,19 @@ JOB_TS = "2026-01-01 00:00:00"  # deterministic dthr (reference X8 format)
 HEAVY_PAGE_THRESHOLD = 8
 
 
-def analyze_page_row(url: str, html: bytes):
+def analyze_page_row(url: str, html: bytes, renders: bool = True):
     """Pure per-document analysis used by both the Spark stage and the
     pytest oracle. Returns a dict matching ANALYSIS_SCHEMA (minus
-    partition_id / est_pages)."""
+    partition_id / est_pages).
+
+    ``renders=False`` skips the md/html render strings (columns stay in
+    the schema as NULL). The renders roughly double per-document output
+    bytes (each embeds the full text again), and on a bandwidth-bound
+    box that Arrow mass is what caps high-core-count throughput — a
+    training-data pipeline that only needs text/spans/stats should not
+    pay for presentation artifacts it never writes. Analysis semantics
+    (boxes, text, spans, stats) are byte-identical either way
+    (test_renders_flag_only_affects_render_columns)."""
     payload = parse_payload(html)
     tokens = document_tokens(url, payload.get("text") or "", payload["archetype"])
     boxes, n_pages, conf_sum, conf_count = analyze_document(tokens)
@@ -71,8 +81,8 @@ def analyze_page_row(url: str, html: bytes):
         "pagina_tipo": boxes[0]["pagina_tipo"] if boxes else None,
         "extracted_text": extracted_text,
         "clean_text": clean_text,
-        "md": render_markdown(boxes),
-        "html_render": render_html(boxes),
+        "md": render_markdown(boxes) if renders else None,
+        "html_render": render_html(boxes) if renders else None,
         "spans": spans,
         "boxes": boxes,
     }
@@ -101,7 +111,9 @@ def _error_row(url: str, exc: Exception) -> dict:
     }
 
 
-def _process_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _process_batches(
+    batches: Iterable[pd.DataFrame], renders: bool = True
+) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel. Row = document; Arrow batches in, one result row
     per document out. The loop is per-*document* (the correct vectorization
     grain — all token/box work inside is per-doc pure Python over tiny
@@ -117,7 +129,7 @@ def _process_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ests = batch["est_pages"].tolist() if "est_pages" in batch else [None] * len(urls)
         for url, html, est in zip(urls, htmls, ests):
             try:
-                row = analyze_page_row(url, html)
+                row = analyze_page_row(url, html, renders=renders)
             except Exception as exc:  # error side-output, never fail the job
                 row = _error_row(url, exc)
             row["partition_id"] = pid
@@ -236,6 +248,7 @@ def run_extraction(
     pages: DataFrame,
     num_partitions: int | None = None,
     balance: bool = True,
+    renders: bool = True,
 ) -> DataFrame:
     """pages → analysis DataFrame (one row per document, ANALYSIS_SCHEMA).
 
@@ -243,11 +256,17 @@ def run_extraction(
     :func:`weighted_repartition` (tiny, memoized per partition count);
     callers split the result into docs/boxes/lineage with the selectors
     below or write it once with :func:`write_analysis`.
+
+    ``renders=False`` leaves the md/html_render columns NULL (same
+    schema): skips the per-doc render compute AND roughly halves the
+    Arrow/output bytes per document — the lever for text-only consumers
+    (see :func:`analyze_page_row`).
     """
     staged = with_page_estimate(pages.select("url", "html"))
     if balance:
         staged = weighted_repartition(staged, num_partitions=num_partitions)
-    return staged.mapInPandas(_process_batches, schema=ANALYSIS_SCHEMA)
+    kernel = partial(_process_batches, renders=renders)
+    return staged.mapInPandas(kernel, schema=ANALYSIS_SCHEMA)
 
 
 def docs_table(analysis: DataFrame) -> DataFrame:

@@ -65,6 +65,24 @@ def test_partitioning_independence(spark, pages):
     assert one.equals(eight)
 
 
+def test_renders_flag_only_affects_render_columns(spark, pages, analysis):
+    """renders=False must null md/html_render and leave EVERY other column
+    byte-identical — the bandwidth lever for text-only consumers must not
+    be able to drift the analysis semantics."""
+    lean = run_extraction(pages, num_partitions=4, renders=False)
+    lean_rows = {r["url"]: r for r in lean.collect()}
+    full_rows = {r["url"]: r for r in analysis.collect()}
+    assert set(lean_rows) == set(full_rows)
+    skip = {"md", "html_render", "partition_id"}
+    for url, full in full_rows.items():
+        row = lean_rows[url]
+        if full["status"] == "ok":
+            assert row["md"] is None and row["html_render"] is None
+        for col in full.asDict():
+            if col not in skip:
+                assert row[col] == full[col], (url, col)
+
+
 def test_error_side_output(spark, analysis):
     lineage = lineage_table(analysis)
     errors = lineage.where("status = 'erro'").collect()
