@@ -36,6 +36,7 @@ from servico_ocr_spark.operators import (
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     quality_score,
+    repetition_stats,
     simhash,
     simhash_near_duplicates,
     synth_media_table,
@@ -886,6 +887,80 @@ SELECT id_a, id_b, jaccard_pct FROM mp
 """
 
 
+_ZIPF_SLOTS = 16  # background word slots per doc
+_ZIPF_RANK_MAX = 4096  # vocabulary tail cap (rank ids beyond collapse)
+_ZIPF_PAIR_WORDS = 10  # discriminative window; partners share 9 of 11
+_ZIPF_CAP = 32  # CONSTANT df cap — binding at every sf (see below)
+_ZIPF_THRESHOLD = 40  # capped true-pair J ranges ~47-81%; false pairs
+#                       share only surviving background words (J ≤ ~15%)
+_TWO48 = 1 << 48
+
+
+def _zipf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tailed (Zipf) vocabulary corpus, derived from doc_id md5
+    arithmetic only (VERDICT r3 item 4).
+
+    Each doc carries a 10-word discriminative window shared 9/11 with its
+    partner (doc_id div 2) plus 16 background slots drawn from a Zipf-ish
+    vocabulary: slot hash v is uniform on [0, 2^48) and the word is rank
+    ``r = min(2^48 div (v+1), 4096)``, so P(r) = 1/(r(r+1)) ~ 1/r² — a
+    true heavy tail from pure integer arithmetic (portable to the DuckDB
+    twin; no float pow). df(r) ≈ 16·n/(r(r+1)) TRACKS corpus size at
+    every rank, so the CONSTANT cap of 32 binds at every sf and cuts
+    deeper into the vocabulary as n grows (ranks below ~sqrt(n/2) are
+    boilerplate) — the real-web regime, unlike the natural 31-word corpus
+    whose cap must be derived per scale (see _minhash_word_cap)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    pair = F.expr(
+        f"transform(sequence(doc_id % 2, doc_id % 2 + {_ZIPF_PAIR_WORDS - 1}), "
+        f"k -> substr(md5(concat(cast(doc_id div 2 as string), 'p', "
+        f"cast(k as string))), 1, 8))"
+    )
+    zipf = F.expr(
+        f"transform(sequence(0, {_ZIPF_SLOTS - 1}), j -> concat('z', cast("
+        f"least({_TWO48} div (cast(conv(substr(md5(concat("
+        f"cast(doc_id as string), 'z', cast(j as string))), 1, 12), 16, 10) "
+        f"as bigint) + 1), {_ZIPF_RANK_MAX}) as string)))"
+    )
+    return docs.select(
+        "doc_id", F.array_join(F.concat(pair, zipf), " ").alias("text")
+    )
+
+
+def _q_zipf_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        _zipf_corpus(spark, sf_dir),
+        num_hashes=_CHAIN_K, bands=_CHAIN_BANDS,
+        threshold=_ZIPF_THRESHOLD / 100, max_word_df=_ZIPF_CAP,
+    )
+
+
+def _o_zipf_neardups() -> str:
+    zh = _d_h48("(doc_id::VARCHAR || 'z' || j.j::VARCHAR)")
+    return f"""
+WITH wx0 AS (
+    SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               substr(md5((doc_id // 2)::VARCHAR || 'p' ||
+                          ((doc_id % 2) + k.k)::VARCHAR), 1, 8) AS w
+        FROM documents CROSS JOIN range({_ZIPF_PAIR_WORDS}) k(k)
+        UNION ALL
+        SELECT doc_id,
+               'z' || least({_TWO48} // ({zh} + 1),
+                            {_ZIPF_RANK_MAX})::VARCHAR AS w
+        FROM documents CROSS JOIN range({_ZIPF_SLOTS}) j(j)
+    )
+),
+wx AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+    WHERE df <= {_ZIPF_CAP}
+),
+{_o_minhash_pairs_from_wx(_CHAIN_K, _CHAIN_BANDS, _ZIPF_THRESHOLD)}
+SELECT id_a, id_b, jaccard_pct FROM mp
+"""
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -1263,6 +1338,57 @@ sk AS (
 )
 SELECT b.doc_id, md5(b.norm) AS content_md5, sk.winnow_min, sk.winnow_max
 FROM base b LEFT JOIN sk ON sk.doc_id = b.doc_id
+"""
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def _o_repetition_stats() -> str:
+    def ppm(num, denom):
+        return (
+            f"(CASE WHEN coalesce(m.{denom}, 0) > 0 THEN "
+            f"floor({num} * 1000000 / m.{denom}) ELSE 0 END)::BIGINT"
+        )
+
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+    FROM base
+),
+led AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM tok
+),
+kx AS (
+    SELECT doc_id, 0 AS kind, w AS key FROM led
+    UNION ALL
+    SELECT doc_id, 1 AS kind, w || ' ' || w1 AS key FROM led
+    WHERE w1 IS NOT NULL
+),
+counts AS (
+    SELECT doc_id, kind, key, count(*) AS c FROM kx GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT doc_id,
+           sum(CASE WHEN kind = 0 THEN c END)::BIGINT AS n_words,
+           count(CASE WHEN kind = 0 THEN 1 END)::BIGINT AS d_words,
+           max(CASE WHEN kind = 0 THEN c END)::BIGINT AS top_w,
+           sum(CASE WHEN kind = 1 THEN c END)::BIGINT AS n_grams,
+           count(CASE WHEN kind = 1 THEN 1 END)::BIGINT AS d_grams,
+           max(CASE WHEN kind = 1 THEN c END)::BIGINT AS top_g
+    FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.n_words, 0)::BIGINT AS n_words,
+       {ppm("(m.n_words - m.d_words)", "n_words")} AS dup_word_ppm,
+       {ppm("m.top_w", "n_words")} AS top_word_ppm,
+       {ppm("(m.n_grams - m.d_grams)", "n_grams")} AS dup_2gram_ppm,
+       {ppm("m.top_g", "n_grams")} AS top_2gram_ppm
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
 """
 
 
@@ -1703,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "chain_components": _q_chain_components,
         "hotshingle_neardups": _q_hotshingle_neardups,
+        "zipf_neardups": _q_zipf_neardups,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1711,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -1743,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _o_ngram_jaccard(),
         "chain_components": _o_chain_components(),
         "hotshingle_neardups": _o_hotshingle_neardups(),
+        "zipf_neardups": _o_zipf_neardups(),
         "ann_brute_topk": _o_ann_brute_topk(),
         "ann_ivf_topk": _o_ann_ivf_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),
@@ -1751,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _O_TOKEN_COUNTS,
         "quality_score": _o_quality(),
         "fingerprint": _o_fingerprint(),
+        "repetition_stats": _o_repetition_stats(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

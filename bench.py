@@ -79,6 +79,9 @@ BENCH_FAMILIES = {
         # hot-shingle corpus (word-df cap actually dropping features)
         "chain_components",
         "hotshingle_neardups",
+        # Zipf-vocabulary fixture: a CONSTANT df cap binding at every sf
+        # (heavy-tailed background vocabulary, the real-web regime)
+        "zipf_neardups",
         "simhash",
         "ngram_jaccard",
     ],
@@ -87,6 +90,8 @@ BENCH_FAMILIES = {
         "lang_id",
         "quality_score",
         "token_counts",
+        # Gopher/MassiveText-style within-doc repetition metrics
+        "repetition_stats",
     ],
     "ann": [
         "ann_brute_topk",

@@ -217,6 +217,11 @@ _HTML_TAIL = (
 _HTML_ENTITY_P = "<p>R&amp;D caf&eacute; &#8211; nota 100&#37;</p>"
 #: what the extractor must decode _HTML_ENTITY_P to (oracle twin)
 HTML_ENTITY_TEXT = "R&D café – nota 100%"
+# Interpolated RAW into single-quoted DuckDB string literals by three
+# oracles in __spark_entry__ (_o_html_main_cte/_o_html_spans/
+# _o_html_boilerplate_dedup): an apostrophe would break (or silently
+# change) the oracle SQL while the Spark side kept working.
+assert "'" not in HTML_ENTITY_TEXT
 _HTML_SPAM_P = (
     '<p class="promo"><a href="/p0">promo zero</a> '
     '<a href="/p1">promo one</a></p>'

@@ -37,6 +37,7 @@ from .webtext import (  # noqa: F401
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,
+    repetition_stats,
     text_fingerprint,
     token_counts,
 )

@@ -135,6 +135,87 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText quality
+    rules for machine-generated/boilerplate text): per doc,
+
+    - ``dup_word_ppm``: floor((n_words − n_distinct_words)·10⁶ / n_words)
+    - ``top_word_ppm``: floor(most-frequent-word count·10⁶ / n_words)
+    - ``dup_2gram_ppm`` / ``top_2gram_ppm``: same over adjacent word
+      2-grams (n_grams = n_words − 1)
+
+    Integer ppm outputs (engine-portable, no float aggregates). Word-less
+    docs get all-zero metrics; one-word docs get zero 2-gram metrics.
+
+    Shape: ONE posexplode pass — words and their lead()-window 2-grams are
+    unioned into a (doc_id, kind, key) feature stream inside the same
+    projection, so the input is scanned once and both metric families
+    share one (doc, kind, key) count aggregation (all whole-stage
+    codegen; the two-subtree mirror would scan the corpus twice)."""
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # the window lead() must be evaluated in its own projection — Spark
+    # rejects window functions nested inside a generator (explode) expr
+    led = tokens.select(
+        "doc_id", "w", F.lead("w", 1).over(win).alias("w1")
+    )
+    gram = F.when(
+        F.col("w1").isNotNull(),
+        F.concat_ws(" ", F.col("w"), F.col("w1")),
+    )
+    kx = (
+        led.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("kind"), F.col("w").alias("key")),
+                    F.struct(F.lit(1).alias("kind"), gram.alias("key")),
+                )
+            ).alias("f"),
+        )
+        .select("doc_id", "f.kind", "f.key")
+        .where(F.col("key").isNotNull())
+    )
+    counts = kx.groupBy("doc_id", "kind", "key").agg(
+        F.count("*").alias("c")
+    )
+    m = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == 0, F.col("c"))).alias("n_words"),
+        F.count(F.when(F.col("kind") == 0, True)).alias("d_words"),
+        F.max(F.when(F.col("kind") == 0, F.col("c"))).alias("top_w"),
+        F.sum(F.when(F.col("kind") == 1, F.col("c"))).alias("n_grams"),
+        F.count(F.when(F.col("kind") == 1, True)).alias("d_grams"),
+        F.max(F.when(F.col("kind") == 1, F.col("c"))).alias("top_g"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id")).join(m, "doc_id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    wz = n_words > 0
+    gz = n_grams > 0
+
+    def ppm(num, denom, nonzero):
+        return (
+            F.when(nonzero, F.floor(num * 1000000 / denom))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ppm(n_words - F.col("d_words"), n_words, wz).alias("dup_word_ppm"),
+        ppm(F.col("top_w"), n_words, wz).alias("top_word_ppm"),
+        ppm(n_grams - F.col("d_grams"), n_grams, gz).alias("dup_2gram_ppm"),
+        ppm(F.col("top_g"), n_grams, gz).alias("top_2gram_ppm"),
+    )
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      shingle_n: int = 4) -> DataFrame:

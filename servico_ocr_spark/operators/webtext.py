@@ -80,7 +80,10 @@ def extract_main_content(
             ]
             out = pd.DataFrame(
                 {
-                    "url": batch[url_col].astype(str),
+                    # passed through unchanged: the schema declares url
+                    # non-null, so a null url fails the task loudly —
+                    # .astype(str) would mask it as the literal 'None'
+                    "url": batch[url_col],
                     "main_text": [r["main_text"] for r in results],
                     "spans": [
                         [

@@ -182,6 +182,38 @@ def test_fast_scanner_recovery_spec():
     ]
 
 
+def test_fast_scanner_pathological_unterminated_runs_linear():
+    """A truncated/adversarial page dense with bare '<name' runs and NO
+    '>' anywhere must scan in linear time (ADVICE r3: each '<' attempt
+    used to rescan to EOF — quadratic). The find('>') guard makes the
+    '>'-free tail one pass; semantics stay the recovery spec (all
+    character data)."""
+    import time
+
+    unit = "text <div123 foo bar "
+    page = unit * 60_000  # ~1.3 MB, ~60k candidate '<', zero '>'
+    t0 = time.perf_counter()
+    blocks = extract_blocks(page)
+    dt = time.perf_counter() - t0
+    # pre-guard this shape took minutes; generous bound for slow boxes
+    assert dt < 3.0, f"pathological scan took {dt:.1f}s"
+    assert len(blocks) == 1  # one giant text block, nothing parsed
+    text, chars, link_chars, n_links = blocks[0]
+    assert (link_chars, n_links) == (0, 0)
+    assert text.startswith("text <div123 foo bar")
+    # the guard must not change semantics when a '>' DOES appear later:
+    # per stdlib-tolerant semantics the FIRST '<div123' opens a start tag
+    # whose attribute soup swallows everything (incl. the '<p') up to the
+    # first '>', so only the leading 'text' and trailing 'real' survive —
+    # pinned against the stdlib reference parser, not hand-predicted
+    from servico_ocr_spark.core.html_extract import extract_blocks_reference
+
+    tailed = unit * 40 + "<p>real</p>"
+    got = extract_blocks(tailed)
+    assert got == extract_blocks_reference(tailed)
+    assert got == [("text real", 8, 0, 0)]
+
+
 def test_fast_scanner_self_closing_and_name_charset():
     # trailing '/' glued to an unquoted value is PART OF THE VALUE:
     # <a href=foo/> opens an anchor (stdlib attrfind_tolerant semantics)

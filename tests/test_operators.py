@@ -450,3 +450,89 @@ def test_embedding_neardups_multiprobe_recall(spark):
     found = set(zip(got["id_a"], got["id_b"]))
     assert (0, 1) in found
     assert all(3 not in p for p in found)
+
+
+def _srp_recall(spark, planes: int, threshold_e6: int = 400000):
+    """Measured recall of embedding_near_duplicates vs exact brute force
+    at a MODERATE cosine threshold (VERDICT r3 item 7). Vectors are
+    seeded-random unit mixes planted at cos ≈ 0.5 plus pure-noise rows;
+    ground truth replicates the operator's exact integer math
+    (floor(x*1000) components, floored cos×1e6) driver-side in numpy."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    n_pairs, dim = 120, 16
+    base = rng.normal(size=(n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n_pairs, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    # partner = 0.5·base + 0.866·fresh-noise → cos(base, partner) ≈ 0.5
+    partners = 0.5 * base + 0.866 * noise
+    extra = rng.normal(size=(60, dim))
+    vecs = np.vstack([base, partners, extra]).astype("float32")
+
+    iv = np.floor(vecs.astype("float64") * 1000).astype("int64")
+    norms = np.sqrt((iv * iv).sum(axis=1).astype("float64"))
+    truth = set()
+    for a, b in itertools.combinations(range(len(iv)), 2):
+        cos_e6 = int(np.floor(
+            int((iv[a] * iv[b]).sum()) * 1000000 / (norms[a] * norms[b])
+        ))
+        if cos_e6 >= threshold_e6:
+            truth.add((a, b))
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_near_duplicates(
+        emb, threshold_e6=threshold_e6, planes=planes, multi_probe=True
+    ).toPandas()
+    found = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert found <= truth  # exact verification: no false positives, ever
+    return len(found & truth) / len(truth), len(truth)
+
+
+def test_embedding_neardups_moderate_threshold_recall_measured(spark):
+    """Turns the docstring's recall caveat into numbers: at cos ≈ 0.4-0.6
+    the Hamming-1 multi-probe does NOT recover full recall, and recall
+    falls as planes grow. Bands are measured (BENCH/PLANS.md §5) with
+    wide tolerances — this pins the documented behavior, not noise."""
+    recall4, n_truth = _srp_recall(spark, planes=4)
+    recall8, _ = _srp_recall(spark, planes=8)
+    assert n_truth >= 100  # the planted pairs dominate the truth set
+    assert recall8 <= recall4 + 0.05  # more planes -> recall can only drop
+    # measured: planes=4 ≈ 0.62, planes=8 ≈ 0.18 on this fixture (seeded,
+    # deterministic modulo Spark float batch order — none here: integer math)
+    assert 0.35 <= recall4 <= 0.90, recall4
+    assert 0.02 <= recall8 <= 0.50, recall8
+
+
+def test_repetition_stats_exact(spark):
+    from servico_ocr_spark.operators import repetition_stats
+
+    rows = [
+        (1, "a a a b"),
+        (2, ""),
+        (3, "x"),
+        (4, "x y x y x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert len(got) == 4
+    r1 = got[1]  # words n=4 d=2, top a=3; grams (a a, a a, a b) n=3 d=2
+    assert (r1["n_words"], r1["dup_word_ppm"], r1["top_word_ppm"]) == (
+        4, 500000, 750000
+    )
+    assert (r1["dup_2gram_ppm"], r1["top_2gram_ppm"]) == (333333, 666666)
+    r2 = got[2]  # word-less doc: restored with all-zero metrics
+    assert tuple(r2)[1:] == (0, 0, 0, 0, 0)
+    r3 = got[3]  # one word: top=100%, no 2-grams
+    assert (r3["n_words"], r3["top_word_ppm"], r3["dup_2gram_ppm"]) == (
+        1, 1000000, 0
+    )
+    r4 = got[4]  # x y x y x: dup 3/5, top 3/5; grams n=4 d=2
+    assert (r4["dup_word_ppm"], r4["top_word_ppm"]) == (600000, 600000)
+    assert (r4["dup_2gram_ppm"], r4["top_2gram_ppm"]) == (500000, 500000)
