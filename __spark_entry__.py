@@ -1801,6 +1801,242 @@ FROM documents
 
 
 # ===========================================================================
+# URL canonicalization / url-dedup / domain stats (operators/urls)
+# ===========================================================================
+#
+# Fixture: a deterministic crawl-shaped url per doc, derived from doc_id
+# arithmetic only (same technique as _chain_corpus/_zipf_corpus). Every
+# canonical-identity-relevant piece (scheme, site, kept port, path, kept
+# params) derives from d2 = doc_id div 2, every NOISE piece (host case,
+# default ports, tracking params, param order, fragments) from doc_id —
+# so each {2k, 2k+1} pair is url-identity-duplicate by construction and
+# the canonicalizer must strip exactly the noise to find it. The DuckDB
+# twin re-implements BOTH the fixture arithmetic and the
+# canonicalization spec independently in SQL.
+
+_URL_SITES = 23
+_URL_SCHEME = "CASE WHEN d2 % 3 = 0 THEN 'https' ELSE 'http' END"
+
+
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.withColumn("d2", F.expr("doc_id div 2"))
+        .withColumn(
+            "site",
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(d2 as string), 'u')), "
+                f"1, 12), 16, 10) as bigint) % {_URL_SITES}"
+            ),
+        )
+        .withColumn("scheme", F.expr(_URL_SCHEME))
+        .withColumn(
+            "host_c",
+            F.expr(
+                "concat(CASE WHEN d2 % 4 = 0 THEN 'www.' ELSE '' END, "
+                "'site', cast(site as string), '.', "
+                "CASE site % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' "
+                "ELSE 'net' END)"
+            ),
+        )
+        .withColumn(
+            "port",
+            F.expr(
+                "CASE WHEN d2 % 11 = 0 THEN ':8080' "
+                "WHEN doc_id % 6 = 0 THEN "
+                "(CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END) "
+                "ELSE '' END"
+            ),
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                "CASE WHEN d2 % 19 = 0 THEN '' ELSE "
+                "concat('/a/', cast(d2 % 97 as string), "
+                "CASE WHEN d2 % 7 = 0 THEN '/Mixed' ELSE '' END) END"
+            ),
+        )
+        .withColumn(
+            "qstr",
+            F.expr(
+                "CASE WHEN doc_id % 2 = 0 THEN concat_ws('&', "
+                "concat('id=', cast(d2 % 13 as string)), "
+                "CASE WHEN d2 % 5 = 0 THEN 'q=x' END, "
+                "CASE WHEN doc_id % 3 = 0 THEN "
+                "concat('utm_source=s', cast(doc_id % 4 as string)) END, "
+                "CASE WHEN doc_id % 7 = 0 THEN "
+                "concat('fbclid=F', cast(doc_id % 9 as string)) END) "
+                "ELSE concat_ws('&', "
+                "CASE WHEN doc_id % 3 = 0 THEN "
+                "concat('utm_source=s', cast(doc_id % 4 as string)) END, "
+                "CASE WHEN doc_id % 7 = 0 THEN "
+                "concat('fbclid=F', cast(doc_id % 9 as string)) END, "
+                "CASE WHEN d2 % 5 = 0 THEN 'q=x' END, "
+                "concat('id=', cast(d2 % 13 as string))) END"
+            ),
+        )
+        .withColumn(
+            "url",
+            F.expr(
+                "CASE WHEN doc_id % 101 = 100 THEN "
+                "concat('urn:doc:', cast(doc_id as string)) ELSE concat("
+                "scheme, '://', "
+                "CASE WHEN doc_id % 5 = 0 THEN upper(host_c) ELSE host_c END, "
+                "port, path, "
+                "CASE WHEN qstr = '' THEN '' ELSE concat('?', qstr) END, "
+                "CASE WHEN doc_id % 2 = 1 THEN "
+                "concat('#sec', cast(doc_id % 3 as string)) ELSE '' END) END"
+            ),
+        )
+        .select("doc_id", "url")
+    )
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import canonicalize_urls
+
+    return canonicalize_urls(_url_corpus(spark, sf_dir)).select(
+        "doc_id", "canonical_url", "host", "registered_domain"
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import url_dedup
+
+    return url_dedup(_url_corpus(spark, sf_dir))
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import domain_stats
+
+    return domain_stats(_url_corpus(spark, sf_dir))
+
+
+def _o_url_canon_cte() -> str:
+    """Shared CTE chain: fixture urls -> canonical parts (independent SQL
+    re-implementation of operators/urls' documented canonical form)."""
+    return f"""
+u0 AS (SELECT doc_id, doc_id // 2 AS d2 FROM documents),
+u1 AS (
+    SELECT doc_id, d2,
+           (('0x' || substr(md5(d2::VARCHAR || 'u'), 1, 12))::BIGINT)
+               % {_URL_SITES} AS site,
+           {_URL_SCHEME} AS scheme
+    FROM u0
+),
+u2 AS (
+    SELECT doc_id, d2, scheme,
+           (CASE WHEN d2 % 4 = 0 THEN 'www.' ELSE '' END) || 'site' ||
+               site::VARCHAR || '.' ||
+               (CASE site % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                     ELSE 'net' END) AS host_c,
+           CASE WHEN d2 % 11 = 0 THEN ':8080'
+                WHEN doc_id % 6 = 0 THEN
+                    (CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END)
+                ELSE '' END AS port,
+           CASE WHEN d2 % 19 = 0 THEN '' ELSE
+               '/a/' || (d2 % 97)::VARCHAR ||
+               (CASE WHEN d2 % 7 = 0 THEN '/Mixed' ELSE '' END) END AS path,
+           CASE WHEN doc_id % 2 = 0 THEN concat_ws('&',
+               'id=' || (d2 % 13)::VARCHAR,
+               CASE WHEN d2 % 5 = 0 THEN 'q=x' END,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'utm_source=s' || (doc_id % 4)::VARCHAR END,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   'fbclid=F' || (doc_id % 9)::VARCHAR END)
+           ELSE concat_ws('&',
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'utm_source=s' || (doc_id % 4)::VARCHAR END,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   'fbclid=F' || (doc_id % 9)::VARCHAR END,
+               CASE WHEN d2 % 5 = 0 THEN 'q=x' END,
+               'id=' || (d2 % 13)::VARCHAR) END AS qstr
+    FROM u1
+),
+urls AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 101 = 100 THEN 'urn:doc:' || doc_id::VARCHAR
+           ELSE scheme || '://' ||
+               (CASE WHEN doc_id % 5 = 0 THEN upper(host_c)
+                     ELSE host_c END) ||
+               port || path ||
+               (CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END) ||
+               (CASE WHEN doc_id % 2 = 1 THEN
+                   '#sec' || (doc_id % 3)::VARCHAR ELSE '' END) END AS url
+    FROM u2
+),
+c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM urls),
+p1 AS (
+    SELECT doc_id, u,
+           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1))
+               AS hostport,
+           regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+    FROM c0
+),
+p2 AS (
+    SELECT doc_id, u, scheme,
+           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN
+                    regexp_replace(hostport, ':443$', '')
+                ELSE hostport END AS host,
+           CASE WHEN split_part(rest, '?', 1) = '' THEN '/'
+                ELSE split_part(rest, '?', 1) END AS path,
+           regexp_extract(rest, '\\?(.*)', 1) AS query
+    FROM p1
+),
+p3 AS (
+    SELECT doc_id, u, scheme, host, path,
+           array_to_string(list_sort(list_filter(str_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&')
+               AS cq
+    FROM p2
+),
+canon AS (
+    SELECT doc_id,
+           CASE WHEN scheme = '' THEN u
+                ELSE scheme || '://' || host || path ||
+                    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END
+               AS canonical_url,
+           host,
+           regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                          '([^.]+\\.[^.]+)$', 1) AS registered_domain
+    FROM p3
+)"""
+
+
+def _o_url_canonical() -> str:
+    return f"""
+WITH {_o_url_canon_cte()}
+SELECT doc_id, canonical_url, host, registered_domain FROM canon
+"""
+
+
+def _o_url_dedup() -> str:
+    return f"""
+WITH {_o_url_canon_cte()}
+SELECT canonical_url, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_dups
+FROM canon GROUP BY canonical_url
+"""
+
+
+def _o_domain_stats() -> str:
+    return f"""
+WITH {_o_url_canon_cte()}
+SELECT registered_domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT canonical_url)::BIGINT AS n_canonical,
+       floor((count(*) - count(DISTINCT canonical_url)) * 1000000
+             / count(*))::BIGINT AS dup_ppm
+FROM canon GROUP BY registered_domain
+"""
+
+
+# ===========================================================================
 # contract surface
 # ===========================================================================
 
@@ -1839,6 +2075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -1881,6 +2120,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _o_quality(),
         "fingerprint": _o_fingerprint(),
         "repetition_stats": _o_repetition_stats(),
+        "url_canonical": _o_url_canonical(),
+        "url_dedup": _o_url_dedup(),
+        "domain_stats": _o_domain_stats(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

@@ -93,6 +93,13 @@ BENCH_FAMILIES = {
         # Gopher/MassiveText-style within-doc repetition metrics
         "repetition_stats",
     ],
+    "urls": [
+        # crawl-frontier identity dedup: canonicalize (pure projection),
+        # url-family collapse, per-domain corpus shape (one agg each)
+        "url_canonical",
+        "url_dedup",
+        "domain_stats",
+    ],
     "ann": [
         "ann_brute_topk",
         "ann_ivf_topk",

@@ -284,19 +284,19 @@ def extract_blocks(html: str) -> list[tuple[str, int, int, int]]:
     pos = 0
     search = _TAG_RE.search
     n = len(html)
-    find_gt = html.find
+    # Linearity guard (exact semantics): every _TAG_RE alternative ends
+    # at a literal '>', so past the LAST '>' no construct can start — the
+    # tail is all character data. Without this, a truncated or
+    # adversarial page dense with unterminated '<name' runs makes each
+    # '<' attempt rescan to EOF (quadratic per-task latency at real-web
+    # scale; a stretch that IS closed by a far-away '>' is linear anyway,
+    # because the first '<' matches as one tolerant start tag consuming
+    # to that '>'). One rfind per document, O(1) per iteration — the
+    # per-iteration find() variant re-scanned every inter-tag gap and
+    # cost +45% on the html face (measured, BENCH/BASELINE.md r4).
+    last_gt = html.rfind(">")
     while pos < n:
-        # Linearity guard (exact semantics): every _TAG_RE alternative
-        # ends at a literal '>', so a '>'-free tail cannot contain a
-        # construct — it is all character data. Without this, a truncated
-        # or adversarial page dense with unterminated '<name' runs makes
-        # each '<' attempt rescan to EOF (quadratic per-task latency at
-        # real-web scale). The find() cost telescopes: a match always
-        # ends past the '>' the guard found, so no stretch is re-scanned.
-        # Residual worst case ('>'-free stretches each closed by one
-        # far-away '>') stays bounded by stretch length per attempt, the
-        # same envelope as stdlib's attrfind on such input.
-        m = search(html, pos) if find_gt(">", pos) != -1 else None
+        m = search(html, pos) if pos <= last_gt else None
         start = m.start() if m else n
         if start > pos and not drop_depth:
             data = unescape(html[pos:start])

@@ -41,3 +41,11 @@ from .textstats import (  # noqa: F401
     text_fingerprint,
     token_counts,
 )
+from .urls import (  # noqa: F401
+    canonical_url,
+    canonicalize_urls,
+    domain_stats,
+    registered_domain,
+    url_dedup,
+    url_host,
+)

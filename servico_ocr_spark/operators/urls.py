@@ -1,0 +1,164 @@
+"""URL canonicalization, URL-level dedup, and per-domain corpus stats.
+
+The first dedup stage of every Common-Crawl-style pipeline runs BEFORE
+any content hashing: the same page is crawled under `http://` and
+`https://`, with and without `www.`, with default ports spelled out,
+with tracking parameters (`utm_*`, `fbclid`, ...) appended by referrers,
+with query parameters in referrer-dependent order, and with fragments.
+Canonicalizing urls first collapses those families so the (much more
+expensive) content-dedup operators downstream (`operators/dedup`) see
+one representative per page identity.
+
+Canonical form produced here (documented, deterministic, total):
+
+1. fragment (`#...`) stripped;
+2. scheme and host lowercased (path case PRESERVED — paths are
+   case-sensitive on real servers);
+3. default ports stripped (`:80` for http, `:443` for https; any other
+   port is identity-relevant and kept);
+4. tracking query parameters dropped (`utm_*`, `fbclid`, `gclid`,
+   `msclkid`, `ref`), remaining parameters sorted bytewise and re-joined
+   (referrer-dependent parameter order is not page identity);
+5. empty path normalized to `/`;
+6. a string with no `scheme://` prefix is passed through unchanged
+   (opaque id) with empty host/domain — the operator is total, never
+   raising on malformed input.
+
+`registered_domain` is the last two host labels (`a.b.c.com` ->
+`c.com`). A production system would consult the public-suffix list
+(an external dataset, out of scope here) so `example.co.uk` groups
+correctly; the two-label rule is the standard approximation and is
+applied identically in the DuckDB oracle twin.
+
+Scale shape: `canonicalize_urls` is a pure projection — zero shuffle,
+whole-stage codegen throughout except the parameter filter/sort, which
+is an array HOF over a <=10-element array (measured irrelevant at that
+size; the posexplode alternative would ADD a shuffle to an otherwise
+shuffle-free plan, the opposite of the CLAUDE.md HOF lesson's regime of
+100+-element shingle arrays). `url_dedup` and `domain_stats` are each
+ONE partial-aggregate-combinable hash aggregation over the projection —
+the cheapest possible distributed shape, no joins, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+#: query parameters that never contribute to page identity
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)"
+
+
+def _canonical_parts(url: Column) -> tuple[Column, Column, Column]:
+    """(scheme, host, rest) of the fragment-stripped url; '' scheme means
+    the input had no ``scheme://`` prefix."""
+    u = F.regexp_replace(url, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_replace(u, _HOSTPORT_RE.replace("([^/?]+)", "[^/?]*"), "")
+    return scheme, host, rest
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` (see module docstring for the rules)."""
+    u = F.regexp_replace(url, "#.*", "")
+    scheme, host, rest = _canonical_parts(url)
+    path = F.split_part(rest, F.lit("?"), F.lit(1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.array_join(params, "&")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(canon_query == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), canon_query)
+            ),
+        )
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (default port stripped); '' if no scheme."""
+    _, host, _ = _canonical_parts(url)
+    return host
+
+
+def registered_domain(url: Column) -> Column:
+    """Naive registered domain: last two labels of the host (port, if a
+    non-default one survived, excluded)."""
+    host = F.regexp_replace(url_host(url), ":[0-9]+$", "")
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url``, ``host``, ``registered_domain`` columns.
+
+    Pure projection — the plan is scan -> project, no exchange."""
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            "canonical_url": canonical_url(u),
+            "host": url_host(u),
+            "registered_domain": registered_domain(u),
+        }
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse url-identity families: one row per canonical url with the
+    smallest ``id_col`` as the kept representative and the family size.
+
+    One hash aggregation (map-side combinable); at 10^12 urls the reduce
+    key is the canonical url string itself — no digest truncation, so no
+    birthday collisions can merge distinct pages (the same rule as
+    `webtext.drop_repeated_paragraphs`)."""
+    return (
+        canonicalize_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain corpus shape: doc count, distinct hosts,
+    distinct canonical urls, and the url-duplication rate in ppm
+    (integer outputs only, per the driver contract).
+
+    Domain-level statistics drive the crawl-corpus curation decisions
+    (per-domain caps, spam-domain cuts) that C4/RefinedWeb-style
+    pipelines apply before content filtering."""
+    c = canonicalize_urls(df, url_col)
+    n_docs = F.count("*").cast("long")
+    n_canonical = F.count_distinct("canonical_url").cast("long")
+    return c.groupBy("registered_domain").agg(
+        n_docs.alias("n_docs"),
+        F.count_distinct("host").cast("long").alias("n_hosts"),
+        n_canonical.alias("n_canonical"),
+        F.floor((n_docs - n_canonical) * 1000000 / n_docs)
+        .cast("long")
+        .alias("dup_ppm"),
+    )

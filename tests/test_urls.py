@@ -1,0 +1,150 @@
+"""URL canonicalization / url-dedup / domain-stats operator tests.
+
+The canonical form is a documented spec (operators/urls module
+docstring); these tests pin it with explicit expected strings, then
+check the aggregate operators and the physical-plan shape (projection
+must stay shuffle-free; each aggregate exactly one exchange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from servico_ocr_spark.operators import (
+    canonicalize_urls,
+    domain_stats,
+    url_dedup,
+)
+
+CASES = [
+    # (raw, canonical, host, registered_domain)
+    (
+        "HTTP://WWW.Example.COM:80/Path/X?b=2&utm_source=x&a=1#frag",
+        "http://www.example.com/Path/X?a=1&b=2",
+        "www.example.com",
+        "example.com",
+    ),
+    ("https://Example.com:443", "https://example.com/", "example.com",
+     "example.com"),
+    # non-default port is identity-relevant and kept (also in the domain's
+    # host grouping key, but not in registered_domain)
+    ("https://example.com:8080/x", "https://example.com:8080/x",
+     "example.com:8080", "example.com"),
+    # all params dropped -> no dangling '?'
+    ("http://example.com/?utm_source=a&fbclid=b&gclid=c&msclkid=d&ref=e",
+     "http://example.com/", "example.com", "example.com"),
+    # param order never matters; '' params (from '&&') dropped
+    ("http://example.com/p?z=1&&a=2", "http://example.com/p?a=2&z=1",
+     "example.com", "example.com"),
+    # :443 is only default for https (kept on http), :80 only for http
+    ("http://example.com:443/x", "http://example.com:443/x",
+     "example.com:443", "example.com"),
+    # deep subdomain -> last two labels
+    ("https://a.b.c.example.org/q", "https://a.b.c.example.org/q",
+     "a.b.c.example.org", "example.org"),
+    # path case preserved, host case folded
+    ("http://EXAMPLE.net/CaseSensitive", "http://example.net/CaseSensitive",
+     "example.net", "example.net"),
+    # no scheme:// prefix -> opaque passthrough, empty host/domain
+    ("urn:doc:42", "urn:doc:42", "", ""),
+    # 'ref' is tracking, but 'refresh'/'referrer_id' are not ('ref=' exact)
+    ("http://x.com/?ref=spam&refresh=1", "http://x.com/?refresh=1",
+     "x.com", "x.com"),
+]
+
+
+def test_canonical_spec(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], ["doc_id", "url"]
+    )
+    got = {
+        r["doc_id"]: (r["canonical_url"], r["host"], r["registered_domain"])
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, (_, canon, host, dom) in enumerate(CASES):
+        assert got[i] == (canon, host, dom), f"case {i}: {CASES[i][0]}"
+
+
+def test_url_dedup_collapses_identity_families(spark):
+    fam = [
+        (0, "http://a.com/x?utm_source=1"),
+        (1, "HTTP://A.COM:80/x#frag"),
+        (2, "http://a.com/x"),
+        (3, "https://a.com/x"),  # different scheme -> different identity
+        (4, "http://a.com/y"),
+    ]
+    out = {
+        r["canonical_url"]: (r["keep_id"], r["n_dups"])
+        for r in url_dedup(spark.createDataFrame(fam, ["doc_id", "url"])).collect()
+    }
+    assert out == {
+        "http://a.com/x": (0, 3),
+        "https://a.com/x": (3, 1),
+        "http://a.com/y": (4, 1),
+    }
+
+
+def test_domain_stats_counts_and_dup_ppm(spark):
+    rows = [
+        (0, "http://www.a.com/x"),
+        (1, "http://a.com/x"),       # same domain, different host
+        (2, "http://A.COM/x#f"),     # canonical-dup of 1
+        (3, "https://b.org/only"),
+    ]
+    out = {
+        r["registered_domain"]: r.asDict()
+        for r in domain_stats(
+            spark.createDataFrame(rows, ["doc_id", "url"])
+        ).collect()
+    }
+    a = out["a.com"]
+    assert (a["n_docs"], a["n_hosts"], a["n_canonical"]) == (3, 2, 2)
+    assert a["dup_ppm"] == 333333  # floor((3-2)*1e6/3)
+    b = out["b.org"]
+    assert (b["n_docs"], b["n_hosts"], b["n_canonical"], b["dup_ppm"]) == (
+        1, 1, 1, 0)
+
+
+def test_plan_shapes(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://s"), (F.col("id") % 5).cast("string"),
+                 F.lit(".com/p"), (F.col("id") % 7).cast("string")).alias("url"),
+    )
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    # canonicalize is a pure projection: no exchange at all
+    assert "Exchange" not in plan(canonicalize_urls(df))
+    # the aggregates shuffle exactly once, with a map-side partial agg
+    p_dedup = plan(url_dedup(df))
+    assert p_dedup.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in p_dedup or "partial" in p_dedup.lower()
+    # domain_stats uses two count(DISTINCT) -> Spark plans the expand
+    # strategy; still a single logical rollup (no join, no window)
+    p_dom = plan(domain_stats(df))
+    assert "Join" not in p_dom and "Window" not in p_dom
+
+
+def test_driver_fixture_pairs_are_duplicates(spark):
+    """Every {2k, 2k+1} pair in the driver's url fixture must collapse to
+    one canonical url (noise differs, identity does not) — except the
+    doc_id % 101 == 100 opaque-urn docs, which stand alone."""
+    import __spark_entry__ as entrymod
+
+    corpus = entrymod._url_corpus(spark, "/root/testdata/sf0.001")
+    c = canonicalize_urls(corpus).select(
+        "doc_id", "canonical_url",
+        F.expr("doc_id div 2").alias("d2"),
+    )
+    pairs = (
+        c.where(F.col("doc_id") % 101 != 100)
+        .groupBy("d2")
+        .agg(F.count_distinct("canonical_url").alias("n"),
+             F.count("*").alias("members"))
+    )
+    bad = pairs.where((F.col("members") == 2) & (F.col("n") != 1)).count()
+    assert bad == 0
+    # and the fixture is not degenerate: urn docs exist at sf0.001? (60
+    # docs -> doc_ids 0..59 -> none hit % 101 == 100; assert the fixture
+    # still produces >1 distinct canonical per site family overall)
+    assert c.select("canonical_url").distinct().count() > 10
