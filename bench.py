@@ -5,11 +5,13 @@ Default mode (driver contract): run the headline queries at
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-``--ab <git-ref> [query ...]`` mode (instance-proof cross-round
-comparison): check the named ref out into a ``git worktree``, then run
-the SAME queries against both trees back-to-back ON THIS BOX, each tree
-in its own subprocess/SparkSession with the suite methodology (untimed
-warm run, best of 3 timed). Emits one JSON line with per-query
+``--ab <git-ref> [query ...] [--rounds R]`` mode (instance-proof
+cross-round comparison): check the named ref out into a ``git
+worktree``, then run the SAME queries against both trees back-to-back
+ON THIS BOX, each tree in its own subprocess/SparkSession with the
+suite methodology (untimed warm run, best of 3 timed); ``--rounds R``
+interleaves the sides A-B-A-B and keeps the per-side min, cancelling
+multi-minute box-phase drift. Emits one JSON line with per-query
 ``{ref, head, ratio}`` plus a ``flagged`` list (ratio > 1.3 either way).
 Rationale: the sandbox VM is re-provisioned between rounds and runs
 identical code up to ~3.9× slower/faster per query (round-3 finding on
@@ -423,8 +425,17 @@ def run_ab_tree(tree: str, query_csv: str) -> None:
     print(json.dumps(timings))
 
 
-def run_ab(ref: str, requested: list[str]) -> None:
-    """Same-box A/B: HEAD vs a git ref, per-query steady-state timings."""
+def run_ab(ref: str, requested: list[str], rounds: int = 1) -> None:
+    """Same-box A/B: HEAD vs a git ref, per-query steady-state timings.
+
+    ``--rounds R`` (default 1) runs the two sides A-B-A-B R times and
+    keeps the per-side MIN across rounds. Rationale (measured r4): this
+    VM's host-steal phases drift at the minutes scale, so a single
+    ref-then-head pass can read ±1.5x on byte-identical code (the r3
+    commit's html_extract read 0.97 s, 1.39 s and 7.23 s across three
+    same-day A/Bs). Min-across-interleaved-rounds needs the box to be
+    slow during EVERY window of one side and fast in SOME window of the
+    other to bias a query — phase noise cancels instead of accumulating."""
     import subprocess
 
     sha = subprocess.run(
@@ -459,11 +470,14 @@ def run_ab(ref: str, requested: list[str]) -> None:
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # ref first, HEAD second, back-to-back on the same box; each side is
-    # internally warm-run + best-of-3 so box phase has to drift WITHIN the
-    # few-minute window to bias a query
-    ref_t = run_tree(tree)
-    head_t = run_tree(REPO)
+    # each side is internally warm-run + best-of-3; rounds interleave
+    # ref/HEAD so multi-minute box-phase drift cancels (see docstring)
+    ref_t: dict = {}
+    head_t: dict = {}
+    for _ in range(rounds):
+        for acc, tree_path in ((ref_t, tree), (head_t, REPO)):
+            for q, sec in run_tree(tree_path).items():
+                acc[q] = min(acc.get(q, float("inf")), sec)
     table = {
         q: {
             "ref": ref_t[q],
@@ -495,7 +509,13 @@ if __name__ == "__main__":
         i = sys.argv.index("--ab-run")
         run_ab_tree(sys.argv[i + 1], sys.argv[i + 2])
     elif "--ab" in sys.argv:
-        i = sys.argv.index("--ab")
-        run_ab(sys.argv[i + 1], sys.argv[i + 2:])
+        argv = list(sys.argv)
+        rounds = 1
+        if "--rounds" in argv:
+            j = argv.index("--rounds")
+            rounds = int(argv[j + 1])
+            del argv[j:j + 2]
+        i = argv.index("--ab")
+        run_ab(argv[i + 1], argv[i + 2:], rounds=rounds)
     else:
         run_suite()
