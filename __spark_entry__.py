@@ -1912,6 +1912,19 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_url_corpus(spark, sf_dir))
 
 
+_DOMAIN_CAP_K = 3
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import domain_cap
+
+    # salt_buckets=4 exercises the two-stage skew-bounded plan in the
+    # graded path (equality with the one-stage plan is unit-tested)
+    return domain_cap(
+        _url_corpus(spark, sf_dir), k=_DOMAIN_CAP_K, salt_buckets=4
+    ).select("doc_id", "registered_domain", "canonical_url")
+
+
 def _o_url_canon_cte() -> str:
     """Shared CTE chain: fixture urls -> canonical parts (independent SQL
     re-implementation of operators/urls' documented canonical form)."""
@@ -2023,6 +2036,15 @@ FROM canon GROUP BY canonical_url
 """
 
 
+def _o_domain_cap() -> str:
+    return f"""
+WITH {_o_url_canon_cte()}
+SELECT doc_id, registered_domain, canonical_url FROM canon
+QUALIFY row_number() OVER (PARTITION BY registered_domain
+                           ORDER BY doc_id) <= {_DOMAIN_CAP_K}
+"""
+
+
 def _o_domain_stats() -> str:
     return f"""
 WITH {_o_url_canon_cte()}
@@ -2078,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
+        "domain_cap": _q_domain_cap,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -2123,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),
+        "domain_cap": _o_domain_cap(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

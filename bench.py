@@ -101,6 +101,7 @@ BENCH_FAMILIES = {
         "url_canonical",
         "url_dedup",
         "domain_stats",
+        "domain_cap",
     ],
     "ann": [
         "ann_brute_topk",

@@ -44,6 +44,7 @@ from .textstats import (  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,
     canonicalize_urls,
+    domain_cap,
     domain_stats,
     registered_domain,
     url_dedup,

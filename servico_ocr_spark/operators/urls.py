@@ -141,6 +141,52 @@ def url_dedup(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` documents per registered domain, deterministic
+    (lowest ``id_col`` first) — the RefinedWeb/C4-style per-domain cap
+    that stops template farms from dominating a training corpus.
+
+    Scale shape: the naive single window over the domain key makes a
+    mega-domain (10^9 docs of one blog platform) a one-task straggler.
+    With ``salt_buckets = B`` the cap runs in two stages: a local top-k
+    per (domain, salt-of-id) bucket — same shuffle width, B-way bounded
+    partitions — then the exact top-k window over the <= B*k survivors
+    per domain. Every global top-k row is its bucket's top-k, so the
+    two-stage result is exactly the one-stage result (tested); the
+    straggler bound drops from max-domain-size to ~max-domain-size/B.
+    Default ``None`` keeps the single-window plan (right at small B*k
+    vs corpus size ratios is not worth two shuffles)."""
+    from pyspark.sql import Window
+
+    c = canonicalize_urls(df, url_col)
+    if salt_buckets:
+        # full-entropy salt (id hash), NOT a coarse modulus — see the
+        # balls-into-bins repartition lesson (CLAUDE.md)
+        salted = c.withColumn(
+            "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+        )
+        w_local = Window.partitionBy("registered_domain", "_salt").orderBy(
+            id_col
+        )
+        c = (
+            salted.withColumn("_rn", F.row_number().over(w_local))
+            .where(F.col("_rn") <= k)
+            .drop("_rn", "_salt")
+        )
+    w = Window.partitionBy("registered_domain").orderBy(id_col)
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def domain_stats(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

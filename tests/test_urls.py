@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from servico_ocr_spark.operators import (
     canonicalize_urls,
+    domain_cap,
     domain_stats,
     url_dedup,
 )
@@ -123,6 +124,41 @@ def test_plan_shapes(spark):
     # strategy; still a single logical rollup (no join, no window)
     p_dom = plan(domain_stats(df))
     assert "Join" not in p_dom and "Window" not in p_dom
+
+
+def _cap_input(spark):
+    # 60 docs over 3 domains with skewed sizes (40/15/5)
+    rows = (
+        [(i, f"http://big.com/p{i}") for i in range(40)]
+        + [(i, f"http://mid.org/p{i}") for i in range(40, 55)]
+        + [(i, f"http://tiny.net/p{i}") for i in range(55, 60)]
+    )
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_domain_cap_keeps_k_smallest_ids(spark):
+    out = domain_cap(_cap_input(spark), k=4).select(
+        "registered_domain", "doc_id"
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["registered_domain"], []).append(r["doc_id"])
+    assert sorted(by_dom["big.com"]) == [0, 1, 2, 3]
+    assert sorted(by_dom["mid.org"]) == [40, 41, 42, 43]
+    assert sorted(by_dom["tiny.net"]) == [55, 56, 57, 58]
+
+
+def test_domain_cap_two_stage_equals_one_stage(spark):
+    df = _cap_input(spark)
+    one = sorted(
+        (r["doc_id"] for r in domain_cap(df, k=7).collect())
+    )
+    for buckets in (2, 4, 16):
+        two = sorted(
+            r["doc_id"]
+            for r in domain_cap(df, k=7, salt_buckets=buckets).collect()
+        )
+        assert two == one, f"salt_buckets={buckets}"
 
 
 def test_driver_fixture_pairs_are_duplicates(spark):
