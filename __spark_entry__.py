@@ -1888,7 +1888,19 @@ def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat('#sec', cast(doc_id % 3 as string)) ELSE '' END) END"
             ),
         )
-        .select("doc_id", "url")
+        # deterministic crawl timestamp (input_hint's warc_ts column):
+        # url-identity families {2k, 2k+1} usually differ in hour
+        # (doc_id % 23) so latest_crawl picks a real max; every 4th
+        # family has a FIXED hour so the doc_id tiebreak is exercised
+        .withColumn(
+            "warc_ts",
+            F.expr(
+                "timestamp'2024-03-01 00:00:00' + make_interval(0, 0, 0, 0, "
+                "cast((d2 % 28) * 24 + (CASE WHEN d2 % 4 = 0 THEN 7 "
+                "ELSE doc_id % 23 END) as int), 0, 0)"
+            ),
+        )
+        .select("doc_id", "url", "warc_ts")
     )
 
 
@@ -1912,6 +1924,19 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_url_corpus(spark, sf_dir))
 
 
+def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import latest_crawl
+
+    return latest_crawl(_url_corpus(spark, sf_dir)).select(
+        "canonical_url",
+        "keep_id",
+        F.date_format("last_crawl_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_crawl"
+        ),
+        "n_crawls",
+    )
+
+
 _DOMAIN_CAP_K = 3
 
 
@@ -1923,6 +1948,255 @@ def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap(
         _url_corpus(spark, sf_dir), k=_DOMAIN_CAP_K, salt_buckets=4
     ).select("doc_id", "registered_domain", "canonical_url")
+
+
+# PII fixture: documents.text with deterministically injected emails /
+# phones / IPv4 (the natural corpus has none). Same arithmetic in the
+# DuckDB CTE below; doc_id % 9 == 0 rows get a SECOND email so the
+# global-replace and count > 1 paths are exercised.
+_PII_INJECT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' Contact user',"
+    "   cast(doc_id % 50 as string), '@mail',"
+    "   cast(doc_id % 7 as string), '.com for details.') ELSE '' END,"
+    " CASE WHEN doc_id % 9 = 0 THEN concat(' cc admin',"
+    "   cast(doc_id % 5 as string), '@example.org') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 1 THEN concat(' tel +',"
+    "   cast(doc_id % 90 + 10 as string), ' ',"
+    "   lpad(cast(doc_id * 7 % 10000 as string), 4, '0'), '-',"
+    "   lpad(cast(doc_id * 13 % 10000 as string), 4, '0'), '.')"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 2 THEN concat(' from ',"
+    "   cast(doc_id % 256 as string), '.',"
+    "   cast(doc_id * 3 % 256 as string), '.',"
+    "   cast(doc_id * 5 % 256 as string), '.',"
+    "   cast(doc_id % 100 as string), ' via proxy') ELSE '' END)"
+)
+
+_PII_INJECT_DUCK = """
+    text ||
+    (CASE WHEN doc_id % 3 = 0 THEN ' Contact user' ||
+        (doc_id % 50)::VARCHAR || '@mail' ||
+        (doc_id % 7)::VARCHAR || '.com for details.' ELSE '' END) ||
+    (CASE WHEN doc_id % 9 = 0 THEN ' cc admin' ||
+        (doc_id % 5)::VARCHAR || '@example.org' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 1 THEN ' tel +' ||
+        (doc_id % 90 + 10)::VARCHAR || ' ' ||
+        lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') || '-' ||
+        lpad((doc_id * 13 % 10000)::VARCHAR, 4, '0') || '.'
+        ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 2 THEN ' from ' ||
+        (doc_id % 256)::VARCHAR || '.' ||
+        (doc_id * 3 % 256)::VARCHAR || '.' ||
+        (doc_id * 5 % 256)::VARCHAR || '.' ||
+        (doc_id % 100)::VARCHAR || ' via proxy' ELSE '' END)
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import scrub_pii
+    from servico_ocr_spark.operators.common import h48
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_INJECT_SPARK)
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        F.length("scrubbed_text").cast("long").alias("scrub_len"),
+        h48(F.col("scrubbed_text")).alias("scrub_h48"),
+    )
+
+
+def _o_pii_scrub() -> str:
+    from servico_ocr_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    # DuckDB single-quoted literals do no backslash processing, so the
+    # Java-regex strings interpolate verbatim; the patterns are
+    # restricted to the Java==RE2 common subset (operators/pii docstring)
+    return f"""
+WITH injected AS (
+    SELECT doc_id, {_PII_INJECT_DUCK} AS text FROM documents
+),
+scrubbed AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+               '{PHONE_RE}', '{PHONE_TOKEN}', 'g'),
+               '{IPV4_RE}', '{IPV4_TOKEN}', 'g') AS s
+    FROM injected
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       length(s)::BIGINT AS scrub_len,
+       {_d_h48('s')} AS scrub_h48
+FROM scrubbed
+"""
+
+
+_DECON_N = 5  # word-shingle width
+# Synthetic eval sentence (10 words -> 6 distinct 5-grams), disjoint from
+# the corpus vocabulary. Injected into doc_id % 17 == 3 docs AFTER which
+# the benchmark is (injected docs % 41 == 0) ∪ {the eval sentence} — so
+# the gate proves cross-document shingle hits (6 per injected doc), not
+# just benchmark self-identity. (The natural corpus's near-dups share
+# word SETS, not word ORDER, so raw docs produce no cross hits.)
+_DECON_EVAL = "the quick brown fox jumps over the lazy sleeping dog"
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import decontaminate
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 3,
+                F.concat("text", F.lit(" " + _DECON_EVAL)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    benchmark = docs.where(F.col("doc_id") % 41 == 0).unionByName(
+        spark.createDataFrame(
+            [(-1, _DECON_EVAL)], "doc_id long, text string"
+        )
+    )
+    return decontaminate(docs, benchmark, n=_DECON_N)
+
+
+def _o_decontaminate() -> str:
+    gram = _d_h48("(w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4)")
+    words = _D_WORDS.format(norm=_D_NORM)
+    return f"""
+WITH injected AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 3 THEN text || ' {_DECON_EVAL}'
+                ELSE text END AS text
+    FROM documents
+),
+corpus AS (SELECT doc_id, {words} AS words FROM injected),
+bsrc AS (
+    SELECT doc_id, {words} AS words FROM injected WHERE doc_id % 41 = 0
+    UNION ALL
+    SELECT -1 AS doc_id,
+           {_D_WORDS.format(norm="lower('" + _DECON_EVAL + "')")} AS words
+),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+    FROM corpus
+),
+led AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER win AS w1,
+           lead(w, 2) OVER win AS w2,
+           lead(w, 3) OVER win AS w3,
+           lead(w, 4) OVER win AS w4
+    FROM tok
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+gx AS (
+    SELECT DISTINCT doc_id, {gram} AS g
+    FROM led WHERE w4 IS NOT NULL
+),
+btok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+    FROM bsrc
+),
+bled AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER bwin AS w1,
+           lead(w, 2) OVER bwin AS w2,
+           lead(w, 3) OVER bwin AS w3,
+           lead(w, 4) OVER bwin AS w4
+    FROM btok
+    WINDOW bwin AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (
+    SELECT DISTINCT {gram} AS g FROM bled WHERE w4 IS NOT NULL
+),
+hits AS (
+    SELECT gx.doc_id, count(*) AS n_hits
+    FROM gx JOIN bg USING (g)
+    GROUP BY gx.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+_PACK_CAPACITY = 256
+_PACK_SHARDS = 8
+
+
+def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import assign_split
+
+    return assign_split(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+def _o_assign_split() -> str:
+    b = _d_h48("('split:' || doc_id::VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} % 100 < 98 THEN 'train'
+            WHEN {b} % 100 < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"),
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+def _o_pack_sequences() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    shard = _d_h48("('pack:' || doc_id::VARCHAR)")
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           len({words})::BIGINT AS n_tokens,
+           ({shard} % {_PACK_SHARDS})::BIGINT AS shard
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM t
+)
+SELECT doc_id, shard,
+       (cb // {_PACK_CAPACITY})::BIGINT AS pack_seq,
+       (cb % {_PACK_CAPACITY})::BIGINT AS pack_offset,
+       n_tokens
+FROM c
+"""
 
 
 def _o_url_canon_cte() -> str:
@@ -2045,6 +2319,34 @@ QUALIFY row_number() OVER (PARTITION BY registered_domain
 """
 
 
+def _o_latest_crawl() -> str:
+    # warc_ts is a pure function of doc_id (same arithmetic as the Spark
+    # fixture), so the oracle re-derives it instead of threading it
+    # through the canon CTE
+    return f"""
+WITH {_o_url_canon_cte()},
+ts AS (
+    SELECT doc_id, canonical_url,
+           TIMESTAMP '2024-03-01 00:00:00' + to_hours(CAST(
+               ((doc_id // 2) % 28) * 24 +
+               (CASE WHEN (doc_id // 2) % 4 = 0 THEN 7
+                     ELSE doc_id % 23 END) AS BIGINT)) AS warc_ts
+    FROM canon
+),
+r AS (
+    SELECT canonical_url, doc_id, warc_ts,
+           row_number() OVER (PARTITION BY canonical_url
+                              ORDER BY warc_ts DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY canonical_url) AS n_crawls
+    FROM ts
+)
+SELECT canonical_url, doc_id AS keep_id,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS last_crawl,
+       n_crawls::BIGINT AS n_crawls
+FROM r WHERE rn = 1
+"""
+
+
 def _o_domain_stats() -> str:
     return f"""
 WITH {_o_url_canon_cte()}
@@ -2101,6 +2403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
         "domain_cap": _q_domain_cap,
+        "latest_crawl": _q_latest_crawl,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
+        "assign_split": _q_assign_split,
+        "pack_sequences": _q_pack_sequences,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -2147,6 +2454,11 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),
         "domain_cap": _o_domain_cap(),
+        "latest_crawl": _o_latest_crawl(),
+        "pii_scrub": _o_pii_scrub(),
+        "decontaminate": _o_decontaminate(),
+        "assign_split": _o_assign_split(),
+        "pack_sequences": _o_pack_sequences(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

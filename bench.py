@@ -86,6 +86,8 @@ BENCH_FAMILIES = {
         "zipf_neardups",
         "simhash",
         "ngram_jaccard",
+        # benchmark decontamination (broadcast probe, no corpus shuffle)
+        "decontaminate",
     ],
     "textstats": [
         "fingerprint",
@@ -94,6 +96,8 @@ BENCH_FAMILIES = {
         "token_counts",
         # Gopher/MassiveText-style within-doc repetition metrics
         "repetition_stats",
+        # regex-tier PII redaction (pure projection, codegen regex)
+        "pii_scrub",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
@@ -102,6 +106,8 @@ BENCH_FAMILIES = {
         "url_dedup",
         "domain_stats",
         "domain_cap",
+        # recrawl collapse: freshest warc_ts wins (one max_by agg)
+        "latest_crawl",
     ],
     "ann": [
         "ann_brute_topk",
@@ -116,6 +122,12 @@ BENCH_FAMILIES = {
         "first_orders",
         "sessionize",
         "source_rollup",
+    ],
+    "packing": [
+        # training-set assembly: hash split (projection), sharded
+        # concat-and-chunk packing (one shuffle on shard)
+        "assign_split",
+        "pack_sequences",
     ],
     "streaming_batch_twins": ["windowed_events"],
     "multimodal": ["media_features"],

@@ -8,6 +8,7 @@ and multimodal column plumbing.
 """
 
 from .dedup import (  # noqa: F401
+    decontaminate,
     exact_duplicates,
     minhash_candidate_telemetry,
     minhash_near_duplicates,
@@ -41,11 +42,14 @@ from .textstats import (  # noqa: F401
     text_fingerprint,
     token_counts,
 )
+from .packing import assign_split, pack_sequences  # noqa: F401
+from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,
     canonicalize_urls,
     domain_cap,
     domain_stats,
+    latest_crawl,
     registered_domain,
     url_dedup,
     url_host,

@@ -655,9 +655,13 @@ def ngram_candidate_telemetry(
     return _telemetry_row(cands, result)
 
 
-def _ngram_build(df, text_col, id_col, n, threshold_pct, max_doc_freq):
-    """(candidate pairs, verified pairs) — shared by the operator and its
-    telemetry twin."""
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (doc_id, g) rows: g = portable 48-bit hash of each n-word
+    shingle of the normalized text. posexplode + window ``lead()`` (whole-
+    stage codegen), never array HOFs — see :func:`ngram_jaccard_pairs`.
+    Docs with fewer than n words produce no rows."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -670,10 +674,66 @@ def _ngram_build(df, text_col, id_col, n, threshold_pct, max_doc_freq):
     gram = F.when(
         parts[-1].isNotNull(), h48(F.concat_ws(" ", *parts))
     )
-    exploded = _cap_doc_freq(
+    return (
         tokens.select("doc_id", gram.alias("g"))
         .where(F.col("g").isNotNull())
-        .distinct(),
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile rule): for
+    every training document, count the distinct n-word shingles it shares
+    with a benchmark/eval corpus and flag documents with any overlap, so
+    eval data can be held out of the training set.
+
+    Returns one row per ``docs`` row: ``doc_id``, ``n_hits`` (distinct
+    contaminated shingles), ``contaminated`` (0/1) — callers filter on
+    the flag or threshold on ``n_hits``.
+
+    Scale shape: the corpus side is the codegen shingle table evaluated
+    ONCE; the benchmark side (eval sets — 10^3..10^7 shingles, tiny next
+    to a 10^12-doc corpus) is broadcast, so the probe join never shuffles
+    corpus shingles; hits then partial-aggregate by doc_id. The restoring
+    left join (docs with < n words or zero hits must still appear, with
+    n_hits = 0) re-reads only the id column of ``docs`` — column pruning
+    makes that scan trivial, unlike re-executing an expensive upstream
+    (the `drop_repeated_paragraphs` lesson does not bite here)."""
+    doc_grams = _shingle_table(docs, text_col, id_col, n)
+    bench_grams = (
+        _shingle_table(benchmark, bench_text_col, id_col, n)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hits"),
+            (n_hits > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def _ngram_build(df, text_col, id_col, n, threshold_pct, max_doc_freq):
+    """(candidate pairs, verified pairs) — shared by the operator and its
+    telemetry twin."""
+    exploded = _cap_doc_freq(
+        _shingle_table(df, text_col, id_col, n),
         "g",
         max_doc_freq,
     )

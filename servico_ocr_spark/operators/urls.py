@@ -141,6 +141,37 @@ def url_dedup(
     )
 
 
+def latest_crawl(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse recrawls: one row per canonical url keeping the FRESHEST
+    crawl (max ``ts_col``; ties broken by smallest ``id_col``), plus the
+    recrawl count — the Common-Crawl "latest snapshot wins" rule applied
+    across crawl batches (the input table's ``warc_ts`` column exists for
+    exactly this).
+
+    Scale shape: one map-side-combinable hash aggregation — ``max_by``
+    over the (ts, -id) ordering struct resolves the representative inside
+    the partial aggregate, so unlike the window formulation no per-url
+    row group is ever materialized and a hot url (10^6 recrawls of a
+    homepage) costs its combiner nothing but a comparison. Same
+    no-digest reduce key rule as :func:`url_dedup`."""
+    c = canonicalize_urls(df, url_col)
+    # (ts asc, -id asc) max == freshest ts, then smallest id — struct
+    # comparison is lexicographic and id uniqueness makes it total
+    ord_key = F.struct(
+        F.col(ts_col).alias("ts"), (-F.col(id_col)).alias("neg_id")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.max_by(F.col(id_col), ord_key).alias("keep_id"),
+        F.max(ts_col).alias("last_crawl_ts"),
+        F.count("*").cast("long").alias("n_crawls"),
+    )
+
+
 def domain_cap(
     df: DataFrame,
     k: int,

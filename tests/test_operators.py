@@ -18,6 +18,63 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_decontaminate_flags_shared_shingles(spark):
+    from servico_ocr_spark.operators import decontaminate
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _docs(
+        spark,
+        [
+            # contains the benchmark 5-gram verbatim (prefix position)
+            (1, "alpha beta gamma delta epsilon and more words here"),
+            # same words re-ordered: no shared 5-gram
+            (2, "epsilon delta gamma beta alpha and more words here"),
+            # shorter than n words: zero shingles, still one output row
+            (3, "too short"),
+            # clean doc
+            (4, "completely unrelated text about other topics entirely"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert out == {1: (1, 1), 2: (0, 0), 3: (0, 0), 4: (0, 0)}
+
+
+def test_decontaminate_counts_distinct_hits_and_normalizes(spark):
+    from servico_ocr_spark.operators import decontaminate
+
+    # two distinct overlapping 4-grams with the benchmark; accents and
+    # punctuation fold away via the shared norm_text, and a REPEATED
+    # contaminated shingle counts once (distinct semantics)
+    bench = _docs(spark, [(100, "um dois três quatro cinco")])
+    docs = _docs(
+        spark,
+        [(1, "Um, dois TRÊS quatro cinco um dois três quatro cinco seis")],
+    )
+    out = decontaminate(docs, bench, n=4).collect()[0]
+    # shared distinct 4-grams: "um dois tres quatro", "dois tres quatro
+    # cinco" — each appears twice in doc 1 but counts once
+    assert (out["n_hits"], out["contaminated"]) == (2, 1)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from servico_ocr_spark.operators import decontaminate
+
+    bench = _docs(spark, [(100, "a b c d e")])
+    docs = _docs(spark, [(1, "a b c d e f")])
+    plan = (
+        decontaminate(docs, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe join must broadcast the benchmark side, never shuffle
+    # the corpus shingles to a sort-merge join
+    assert "BroadcastHashJoin" in plan
+
+
 def test_exact_duplicates_groups(spark):
     df = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
     out = exact_duplicates(df).collect()

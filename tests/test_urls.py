@@ -12,6 +12,7 @@ from servico_ocr_spark.operators import (
     canonicalize_urls,
     domain_cap,
     domain_stats,
+    latest_crawl,
     url_dedup,
 )
 
@@ -159,6 +160,50 @@ def test_domain_cap_two_stage_equals_one_stage(spark):
             for r in domain_cap(df, k=7, salt_buckets=buckets).collect()
         )
         assert two == one, f"salt_buckets={buckets}"
+
+
+def test_latest_crawl_freshest_wins_ties_to_smallest_id(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+    rows = [
+        # same canonical url (fragment/tracking noise), different ts
+        (1, "http://a.com/x?utm_source=s", t(5)),
+        (2, "http://a.com/x#frag", t(9)),
+        (3, "http://a.com/x", t(7)),
+        # tie on ts -> smallest doc_id kept
+        (10, "https://b.org/", t(3)),
+        (11, "https://b.org/#s", t(3)),
+        # singleton
+        (20, "http://c.net/only", t(1)),
+    ]
+    out = {
+        r["canonical_url"]: r
+        for r in latest_crawl(
+            spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+        ).collect()
+    }
+    a = out["http://a.com/x"]
+    assert (a["keep_id"], a["n_crawls"]) == (2, 3)
+    assert a["last_crawl_ts"] == t(9)
+    b = out["https://b.org/"]
+    assert (b["keep_id"], b["n_crawls"]) == (10, 2)
+    c = out["http://c.net/only"]
+    assert (c["keep_id"], c["n_crawls"]) == (20, 1)
+
+
+def test_latest_crawl_plan_is_one_aggregate(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", dt.datetime(2024, 1, 1))],
+        ["doc_id", "url", "warc_ts"],
+    )
+    plan = latest_crawl(df)._jdf.queryExecution().executedPlan().toString()
+    # max_by resolves the representative inside the partial aggregate:
+    # no window, no join, map-side combine present
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
 
 
 def test_driver_fixture_pairs_are_duplicates(spark):
