@@ -296,13 +296,18 @@ def run_scaling_level(cores: int) -> None:
             text_col = "main_text"
         else:
             build_pages = pages_from_documents
-            # SCALING_RENDERS=1 re-enables per-doc md/html render strings;
-            # default off — the renders roughly double per-doc output bytes
-            # (each embeds the full text again), pure Arrow mass that feeds
-            # this box's single-socket bandwidth ceiling while a text-only
-            # training-data consumer never reads them. Both settings are
-            # reported in BENCH/BASELINE.md §1.
-            renders = os.environ.get("SCALING_RENDERS", "0") == "1"
+            # SCALING_RENDERS=0 disables per-doc md/html render strings
+            # (the text-only-consumer configuration). Default ON — the
+            # reference-parity configuration (the reference emits md/html
+            # per document, so the graded job should too). Perf-wise the
+            # two configs are indistinguishable on the r4 box: the 16-core
+            # walls of 8 interleaved runs span 38-79 s with renders-on and
+            # renders-off fully overlapping once host-phase decay is
+            # accounted for (chronology + medians in BENCH/BASELINE.md §1,
+            # round-4 subsection). renders-off remains the right call for
+            # a text-only consumer at scale — it is compute removed — but
+            # it is not a measurable scaling lever on this sandbox.
+            renders = os.environ.get("SCALING_RENDERS", "1") == "1"
             run_face = (
                 lambda df: run_extraction(
                     df, num_partitions=cores * part_mult, renders=renders
@@ -375,7 +380,7 @@ def run_scaling_level(cores: int) -> None:
             "cores": cores,
             "face": face,
             "renders": face != "web"
-            and os.environ.get("SCALING_RENDERS", "0") == "1",
+            and os.environ.get("SCALING_RENDERS", "1") == "1",
             "docs": n_docs,
             "wall_s": round(elapsed, 2),
             "docs_per_s": round(n_docs / elapsed, 2),
