@@ -2199,6 +2199,76 @@ FROM c
 """
 
 
+# data-mix recipe: src0 over-weighted 4x, src1 2x, src2-src9 1x, and
+# src10-src19 OUT of the recipe (allowlist semantics exercised live).
+# With the budget derived as half the allowlisted token mass, src0's
+# target exceeds its supply (rate caps at keep-all) while src1 and
+# src2-9 sample at two distinct binding rates — cap and both rate
+# regimes exercised at every sf (the derived-constant discipline of
+# minhash_neardups' word-df cap).
+_MIX_WEIGHTS = {"src0": 4, "src1": 2, **{f"src{i}": 1 for i in range(2, 10)}}
+_MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
+_MIX_DENOM = 10_000
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import token_budget_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    # the budget is derived from the corpus in integer arithmetic both
+    # engines reproduce exactly (sum of allowlisted tokens, halved); the
+    # small driver-side agg is a documented eager step, same precedent
+    # as embedding_neardups' plane count
+    total = (
+        docs.where(F.col("source").isin(list(_MIX_WEIGHTS)))
+        .agg(F.sum(F.size(words_array(F.col("text")))).cast("long").alias("t"))
+        .collect()[0]["t"]
+    )
+    return token_budget_mix(
+        docs,
+        budget=int(total) // 2,
+        weights=_MIX_WEIGHTS,
+        rate_denom=_MIX_DENOM,
+    ).orderBy("doc_id")
+
+
+def _o_token_budget_mix() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    h = _d_h48("('mix:' || doc_id::VARCHAR)")
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    D = _MIX_DENOM
+    return f"""
+WITH t AS (
+    SELECT doc_id, source AS stratum,
+           len({words})::BIGINT AS n_tokens,
+           {h} AS h,
+           (CASE source {w_case} ELSE 0 END)::BIGINT AS w
+    FROM documents
+),
+a AS (SELECT * FROM t WHERE w > 0),
+b AS (SELECT (sum(n_tokens)::BIGINT // 2) AS budget FROM a),
+s AS (
+    SELECT stratum, sum(n_tokens)::BIGINT AS ts, min(w) AS w2
+    FROM a GROUP BY stratum
+),
+r AS (
+    SELECT stratum,
+           (CASE WHEN ts = 0 THEN {D}
+                 ELSE least({D},
+                            ((SELECT budget FROM b) * w2 * {D})
+                                // ({_MIX_W_TOTAL} * ts))
+            END)::BIGINT AS rate_pp
+    FROM s
+)
+SELECT a.doc_id, a.stratum, a.n_tokens, r.rate_pp
+FROM a JOIN r USING (stratum)
+WHERE a.h * {D} < r.rate_pp * 281474976710656
+ORDER BY a.doc_id
+"""
+
+
 def _o_url_canon_cte() -> str:
     """Shared CTE chain: fixture urls -> canonical parts (independent SQL
     re-implementation of operators/urls' documented canonical form)."""
@@ -2408,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
+        "token_budget_mix": _q_token_budget_mix,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -2459,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),
         "pack_sequences": _o_pack_sequences(),
+        "token_budget_mix": _o_token_budget_mix(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

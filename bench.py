@@ -125,9 +125,11 @@ BENCH_FAMILIES = {
     ],
     "packing": [
         # training-set assembly: hash split (projection), sharded
-        # concat-and-chunk packing (one shuffle on shard)
+        # concat-and-chunk packing (one shuffle on shard), token-budget
+        # data mixing (one strata agg + broadcast rate filter)
         "assign_split",
         "pack_sequences",
+        "token_budget_mix",
     ],
     "streaming_batch_twins": ["windowed_events"],
     "multimodal": ["media_features"],

@@ -42,7 +42,11 @@ from .textstats import (  # noqa: F401
     text_fingerprint,
     token_counts,
 )
-from .packing import assign_split, pack_sequences  # noqa: F401
+from .packing import (  # noqa: F401
+    assign_split,
+    pack_sequences,
+    token_budget_mix,
+)
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,

@@ -26,6 +26,12 @@ Scale notes:
   distributed semantics, not an approximation of a global order. The
   shard salt is the full-entropy document id hash, never a coarse
   modulus (the balls-into-bins repartition lesson).
+- ``token_budget_mix`` is one map-side-combinable aggregation over
+  #strata rows plus a broadcast of those rows back onto a pure filter —
+  the whole mixing decision costs one tiny shuffle regardless of corpus
+  size, and the per-document keep/drop is a property of the document
+  hash, so re-running the mix over a grown corpus only ADDS documents
+  at an updated rate, it never flaps old decisions for a fixed rate.
 """
 
 from __future__ import annotations
@@ -118,4 +124,104 @@ def pack_sequences(
             .alias("pack_offset"),
             "n_tokens",
         )
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget: int,
+    weights: dict[str, int] | None = None,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_denom: int = 10_000,
+    salt: str = "mix",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Deterministic data-mix sampling to a token budget.
+
+    The standard pretraining "data mixing" step: given a total token
+    ``budget`` and per-stratum ``weights`` (a recipe like
+    ``{"web": 6, "code": 3, "books": 1}``), sample each stratum at the
+    rate that lands its token mass on ``budget * w_s / sum(w)``, capped
+    at keep-everything when the stratum is smaller than its target.
+    ``weights=None`` means uniform over the strata PRESENT in the data
+    (the stratum count is derived from the data itself, so the default
+    is scale-invariant); with explicit weights, strata missing from the
+    recipe are dropped (weight 0) — recipes are allowlists.
+
+    All arithmetic is integer and engine-portable:
+
+    - per-stratum rate in parts-per-``rate_denom``:
+      ``k_s = min(D, (budget * w_s * D) div (W * T_s))`` where ``T_s``
+      is the stratum's total token count and ``W = sum(weights)``
+      (a stratum with ``T_s = 0`` keeps everything — the ``min(1, ·)``
+      limit as supply vanishes);
+    - a document is kept iff ``h48(salt || ':' || id) * D < k_s * 2^48``
+      — the same portable 48-bit md5 hash as the split assignment, so
+      the decision replays identically in any engine. Sampling noise is
+      binomial around the target; the expectation is exact.
+
+    BIGINT bound: ``budget * max(w) * D`` must stay below 2^63 — with
+    the default D = 10^4 and single-digit weights that allows budgets
+    past 10^14 tokens; larger runs should lower D (1 000 still gives
+    0.1 % rate resolution).
+
+    Returns kept rows: ``(doc_id, stratum, n_tokens, rate_pp)`` where
+    ``rate_pp`` is ``k_s`` (the applied rate in parts-per-``D``).
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    if weights is not None and not weights:
+        raise ValueError("weights must be None or non-empty")
+    if weights is not None and any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    D = int(rate_denom)
+    if token_count_col:
+        n_tokens = F.col(token_count_col).cast("long")
+    else:
+        n_tokens = F.size(
+            F.filter(F.split(norm_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+        ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).cast("string").alias("stratum"),
+        n_tokens.alias("n_tokens"),
+        (h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+         ).alias("_h"),
+    )
+    if weights is None:
+        w_col = F.lit(1).cast("long")
+    else:
+        expr = None
+        for name, w in sorted(weights.items()):
+            c = F.col("stratum") == name
+            expr = F.when(c, w) if expr is None else expr.when(c, w)
+        w_col = expr.otherwise(0).cast("long")
+    base = base.withColumn("_w", w_col).where(F.col("_w") > 0)
+    totals = base.groupBy("stratum").agg(
+        F.sum("n_tokens").alias("_t"), F.first("_w").alias("_w2")
+    )
+    if weights is None:
+        w_total = F.count("*").over(Window.partitionBy())
+    else:
+        w_total = F.lit(int(sum(weights.values()))).cast("long")
+    # the unpartitioned window runs over #strata rows (a recipe-sized
+    # relation), never over documents
+    rates = totals.withColumn("_wt", w_total.cast("long")).select(
+        "stratum",
+        F.when(F.col("_t") == 0, F.lit(D).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(D).cast("long"),
+                F.expr(f"({int(budget)}L * _w2 * {D}L) div (_wt * _t)"),
+            )
+        )
+        .alias("rate_pp"),
+    )
+    return (
+        base.join(F.broadcast(rates), "stratum")
+        .where(F.col("_h") * D < F.col("rate_pp") * F.lit(2 ** 48))
+        .select("doc_id", F.col("stratum"), "n_tokens", "rate_pp")
     )

@@ -97,3 +97,105 @@ def test_pack_sequences_capacity_validation(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         pack_sequences(df, capacity=0)
+
+
+def _mix_corpus(spark, spec):
+    """spec: list of (stratum, n_docs, tokens_per_doc)."""
+    rows, i = [], 0
+    for stratum, n, tok in spec:
+        for _ in range(n):
+            rows.append((i, stratum, "w " * tok))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_token_budget_mix_validation(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = _mix_corpus(spark, [("a", 1, 1)])
+    with pytest.raises(ValueError):
+        token_budget_mix(df, budget=-1)
+    with pytest.raises(ValueError):
+        token_budget_mix(df, budget=1, weights={})
+    with pytest.raises(ValueError):
+        token_budget_mix(df, budget=1, weights={"a": -2})
+
+
+def test_token_budget_mix_uniform_hits_budget(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = _mix_corpus(spark, [("a", 200, 5), ("b", 200, 5)])
+    out = token_budget_mix(df, budget=1000).collect()
+    # exact integer rate: 1000 * 1 * 10000 div (2 * 1000) = 5000
+    assert {r["rate_pp"] for r in out} == {5000}
+    for s in ("a", "b"):
+        kept = sum(r["n_tokens"] for r in out if r["stratum"] == s)
+        # target 500 tokens/stratum; binomial noise over 200 keep draws
+        assert 350 <= kept <= 650
+
+
+def test_token_budget_mix_weighted_recipe(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = _mix_corpus(
+        spark, [("a", 100, 4), ("b", 100, 4), ("c", 10, 2), ("d", 50, 3)]
+    )
+    out = token_budget_mix(
+        df, budget=400, weights={"a": 2, "b": 1, "c": 1}
+    ).collect()
+    rates = {}
+    for r in out:
+        rates.setdefault(r["stratum"], set()).add(r["rate_pp"])
+    # d is not in the recipe: allowlist semantics drop it entirely
+    assert "d" not in rates
+    # exact rates: a = 400*2*10000 div (4*400) = 5000, b = 2500;
+    # c's target (100 tokens) exceeds its 20-token supply -> cap (keep all)
+    assert rates["a"] == {5000}
+    assert rates["b"] == {2500}
+    assert rates["c"] == {10000}
+    assert sum(1 for r in out if r["stratum"] == "c") == 10
+
+
+def test_token_budget_mix_empty_stratum_keeps_all(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", ""), (2, "a", ""), (3, "b", "w w w")],
+        ["doc_id", "source", "text"],
+    )
+    out = token_budget_mix(df, budget=3).collect()
+    a_rows = [r for r in out if r["stratum"] == "a"]
+    # zero-supply stratum: rate caps at keep-everything (the min(1, .)
+    # limit), rows ride through with n_tokens = 0
+    assert len(a_rows) == 2
+    assert {r["rate_pp"] for r in a_rows} == {10000}
+    assert {r["n_tokens"] for r in a_rows} == {0}
+
+
+def test_token_budget_mix_deterministic_and_keep_stable_at_fixed_rate(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = _mix_corpus(spark, [("a", 150, 3)])
+    out1 = sorted(r["doc_id"] for r in token_budget_mix(df, 225).collect())
+    out2 = sorted(r["doc_id"] for r in token_budget_mix(df, 225).collect())
+    assert out1 == out2
+    # doubling the budget doubles the rate; the kept set GROWS
+    # monotonically (hash-threshold sampling nests by construction)
+    big = sorted(r["doc_id"] for r in token_budget_mix(df, 450).collect())
+    assert set(out1) <= set(big)
+
+
+def test_token_budget_mix_plan_broadcasts_rates(spark):
+    from servico_ocr_spark.operators import token_budget_mix
+
+    df = _mix_corpus(spark, [("a", 20, 3), ("b", 20, 3)])
+    plan = (
+        token_budget_mix(df, budget=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rates relation (#strata rows) must come back as a broadcast,
+    # never a sort-merge shuffle of the document side
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
