@@ -699,6 +699,74 @@ WHERE floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter)) >= 20
 """
 
 
+# ExactSubstr span removal window (tokens). 10 binds on this corpus at
+# every sf: the template near-dup families + injected chain sentences
+# carry duplicated runs >= 10 tokens (sf0.01: ~9% of tokens removed
+# across ~47 docs), while most text survives — removal AND retention
+# both exercised live.
+_SPAN_MIN_LEN = 10
+
+
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _read(spark, sf_dir, "documents"), min_len=_SPAN_MIN_LEN
+    ).orderBy("doc_id")
+
+
+def _o_dup_span_removal() -> str:
+    L = _SPAN_MIN_LEN
+    leads = ", ".join(
+        f"lead(w, {k}) OVER win AS w{k}" for k in range(1, L)
+    )
+    gram = "w || ' ' || " + " || ' ' || ".join(f"w{k}" for k in range(1, L))
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+    FROM base
+),
+led AS (
+    SELECT doc_id, pos, w, {leads}
+    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (
+    SELECT doc_id, pos, w,
+           CASE WHEN w{L - 1} IS NOT NULL THEN {gram} END AS gram
+    FROM led
+),
+c AS (
+    SELECT gram FROM (
+        SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
+        GROUP BY gram)
+    WHERE n > 1
+),
+cov AS (
+    SELECT g.doc_id, g.pos, g.w,
+           max(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                     ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW)
+               AS covered
+    FROM g LEFT JOIN c ON g.gram = c.gram
+),
+agg AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(covered)::BIGINT AS n_removed,
+           coalesce(string_agg(w, ' ' ORDER BY pos)
+                        FILTER (WHERE covered = 0), '') AS clean_text
+    FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ===========================================================================
 # Binding-regime dedup fixtures: path-graph chains and hot-shingle
 # boilerplate (derived deterministically from doc_id alone, so the df cap
@@ -2479,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": _q_assign_split,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
+        "dup_span_removal": _q_dup_span_removal,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
@@ -2531,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         "assign_split": _o_assign_split(),
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
+        "dup_span_removal": _o_dup_span_removal(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,

@@ -72,6 +72,9 @@ BENCH_FAMILIES = {
         # CCNet-style corpus-wide boilerplate paragraph removal over the
         # html face (extraction kernel + window df + reassembly groupBy)
         "html_boilerplate_dedup",
+        # ExactSubstr (Lee et al. 2022) duplicate-span removal as n-gram
+        # coverage: gram-text groupBy + flag join + sliding max
+        "dup_span_removal",
         # the consumer-facing dedup shape: groups + keeper (linear
         # output), built on the minhash pair graph — pair queries stay
         # internals

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import distinct_words, h48, norm_text
+from .common import distinct_words, h48, norm_text, words_array
 
 #: RECOMMENDED document-frequency cap for candidate-join features (words
 #: / shingles). A feature present in more docs than this carries no
@@ -775,3 +775,99 @@ def _ngram_build(df, text_col, id_col, n, threshold_pct, max_doc_freq):
         .where(F.col("jaccard_pct") >= threshold_pct)
     )
     return pairs.select("id_a", "id_b"), verified
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr), distributed as n-gram coverage instead of a suffix
+    array: a token is removed iff it lies inside ANY length-``min_len``
+    token window that occurs more than once in the corpus (same-doc
+    repeats count, as in the paper: every copy of a duplicated substring
+    is removed). For a shared run longer than ``min_len``, the
+    overlapping windows cover the whole run, so the two formulations
+    remove the same spans; the n-gram form is a window count + sliding
+    max — all Spark-native, no global suffix sort.
+
+    Scale notes:
+    - gram counting partitions by the gram TEXT, never a 48-bit digest:
+      digest birthday collisions at 10^12 grams would silently mark
+      unique text as duplicated (the same rule as the webtext paragraph
+      window). The shuffle carries rows that hold the gram anyway.
+    - the occurrence count is a window over the gram (the
+      ``_cap_doc_freq`` shape): the expensive explode+lead subtree is
+      evaluated ONCE, where the groupBy+join-back alternative evaluated
+      it twice — measured 2.91 s vs 6.45 s at sf0.1, row-identical, 3
+      exchanges vs 5. The price is the documented bounded-linear
+      straggler on a 10^8-occurrence boilerplate gram (one window
+      partition buffers its rows); rows with NO gram (the last
+      ``min_len``-1 positions of every document) are salted with a
+      per-row sentinel — keyed on the raw NULL they would all land in
+      ONE window partition, a (min_len-1)×n_docs-row straggler at scale.
+      The sentinel contains ``\\0`` so it cannot collide with a real
+      gram (grams are normalized alphanumerics and spaces).
+    - per-doc coverage is a sliding ``max`` over the doc's own token
+      order — cost proportional to the document, embarrassingly
+      parallel across docs.
+
+    Returns one row per input document:
+    ``(doc_id, n_tokens, n_removed, clean_text)`` where ``clean_text``
+    is the surviving tokens of the NORMALIZED text joined by single
+    spaces (empty documents ride through posexplode_outer and return
+    unchanged as empty strings).
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    L = int(min_len)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, L)]
+    last = F.col("w") if L == 1 else F.lead("w", L - 1).over(w)
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(last.isNotNull(), F.concat_ws(" ", *leads)).alias("gram"),
+    )
+    gw = Window.partitionBy(
+        F.coalesce(
+            F.col("gram"),
+            F.concat_ws(":", F.lit("\0"), F.col("doc_id"), F.col("pos")),
+        )
+    )
+    covw = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(L - 1), 0)
+    )
+    cov = grams.withColumn(
+        # count("gram") ignores NULLs, so sentinel rows read 0/1 and can
+        # never flag; real grams flag iff they occur more than once
+        "_n", F.count("gram").over(gw)
+    ).withColumn(
+        "covered",
+        F.max(F.when(F.col("_n") > 1, 1).otherwise(0)).over(covw),
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count("w").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("covered") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("covered") == 0, F.struct("pos", "w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -593,3 +593,55 @@ def test_repetition_stats_exact(spark):
     r4 = got[4]  # x y x y x: dup 3/5, top 3/5; grams n=4 d=2
     assert (r4["dup_word_ppm"], r4["top_word_ppm"]) == (600000, 600000)
     assert (r4["dup_2gram_ppm"], r4["top_2gram_ppm"]) == (500000, 500000)
+
+
+def test_remove_duplicate_spans_shared_and_self_repeats(spark):
+    from servico_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "p q r s t u"),          # shares 3-gram "q r s" with doc 2
+        (2, "z z1 q r s z2"),
+        (3, "m n m n m n"),          # self-repeating: every 3-gram occurs twice
+        (4, "unique words only here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, min_len=3).collect()
+    }
+    assert len(out) == 5  # every input doc rides through, empty included
+    assert (out[1]["n_removed"], out[1]["clean_text"]) == (3, "p t u")
+    assert (out[2]["n_removed"], out[2]["clean_text"]) == (3, "z z1 z2")
+    # same-doc repeats count (Lee et al.: every copy removed)
+    assert (out[3]["n_removed"], out[3]["clean_text"]) == (6, "")
+    assert (out[4]["n_removed"], out[4]["clean_text"]) == (
+        0, "unique words only here")
+    assert (out[5]["n_tokens"], out[5]["clean_text"]) == (0, "")
+
+
+def test_remove_duplicate_spans_long_run_fully_covered(spark):
+    from servico_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    # a shared run LONGER than min_len: overlapping windows must cover
+    # the whole run (the suffix-array-equivalence property)
+    rows = [
+        (1, "x1 a b c d e x2"),
+        (2, "y1 y2 a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, min_len=3).collect()
+    }
+    assert (out[1]["n_removed"], out[1]["clean_text"]) == (5, "x1 x2")
+    assert (out[2]["n_removed"], out[2]["clean_text"]) == (5, "y1 y2")
+
+
+def test_remove_duplicate_spans_validation(spark):
+    from servico_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(df, min_len=0)
