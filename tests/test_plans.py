@@ -185,3 +185,18 @@ def test_minhash_fixture_reuses_exchanges(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 3, plan[:4000]
+
+
+def test_dup_span_removal_plan_single_subtree_no_join(spark):
+    """remove_duplicate_spans must keep the measured-good shape: the
+    explode+lead subtree evaluated ONCE (window occurrence count), never
+    the groupBy+join-back alternative that re-evaluates it (measured
+    2.91 s vs 6.45 s at sf0.1, 3 exchanges vs 5)."""
+    from servico_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = _plan(remove_duplicate_spans(df, min_len=3))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
