@@ -20,8 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from servico_ocr_spark.core.text import ACCENT_DST, ACCENT_SRC
 from servico_ocr_spark.corpus import (
+    _C4_LINE_WORDS,
     _HTML_PARA_WORDS,
+    C4_BRACE_LINE,
+    C4_LOREM_LINE,
     HTML_ENTITY_TEXT,
+    c4_text_from_documents,
     html_pages_from_documents,
     pages_from_documents,
 )
@@ -46,7 +50,12 @@ from servico_ocr_spark.operators import (
     web_partition_metrics,
 )
 from servico_ocr_spark.operators.common import h48, norm_text, words_array
-from servico_ocr_spark.operators.textstats import LANG_MARKERS
+from servico_ocr_spark.operators.textstats import (
+    C4_MIN_KEPT_LINES,
+    C4_MIN_LINE_WORDS,
+    LANG_MARKERS,
+    c4_page_clean,
+)
 from servico_ocr_spark.pipeline import docs_table, lineage_table, run_extraction
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -1460,6 +1469,72 @@ FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
 """
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_page_clean(
+        c4_text_from_documents(_read(spark, sf_dir, "documents"))
+    )
+
+
+def _o_c4_clean() -> str:
+    """Mirror of corpus.c4_text_from_documents + textstats.c4_page_clean:
+    rebuild the punctuated multi-line pages from the same doc_id
+    arithmetic, then re-apply the C4 line/page rules on the page string —
+    the oracle runs the full synthesize → split → filter path, exactly
+    like the Spark side."""
+    w = _C4_LINE_WORDS
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+),
+lx AS (
+    SELECT doc_id,
+           list_concat(
+             CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                    generate_series(0, (len(ws) - 1) // {w}),
+                    i -> array_to_string(ws[i * {w} + 1 : i * {w} + {w}], ' ')
+                      || CASE WHEN (doc_id + i) % 11 = 5
+                              THEN ' javascript' ELSE '' END
+                      || (['.', '!', '?', ''])[(doc_id + i) % 4 + 1]) END,
+             list_concat(
+               CASE WHEN doc_id % 19 = 5 THEN ['{C4_LOREM_LINE}']
+                    ELSE CAST([] AS VARCHAR[]) END,
+               CASE WHEN doc_id % 23 = 7 THEN ['{C4_BRACE_LINE}']
+                    ELSE CAST([] AS VARCHAR[]) END)
+           ) AS built
+    FROM base
+),
+pg AS (
+    SELECT doc_id, array_to_string(built, chr(10)) AS page FROM lx
+),
+k AS (
+    SELECT doc_id, page,
+           string_split(page, chr(10)) AS lines,
+           list_filter(string_split(page, chr(10)),
+             x -> right(x, 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split(x, ' '), y -> y <> ''))
+                   >= {C4_MIN_LINE_WORDS}
+               AND strpos(lower(x), 'javascript') = 0) AS kept
+    FROM pg
+),
+f AS (
+    SELECT doc_id, lines, kept,
+           (strpos(page, chr(123)) = 0
+            AND strpos(lower(page), 'lorem ipsum') = 0
+            AND len(kept) >= {C4_MIN_KEPT_LINES}) AS pk
+    FROM k
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (CASE WHEN pk THEN 1 ELSE 0 END)::BIGINT AS page_kept,
+       CASE WHEN pk THEN array_to_string(kept, chr(10)) END AS clean_text
+FROM f
+"""
+
+
 # ===========================================================================
 # Relational operator coverage (joins, aggs, windows, sessionization)
 # ===========================================================================
@@ -2537,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
+        "c4_clean": _q_c4_clean,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
@@ -2590,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _o_quality(),
         "fingerprint": _o_fingerprint(),
         "repetition_stats": _o_repetition_stats(),
+        "c4_clean": _o_c4_clean(),
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),

@@ -101,6 +101,9 @@ BENCH_FAMILIES = {
         "repetition_stats",
         # regex-tier PII redaction (pure projection, codegen regex)
         "pii_scrub",
+        # C4-style line/page cleaning (zero-shuffle projection over the
+        # punctuated-line fixture)
+        "c4_clean",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -228,6 +228,64 @@ _HTML_SPAM_P = (
 )
 
 
+# ---------------------------------------------------------------------------
+# C4-style multi-line page text synthesis (consumed by
+# operators/textstats.c4_page_clean). The documents corpus has no newlines
+# or punctuation, so the C4 line/page rules would be degenerate on it; this
+# builder regroups each document's words into punctuated lines with
+# deterministic adversarial subsets, all from doc_id arithmetic that the
+# DuckDB oracle (__spark_entry__._o_c4_clean) reproduces exactly.
+# ---------------------------------------------------------------------------
+
+_C4_LINE_WORDS = 6
+#: page-poison lines; interpolated RAW into DuckDB single-quoted literals
+C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+C4_BRACE_LINE = "config values are set here { ok }."
+assert "'" not in C4_LOREM_LINE and "'" not in C4_BRACE_LINE
+
+
+def c4_text_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, text) where text is a multi-line
+    page exercising every C4 cleaning rule at every sf. Pure JVM.
+
+    Per doc: words regrouped into 6-word lines; line i ends by
+    ``(doc_id + i) % 4`` with '.', '!', '?', or nothing (the no-punct arm
+    exercises the terminal-punctuation rule); lines with
+    ``(doc_id + i) % 11 == 5`` gain the word ``javascript`` (line-level
+    drop); the organic short tail (n_words % 6 < 3) exercises the
+    ≥ 3-words rule. Page-level: ``doc_id % 19 == 5`` appends a
+    lorem-ipsum line, ``doc_id % 23 == 7`` appends a brace line that
+    PASSES every line rule — both kill the whole page (proving page-rule
+    precedence); docs with few words (10 words → 2 lines) fall under the
+    ≥ 5-kept-lines rule organically. transform() here is interpreted per
+    *line* (~n_words/6 elements) — fine for a fixture builder; the
+    measured operator is the cleaner itself.
+    """
+    w = _C4_LINE_WORDS
+    lines = F.expr(
+        "CASE WHEN size(_ws) = 0 THEN cast(array() as array<string>) "
+        "ELSE transform("
+        f" sequence(0, (size(_ws) - 1) div {w}), i -> concat("
+        f"  array_join(slice(_ws, i * {w} + 1, {w}), ' '),"
+        "   CASE WHEN (doc_id + i) % 11 = 5 THEN ' javascript' ELSE '' END,"
+        "   element_at(array('.', '!', '?', ''), "
+        "cast((doc_id + i) % 4 as int) + 1))) END"
+    )
+    extra = F.expr(
+        f"concat(CASE WHEN doc_id % 19 = 5 THEN array('{C4_LOREM_LINE}') "
+        "ELSE cast(array() as array<string>) END, "
+        f"CASE WHEN doc_id % 23 = 7 THEN array('{C4_BRACE_LINE}') "
+        "ELSE cast(array() as array<string>) END)"
+    )
+    return documents.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("_ws"),
+    ).select(
+        "doc_id",
+        F.array_join(F.concat(lines, extra), "\n").alias("text"),
+    )
+
+
 def html_pages_from_documents(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source) → Common-Crawl-style pages
     with REAL html bytes (url, warc_ts, html, text, lang). Pure JVM."""

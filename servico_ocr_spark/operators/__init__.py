@@ -36,6 +36,7 @@ from .webtext import (  # noqa: F401
     web_partition_metrics,
 )
 from .textstats import (  # noqa: F401
+    c4_page_clean,
     language_id,
     quality_score,
     repetition_stats,

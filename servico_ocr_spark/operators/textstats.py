@@ -216,6 +216,73 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 5
+
+
+def c4_page_clean(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_kept_lines: int = C4_MIN_KEPT_LINES) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020, the public C4 corpus
+    heuristics), simplified to deterministic engine-portable string
+    predicates:
+
+    - line kept iff it ends in terminal punctuation (``.`` ``!`` ``?``
+      ``"``), has ≥ 3 whitespace-separated words, and does not contain
+      ``javascript`` (lowercase substring — the paper's "the word
+      Javascript" rule);
+    - page kept iff the raw text contains no ``{``, no ``lorem ipsum``
+      (lowercase), and retains ≥ ``min_kept_lines`` kept lines — the
+      paper's ≥ 5-sentence rule: every kept line ends with terminal
+      punctuation, so the kept-line count is the deterministic sentence
+      proxy. (The paper's langdetect and bad-word-list rules live in
+      :func:`language_id` / :func:`quality_score`; its three-sentence-span
+      dedup is ``dedup.remove_duplicate_spans``.)
+
+    Shape: ZERO-shuffle projection. Every rule is per-line local, so the
+    operator is embarrassingly parallel at any corpus size — contrast
+    :func:`~..webtext.drop_repeated_paragraphs`, whose df rule is
+    corpus-global and pays two shuffles. The line predicate runs in
+    interpreted array HOFs over ~n_lines elements per doc, and here the
+    HOF projection BEATS the codegen mirror (posexplode + reassembly
+    groupBy): 0.69-0.82 s vs 1.06-1.24 s steady-state at sf0.1,
+    row-identical — the mirror's two corpus-wide shuffles cost more than
+    interpretation saves (BENCH/PLANS.md §"c4_clean").
+
+    Returns ``(doc_id, n_lines, n_kept, page_kept, clean_text)`` with
+    ``clean_text`` NULL for dropped pages. Note ``split('', '\\n') ==
+    ['']`` in both engines, so an empty page reads as one (dropped) line.
+    """
+
+    def line_keep(x):
+        last = F.right(x, F.lit(1))
+        punct = (
+            (last == ".") | (last == "!") | (last == "?") | (last == '"')
+        )
+        n_words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        return (
+            punct
+            & (n_words >= C4_MIN_LINE_WORDS)
+            & (F.instr(F.lower(x), "javascript") == 0)
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, line_keep)
+    n_kept = F.size(kept).cast("long")
+    page_kept = (
+        (F.instr(F.col(text_col), "{") == 0)
+        & (F.instr(F.lower(F.col(text_col)), "lorem ipsum") == 0)
+        & (n_kept >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        page_kept.cast("long").alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      shingle_n: int = 4) -> DataFrame:

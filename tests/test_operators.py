@@ -595,6 +595,69 @@ def test_repetition_stats_exact(spark):
     assert (r4["dup_2gram_ppm"], r4["top_2gram_ppm"]) == (500000, 500000)
 
 
+def test_c4_page_clean_line_and_page_rules(spark):
+    from servico_ocr_spark.operators import c4_page_clean
+
+    good = "alpha beta gamma."
+    rows = [
+        (0, "\n".join([good] * 5)),  # clean page: everything kept
+        # each line rule drops exactly one line; page survives on 5 good
+        (1, "\n".join([good] * 5
+                      + ["alpha beta gamma", "so short.",
+                         "enable JavaScript now."])),
+        # brace line PASSES line rules but kills the page (page precedence)
+        (2, "\n".join([good] * 5 + ["config { x }."])),
+        (3, "\n".join(["Lorem Ipsum dolor sit."] + [good] * 5)),
+        (4, "\n".join([good] * 4)),  # one kept line short of the minimum
+        (5, "\n".join(['he said yes"'] * 5)),  # end-quote is terminal
+        (6, ""),  # split('', '\n') == [''] in both engines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_page_clean(df).collect()}
+    assert len(got) == 7
+    r0 = got[0]
+    assert (r0["n_lines"], r0["n_kept"], r0["page_kept"]) == (5, 5, 1)
+    assert r0["clean_text"] == "\n".join([good] * 5)
+    r1 = got[1]  # no-punct, <3-words, javascript each dropped
+    assert (r1["n_lines"], r1["n_kept"], r1["page_kept"]) == (8, 5, 1)
+    assert r1["clean_text"] == "\n".join([good] * 5)
+    r2 = got[2]  # brace line kept at LINE level, page dropped anyway
+    assert (r2["n_kept"], r2["page_kept"], r2["clean_text"]) == (6, 0, None)
+    assert got[3]["page_kept"] == 0  # lorem ipsum is case-insensitive
+    assert (got[4]["n_kept"], got[4]["page_kept"]) == (4, 0)
+    assert (got[5]["n_kept"], got[5]["page_kept"]) == (5, 1)
+    r6 = got[6]
+    assert (r6["n_lines"], r6["n_kept"], r6["page_kept"]) == (1, 0, 0)
+    assert r6["clean_text"] is None
+
+
+def test_c4_fixture_every_rule_binds(spark):
+    """The synthesized corpus must exercise every C4 rule at sf0.001:
+    each line rule and each page rule drops at least one thing, and kept
+    pages exist (FIXTURES.md)."""
+    from servico_ocr_spark.corpus import c4_text_from_documents
+    from servico_ocr_spark.operators import c4_page_clean
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = c4_page_clean(c4_text_from_documents(docs))
+    agg = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("page_kept").alias("kept"),
+        F.sum(F.col("n_lines") - F.col("n_kept")).alias("line_drops"),
+        F.sum(
+            ((F.col("page_kept") == 0) & (F.col("n_kept") >= 5))
+            .cast("long")
+        ).alias("poison_drops"),
+        F.sum((F.col("n_kept") < 5).cast("long")).alias("min_line_drops"),
+    ).collect()[0]
+    assert agg["docs"] == 500
+    assert 0 < agg["kept"] < agg["docs"]
+    assert agg["line_drops"] > 0  # punct / word-count / javascript rules
+    assert agg["poison_drops"] > 0  # lorem-ipsum / brace page rules
+    assert agg["min_line_drops"] > 0  # ≥5-kept-lines rule
+
+
 def test_remove_duplicate_spans_shared_and_self_repeats(spark):
     from servico_ocr_spark.operators.dedup import remove_duplicate_spans
 

@@ -200,3 +200,10 @@ def test_dup_span_removal_plan_single_subtree_no_join(spark):
     plan = _plan(remove_duplicate_spans(df, min_len=3))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_c4_clean_zero_shuffle_projection(spark):
+    # every C4 rule is per-line local → the whole operator must stay a
+    # pure projection: zero exchanges, embarrassingly parallel at any sf
+    plan = _plan(entrymod._q_c4_clean(spark, SF))
+    assert "Exchange" not in plan
