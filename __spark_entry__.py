@@ -27,18 +27,24 @@ from servico_ocr_spark.corpus import (
     HTML_ENTITY_TEXT,
     c4_text_from_documents,
     html_pages_from_documents,
+    linked_pages_from_documents,
     pages_from_documents,
 )
 from servico_ocr_spark.operators import (
+    anchor_text_agg,
     brute_force_topk,
     drop_repeated_paragraphs,
     exact_duplicates,
+    extract_links,
     extract_main_content,
     extract_media_features,
     language_id,
+    link_degrees,
+    link_edges,
     lsh_ann_topk,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    pagerank,
     quality_score,
     repetition_stats,
     simhash,
@@ -2574,6 +2580,154 @@ FROM canon GROUP BY registered_domain
 
 
 # ===========================================================================
+# Link graph (operators/links): parse → edges → degrees/anchors → PageRank
+# ===========================================================================
+#
+# Fixture: corpus.linked_pages_from_documents — REAL html pages whose <a>
+# anchors are pure doc_id arithmetic (div-parent DAG + three in-degree-n
+# nav hubs + adversarial href-form/nofollow/duplicate/self-loop/mailto
+# subsets; docstring there lists every branch). The Spark side PARSES the
+# html (JVM regex, zero-shuffle); the DuckDB twin below reconstructs the
+# expected parse from the arithmetic alone — the hash check proves the
+# whole regex-parse → href-form → URL-resolution path without the oracle
+# ever seeing a byte of html. PageRank is fixed-point integer arithmetic
+# (truncating division both engines), so the 5-round unrolled-CTE oracle
+# matches bit-for-bit with no float anywhere.
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000
+_PR_DAMP = 85
+
+_O_LINKS_CTE = """
+pages AS (
+    SELECT doc_id, 'https://graph.test/d/' || doc_id AS src FROM documents
+),
+links AS (
+    SELECT src, 'https://graph.test/' AS dst, 'home' AS anchor,
+           0::BIGINT AS nofollow FROM pages
+    UNION ALL SELECT src, 'https://graph.test/t', 'tags', 0 FROM pages
+    UNION ALL SELECT src, 'https://graph.test/s', 'search', 0 FROM pages
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 2),
+                     'via ' || (doc_id % 7), 0 FROM pages
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 3),
+                     'also ' || (doc_id % 5), 0 FROM pages
+    UNION ALL SELECT src, 'https://partner.example/p/' || (doc_id % 5),
+                     'partner', 0 FROM pages WHERE doc_id % 7 = 4
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 5),
+                     'sponsored', 1 FROM pages WHERE doc_id % 11 = 9
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 2),
+                     'again', 0 FROM pages WHERE doc_id % 13 = 6
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 7),
+                     'plain', 0 FROM pages WHERE doc_id % 23 = 11
+    UNION ALL SELECT src, 'https://graph.test/d/e' || (doc_id % 3),
+                     'rel', 0 FROM pages WHERE doc_id % 29 = 17
+    UNION ALL SELECT src, 'https://graph.test/d/' || (doc_id // 11),
+                     'proto', 0 FROM pages WHERE doc_id % 31 = 19
+    UNION ALL SELECT src, 'mailto:ed@graph.test', 'mail', 0
+        FROM pages WHERE doc_id % 37 = 21
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM links
+    WHERE nofollow = 0 AND dst <> src
+      AND (dst LIKE 'http://%' OR dst LIKE 'https://%')
+)
+"""
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linked_pages_from_documents(_read(spark, sf_dir, "documents"))
+
+
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_links(_linked_pages(spark, sf_dir))
+
+
+def _o_link_extract() -> str:
+    return f"WITH {_O_LINKS_CTE} " \
+           "SELECT src, dst, anchor, nofollow FROM links"
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_edges(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _o_link_graph() -> str:
+    return f"WITH {_O_LINKS_CTE} SELECT src, dst FROM edges"
+
+
+def _q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_degrees(
+        link_edges(extract_links(_linked_pages(spark, sf_dir)))
+    )
+
+
+def _o_link_degrees() -> str:
+    return f"""
+WITH {_O_LINKS_CTE}
+SELECT node, SUM(o)::BIGINT AS out_deg, SUM(i)::BIGINT AS in_deg
+FROM (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+      UNION ALL SELECT dst, 0, 1 FROM edges) u
+GROUP BY node
+"""
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anchor_text_agg(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _o_anchor_stats() -> str:
+    return f"""
+WITH {_O_LINKS_CTE}
+SELECT dst, COUNT(*)::BIGINT AS n_links,
+       COUNT(DISTINCT anchor)::BIGINT AS n_anchors,
+       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+FROM links
+WHERE nofollow = 0 AND dst <> src
+  AND (dst LIKE 'http://%' OR dst LIKE 'https://%')
+  AND anchor <> ''
+GROUP BY dst
+"""
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+    )
+
+
+def _o_pagerank() -> str:
+    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f""",
+r{i} AS (
+    SELECT n.node,
+           ({base} + ({_PR_DAMP} * COALESCE(s.c, 0)) // 100)::BIGINT
+               AS rank
+    FROM n LEFT JOIN (
+        SELECT ed.dst AS node, SUM(r.rank // ed.out_deg) AS c
+        FROM ed JOIN {prev} r ON r.node = ed.src
+        GROUP BY ed.dst) s ON s.node = n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_O_LINKS_CTE},
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.od AS out_deg
+       FROM edges e JOIN deg d ON d.src = e.src),
+n AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) u),
+r0 AS (SELECT node, {_PR_SCALE}::BIGINT AS rank FROM n){''.join(its)}
+SELECT node, rank FROM {prev}
+"""
+
+
+# ===========================================================================
 # contract surface
 # ===========================================================================
 
@@ -2616,6 +2770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
+        "link_extract": _q_link_extract,
+        "link_graph": _q_link_graph,
+        "link_degrees": _q_link_degrees,
+        "anchor_stats": _q_anchor_stats,
+        "pagerank": _q_pagerank,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
         "pii_scrub": _q_pii_scrub,
@@ -2670,6 +2829,11 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),
+        "link_extract": _o_link_extract(),
+        "link_graph": _o_link_graph(),
+        "link_degrees": _o_link_degrees(),
+        "anchor_stats": _o_anchor_stats(),
+        "pagerank": _o_pagerank(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),
         "pii_scrub": _o_pii_scrub(),

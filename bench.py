@@ -115,6 +115,16 @@ BENCH_FAMILIES = {
         # recrawl collapse: freshest warc_ts wins (one max_by agg)
         "latest_crawl",
     ],
+    "graph": [
+        # link-graph face: zero-shuffle JVM-regex anchor parse, distinct
+        # edges, one-agg degrees, anchor-text corpus, 5-round fixed-point
+        # integer PageRank (static edge exchange reused across rounds)
+        "link_extract",
+        "link_graph",
+        "link_degrees",
+        "anchor_stats",
+        "pagerank",
+    ],
     "ann": [
         "ann_brute_topk",
         "ann_ivf_topk",

@@ -286,6 +286,86 @@ def c4_text_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Link-graph page synthesis (consumed by operators/links). Pages whose
+# <a> anchors are pure doc_id arithmetic, so the DuckDB oracles
+# (__spark_entry__._O_LINKS_CTE) reconstruct the expected parse without
+# touching html — the hash check proves the whole regex-parse → href-form
+# handling → URL-resolution path. div-based parent links make a DAG toward
+# doc 0 with realistic in-degree skew; the three nav hubs have in-degree n.
+# ---------------------------------------------------------------------------
+
+#: origin of every synthesized graph page (src = LINK_ORIGIN/d/{doc_id})
+LINK_ORIGIN = "https://graph.test"
+
+
+def linked_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id) → (doc_id, url, html binary) web-graph pages.
+
+    Per page (src = ``https://graph.test/d/{doc_id}``):
+
+    - nav hub links ``/`` ``/t`` ``/s`` (anchor home/tags/search) — three
+      in-degree-n skew hubs, and the root-relative resolution arm;
+    - parent link to ``doc_id div 2`` (double-quoted, root-relative,
+      anchor ``via {doc_id % 7}``) and to ``doc_id div 3`` (SINGLE-quoted,
+      absolute, carrying a ``#f{doc_id % 2}`` fragment that must be
+      stripped, anchor ``also {doc_id % 5}``);
+    - ``% 7 == 4``: external ``https://partner.example`` link (dangling
+      node in the graph);
+    - ``% 11 == 9``: ``rel="nofollow"`` link to ``div 5`` (edge filter);
+    - ``% 13 == 6``: DUPLICATE of the div-2 edge with a different anchor
+      (edge dedup binds; anchor aggregation sees both texts);
+    - ``% 23 == 11``: UNQUOTED ``href=`` to ``div 7``;
+    - ``% 29 == 17``: path-relative ``e{doc_id % 3}`` resolving against
+      the ``/d/`` base directory;
+    - ``% 31 == 19``: protocol-relative ``//graph.test/d/{div 11}``;
+    - ``% 37 == 21``: ``mailto:`` link (non-http scheme filter binds);
+    - doc 0's parent links are self-loops (self-edge filter binds).
+
+    Pure JVM (concat of literals + casts); html returned as UTF-8 binary
+    per the input-hint page shape.
+    """
+    d = F.col("doc_id")
+
+    def s(col):  # int expr → string
+        return col.cast("string")
+
+    def dv(k: int):
+        return F.expr(f"doc_id div {k}")
+
+    def only(mod: int, r: int, *parts):
+        return F.when(d % mod == r, F.concat(*parts)).otherwise(F.lit(""))
+
+    dq = '<a href="'
+    html = F.concat(
+        F.lit(
+            "<html><head><title>g</title></head><body>"
+            '<nav><a href="/">home</a> <a href="/t">tags</a> '
+            '<a href="/s">search</a></nav><main>'
+        ),
+        F.lit(dq + "/d/"), s(dv(2)), F.lit('">via '), s(d % 7),
+        F.lit("</a>"),
+        F.lit("<a href='" + LINK_ORIGIN + "/d/"), s(dv(3)),
+        F.lit("#f"), s(d % 2), F.lit("'>also "), s(d % 5), F.lit("</a>"),
+        only(7, 4, F.lit(dq + "https://partner.example/p/"), s(d % 5),
+             F.lit('">partner</a>')),
+        only(11, 9, F.lit('<a rel="nofollow" href="/d/'), s(dv(5)),
+             F.lit('">sponsored</a>')),
+        only(13, 6, F.lit(dq + "/d/"), s(dv(2)), F.lit('">again</a>')),
+        only(23, 11, F.lit("<a href=/d/"), s(dv(7)), F.lit(">plain</a>")),
+        only(29, 17, F.lit(dq + "e"), s(d % 3), F.lit('">rel</a>')),
+        only(31, 19, F.lit(dq + "//graph.test/d/"), s(dv(11)),
+             F.lit('">proto</a>')),
+        only(37, 21, F.lit(dq + 'mailto:ed@graph.test">mail</a>')),
+        F.lit("</main></body></html>"),
+    )
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit(LINK_ORIGIN + "/d/"), s(d)).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
 def html_pages_from_documents(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source) → Common-Crawl-style pages
     with REAL html bytes (url, warc_ts, html, text, lang). Pure JVM."""

@@ -35,6 +35,14 @@ from .webtext import (  # noqa: F401
     web_analysis,
     web_partition_metrics,
 )
+from .links import (  # noqa: F401
+    anchor_text_agg,
+    extract_links,
+    link_degrees,
+    link_edges,
+    pagerank,
+    resolve_href,
+)
 from .textstats import (  # noqa: F401
     c4_page_clean,
     language_id,

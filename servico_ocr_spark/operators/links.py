@@ -1,0 +1,284 @@
+"""Web link-graph operators: anchor extraction, edge dedup, degree
+stats, anchor-text aggregation, and fixed-point integer PageRank.
+
+The link graph is the Common-Crawl companion pipeline to main-content
+extraction (`operators/webtext`): the same crawl that feeds the text
+corpus feeds a (src, dst, anchor) edge table used for crawl frontier
+prioritization, spam/domain curation, and anchor-text training corpora.
+The reference service has no web face at all; this module follows the
+public webgraph pipeline shape (WARC → links → graph → rank) re-expressed
+Spark-first.
+
+Design rules:
+
+- **Parsing is pure JVM regex** (`regexp_extract_all` over the decoded
+  page + per-anchor `regexp_extract` columns): whole-stage codegen, no
+  Python in the hot path. The anchor match is deliberately flat
+  (``<a ...>text</a>`` with no nested markup inside the anchor) — for a
+  LINK graph the href is the payload; an anchor wrapping an image or
+  span keeps its href but yields an empty/partial anchor text. A full
+  DOM parse belongs to `core/html_extract`, which feeds the TEXT face.
+- **URL resolution is RFC-3986-lite** (absolute / protocol-relative /
+  root-relative / path-relative against the base directory; fragments
+  stripped; no dot-segment normalization — the canonical-form pass is
+  :func:`..urls.canonicalize_urls`, composable downstream).
+- **No digest keys anywhere**: edges dedup and degree aggregation key on
+  the full url strings (the birthday rule from
+  `webtext.drop_repeated_paragraphs` — a 48-bit digest silently merges
+  nodes at 10^12 pages).
+- **Scale shapes**: :func:`extract_links` is a zero-shuffle
+  scan → project → generator explode (plan-locked); :func:`link_edges`
+  is one distinct; :func:`link_degrees` is ONE map-side-combinable
+  aggregation over both endpoints (a 10^9-in-degree hub costs its
+  combiner a counter, never a row group); :func:`pagerank` is K
+  join+agg rounds over a static edges⋈out-degree table whose exchange
+  is reused across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+#: flat anchor element: start tag, then text with no nested markup
+ANCHOR_TAG_RE = r"(?is)<a\s[^>]*>[^<]*</a>"
+#: one alternation for all three attr-value forms (group 1 keeps the
+#: quotes; stripped by _UNQUOTE). A single regex instead of a 3-arm CASE
+#: keeps the codegen'd expression tree small — see the 64 KB note below.
+_HREF_ANY = "(?is)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>'\"]+)"
+_UNQUOTE = "^[\"']|[\"']$"
+#: a colon-terminated first segment is a scheme (RFC 3986 §4.2)
+_ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+_ORIGIN_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+# Codegen-size discipline (learned here the hard way): Catalyst pushes a
+# post-projection filter BELOW the projection by substituting the FULL
+# column expression into the Filter, and whole-stage codegen then carries
+# one copy per operator. With the first draft (3-arm href CASE, 5-arm
+# resolve referencing the href chain 7x, `dst IS NOT NULL` filter) the
+# fused generate stage held ~300 regex matchers and fell out of codegen
+# entirely ("Code grows beyond 64 KB" → interpreted fallback on the hot
+# parse path). The shapes below keep every copy small: one href regex,
+# the null-filter expressed PRE-resolution (tiny pushed predicate), and
+# resolution as prefix+concat so the href chain is referenced 4x, not 7x.
+
+
+def _resolve_prefix(src: Column, h: Column) -> Column:
+    """Absolute-url prefix for a fragment-stripped, non-empty href ``h``:
+    '' for absolute hrefs, ``scheme:`` for protocol-relative, the origin
+    for root-relative, origin+base-directory for path-relative."""
+    origin = F.regexp_extract(src, _ORIGIN_RE, 0)
+    scheme = F.regexp_extract(src, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    base_path = F.regexp_replace(
+        F.regexp_replace(src, _ORIGIN_RE, ""), "[?#].*$", ""
+    )
+    base_dir = F.regexp_replace(base_path, "[^/]*$", "")
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    return (
+        F.when(h.rlike(_ABS_RE), F.lit(""))
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":")))
+        .when(h.startswith("/"), origin)
+        .otherwise(F.concat(origin, base_dir))
+    )
+
+
+def resolve_href(src: Column, href: Column) -> Column:
+    """Resolve ``href`` against the page url ``src`` (RFC-3986-lite).
+
+    Fragments are stripped first; an empty href resolves to NULL so
+    callers can filter it. Handles absolute (any scheme),
+    protocol-relative (``//host/..``), root-relative (``/path``), and
+    path-relative (resolved against the base url's directory) forms.
+    Dot segments (``../``) are NOT normalized — out of scope for the
+    synthetic corpus, and a canonical pass can fold them downstream.
+    """
+    h = F.regexp_replace(href, "#.*$", "")
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .otherwise(F.concat(_resolve_prefix(src, h), h))
+    )
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Parse every ``<a>`` anchor of every page into one
+    ``(src, dst, anchor, nofollow)`` row.
+
+    ``html`` may be binary (cast to string — lenient UTF-8, never
+    throws) or string. href attribute forms handled: double-quoted,
+    single-quoted, unquoted. ``dst`` is the resolved absolute url
+    (see :func:`resolve_href`); anchors with no/empty href are dropped.
+    ``anchor`` is the whitespace-collapsed trimmed anchor text;
+    ``nofollow`` is 1 when the start tag carries ``nofollow`` (the
+    substring test over the start tag only — rel value parsing adds
+    nothing on real-web markup).
+
+    Scale shape: scan → project → generator explode → filter/project.
+    ZERO exchanges (plan-locked) — embarrassingly parallel at any crawl
+    size; output is ~anchors-per-page × pages rows. The whole stage stays
+    inside whole-stage codegen (see the 64 KB note above — the empty-href
+    drop is a pre-resolution predicate precisely so its pushed-down copy
+    stays small).
+    """
+    page = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(page, F.lit(ANCHOR_TAG_RE), 0)
+    exploded = df.select(
+        F.col(url_col).alias("src"), F.explode(tags).alias("_tag")
+    )
+    start = F.regexp_extract(F.col("_tag"), r"(?s)^[^>]*>", 0)
+    href = F.regexp_replace(
+        F.regexp_extract(start, _HREF_ANY, 1), _UNQUOTE, ""
+    )
+    h = F.regexp_replace(href, "#.*$", "")  # fragment-stripped
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(F.col("_tag"), r"(?s)>([^<]*)<", 1),
+            r"\s+", " ",
+        )
+    )
+    return (
+        exploded.where(h != "")  # no href attr / empty / fragment-only
+        .select(
+            "src",
+            F.concat(_resolve_prefix(F.col("src"), h), h).alias("dst"),
+            anchor.alias("anchor"),
+            (F.instr(F.lower(start), "nofollow") > 0)
+            .cast("long")
+            .alias("nofollow"),
+        )
+    )
+
+
+def _follow_http(links: DataFrame) -> DataFrame:
+    """Follow links to http(s) targets, self-loops dropped — the rows
+    that contribute to the graph. Pure filter (no shuffle)."""
+    return links.where(
+        (F.col("nofollow") == 0)
+        & (F.col("dst") != F.col("src"))
+        & (
+            F.col("dst").startswith("http://")
+            | F.col("dst").startswith("https://")
+        )
+    )
+
+
+def link_edges(links: DataFrame) -> DataFrame:
+    """Distinct (src, dst) graph edges: follow links to http(s) targets,
+    self-loops dropped, duplicate anchors collapsed.
+
+    One hash aggregation on the full (src, dst) string pair — map-side
+    combinable, no digest truncation."""
+    return _follow_http(links).select("src", "dst").distinct()
+
+
+def link_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node (node, out_deg, in_deg) over a distinct-edge table.
+
+    Both endpoints are counted in ONE aggregation (union of the two
+    endpoint projections), not two aggs + an outer join: one shuffle,
+    partial aggregation absorbs hub skew (an in-degree-10^9 node is one
+    counter per map task)."""
+    ends = edges.select(
+        F.col("src").alias("node"),
+        F.lit(1).alias("_out"),
+        F.lit(0).alias("_in"),
+    ).unionAll(
+        edges.select(F.col("dst"), F.lit(0), F.lit(1))
+    )
+    return ends.groupBy("node").agg(
+        F.sum("_out").cast("long").alias("out_deg"),
+        F.sum("_in").cast("long").alias("in_deg"),
+    )
+
+
+def anchor_text_agg(
+    links: DataFrame, max_anchors: int | None = None
+) -> DataFrame:
+    """Anchor-text corpus per target: ``(dst, n_links, n_anchors,
+    anchors)`` over follow/http/non-self links with non-empty anchor
+    text (pre-dedup — every occurrence counts).
+
+    ``anchors`` is the bytewise-sorted distinct anchor texts joined with
+    ``|`` (capped to the first ``max_anchors`` after sorting when set).
+    One hash aggregation; ``collect_set`` makes a hub target with 10^6
+    DISTINCT anchors a bounded linear straggler — the same accepted
+    trade as ``dedup._cap_doc_freq``'s window (duplicate anchor TEXTS,
+    the common hub case, collapse in the partial aggregate; it is the
+    distinct-text cardinality that bounds the buffer)."""
+    fl = _follow_http(links).where(F.col("anchor") != "")
+    anchors = F.array_sort(F.collect_set("anchor"))
+    if max_anchors is not None:
+        anchors = F.slice(anchors, 1, max_anchors)
+    return fl.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.count_distinct("anchor").cast("long").alias("n_anchors"),
+        F.array_join(anchors, "|").alias("anchors"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a distinct-edge table:
+    ``(node, rank)`` after ``iterations`` synchronous rounds.
+
+    All arithmetic is integer (ranks start at ``scale``; each round
+    ``rank' = scale·(100-damping)/100 + damping·Σ(rank_in div
+    out_deg_in)/100`` with truncating division), so the result is
+    bit-deterministic and engine-portable — the driver contract bans
+    float aggregates, and an unrolled-CTE DuckDB oracle reproduces it
+    exactly. Documented simplification: dangling-node mass (nodes with
+    no outlinks — leaf pages, external targets) and truncation remainders
+    leak out of the system instead of being redistributed; ranks are
+    relative scores, not a normalized distribution.
+
+    Scale shape: out-degrees and the edges⋈out-degree table are computed
+    ONCE; each round is one join (rank by src) + one map-side-combinable
+    sum by dst, so the static edge exchange is reused across rounds
+    (same runtime-reuse mechanism the minhash build locks in
+    test_minhash_fixture_reuses_exchanges). A hot dst (hub with 10^9
+    in-links) combines map-side. For long runs set ``checkpoint_every``
+    to break lineage with ``localCheckpoint`` every K rounds (the star
+    contraction discipline in `dedup.neardup_components`); the default
+    keeps the fixed-K plan lazy, which AQE plans fine for K ≤ ~10.
+    """
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    edges_deg = edges.join(out_deg, "src")  # static across rounds
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank")
+    )
+    for i in range(iterations):
+        contrib = (
+            edges_deg.join(
+                ranks, edges_deg["src"] == ranks["node"]
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out_deg").alias("_share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_share").alias("_c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(_c, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

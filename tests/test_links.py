@@ -1,0 +1,183 @@
+"""Link-graph face: anchor parsing, resolution, edges, degrees, anchor
+aggregation, fixed-point PageRank (operators/links + the linked-pages
+fixture)."""
+
+from pyspark.sql import functions as F
+
+from servico_ocr_spark.corpus import linked_pages_from_documents
+from servico_ocr_spark.operators import (
+    anchor_text_agg,
+    extract_links,
+    link_degrees,
+    link_edges,
+    pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _links(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html string")
+    return extract_links(df)
+
+
+def test_extract_links_href_forms_and_resolution(spark):
+    base = "https://ex.test/a/b/page.html"
+    rows = [
+        (base,
+         '<a href="/root">r</a>'
+         "<a href='https://other.test/x'>abs</a>"
+         "<a href=plain.html>u</a>"
+         '<a href="//cdn.test/i">pr</a>'
+         '<a href="sub/doc#frag">pf</a>'
+         '<a href="#only">drop1</a>'
+         '<a href="">drop2</a>'
+         "<a name=anchor>drop3</a>"
+         '<a rel="nofollow" href="/nf">nf</a>'
+         '<a href="mailto:a@b.c">m</a>'
+         '<a href="/ws">  two\n words  </a>'),
+    ]
+    got = {
+        (r["dst"], r["anchor"], r["nofollow"])
+        for r in _links(spark, rows).collect()
+    }
+    assert got == {
+        ("https://ex.test/root", "r", 0),
+        ("https://other.test/x", "abs", 0),
+        ("https://ex.test/a/b/plain.html", "u", 0),
+        ("https://cdn.test/i", "pr", 0),
+        ("https://ex.test/a/b/sub/doc", "pf", 0),
+        ("https://ex.test/nf", "nf", 1),
+        ("mailto:a@b.c", "m", 0),
+        ("https://ex.test/ws", "two words", 0),
+    }
+
+
+def test_extract_links_binary_html_and_rootless_base(spark):
+    # binary html column (the input-hint page shape) and a base url with
+    # no path: path-relative resolves against "/"
+    df = spark.createDataFrame(
+        [("https://ex.test", bytearray(b'<a href="x">b</a>'))],
+        "url string, html binary",
+    )
+    [r] = extract_links(df).collect()
+    assert r["dst"] == "https://ex.test/x"
+
+
+def test_link_edges_filters_and_dedup(spark):
+    rows = [
+        ("https://s.test/p",
+         '<a href="/p">self</a>'
+         '<a href="/q">one</a><a href="/q">one again</a>'
+         '<a rel=nofollow href="/r">nf</a>'
+         '<a href="mailto:x@y.z">m</a>'
+         '<a href="ftp://f.test/z">ftp</a>'),
+    ]
+    edges = link_edges(_links(spark, rows)).collect()
+    assert {(e["src"], e["dst"]) for e in edges} == {
+        ("https://s.test/p", "https://s.test/q")
+    }
+
+
+def test_link_degrees_union_agg(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in link_degrees(edges).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_anchor_text_agg_sorted_distinct_and_cap(spark):
+    rows = [
+        ("https://s.test/1",
+         '<a href="/t">beta</a><a href="/t">alpha</a>'
+         '<a href="/t">beta</a><a href="/t"></a>'),
+        ("https://s.test/2", '<a href="/t">gamma</a>'),
+    ]
+    [r] = anchor_text_agg(_links(spark, rows)).collect()
+    # empty anchor excluded from n_links AND the text set
+    assert (r["n_links"], r["n_anchors"]) == (4, 3)
+    assert r["anchors"] == "alpha|beta|gamma"
+    [rc] = anchor_text_agg(_links(spark, rows), max_anchors=2).collect()
+    assert rc["anchors"] == "alpha|beta"
+    assert rc["n_anchors"] == 3  # exact count survives the cap
+
+
+def _pagerank_reference(edges, iterations, scale, damping):
+    """Plain-python fixed-point twin (truncating integer division)."""
+    from collections import Counter, defaultdict
+
+    out_deg = Counter(s for s, _ in edges)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    base = scale * (100 - damping) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // out_deg[s]
+        rank = {n: base + (damping * contrib[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3):
+        want = _pagerank_reference(edges, iters, 1_000_000, 85)
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iterations=iters).collect()}
+        assert got == want, iters
+    # dangling node d keeps only the base mass after round 1
+    assert got["d"] == 150000
+
+
+def test_pagerank_checkpoint_every_is_identity(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    plain = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    chk = {r["node"]: r["rank"]
+           for r in pagerank(edges, checkpoint_every=2).collect()}
+    assert plain == chk
+
+
+def test_linked_fixture_every_rule_binds(spark):
+    """Every adversarial branch of linked_pages_from_documents must have
+    live rows at sf0.001 (FIXTURES.md), and the graph-level filters must
+    each drop something."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    links = extract_links(linked_pages_from_documents(docs)).cache()
+    try:
+        n_docs = docs.count()
+        by_anchor = dict(
+            links.groupBy(
+                F.regexp_replace("anchor", "[0-9 ]+$", "").alias("a")
+            ).count().collect()
+        )
+        # hub + parent links on every page
+        for a in ("home", "tags", "search"):
+            assert by_anchor[a] == n_docs
+        assert by_anchor["via"] == n_docs and by_anchor["also"] == n_docs
+        # each deterministic subset is non-empty
+        for a in ("partner", "sponsored", "again", "plain", "rel",
+                  "proto", "mail"):
+            assert by_anchor.get(a, 0) > 0, a
+        # nofollow flag only on the sponsored branch
+        assert (
+            links.where("nofollow = 1").select("anchor").distinct()
+            .collect()[0][0] == "sponsored"
+        )
+        # self-loops exist pre-filter (doc 0's parents) and are dropped
+        n_self = links.where("src = dst").count()
+        assert n_self == 2
+        edges = link_edges(links)
+        assert edges.where("src = dst").count() == 0
+        # duplicate 'again' edges collapse: follow/http/non-self link
+        # occurrences strictly exceed distinct edges
+        from servico_ocr_spark.operators.links import _follow_http
+        assert _follow_http(links).count() > edges.count()
+        # mailto dropped from edges
+        assert edges.where("dst like 'mailto:%'").count() == 0
+    finally:
+        links.unpersist()

@@ -207,3 +207,42 @@ def test_c4_clean_zero_shuffle_projection(spark):
     # pure projection: zero exchanges, embarrassingly parallel at any sf
     plan = _plan(entrymod._q_c4_clean(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_link_extract_zero_shuffle_single_codegen_stage(spark):
+    """The anchor parse must stay scan → project → generate →
+    filter/project with zero exchanges AND inside ONE whole-stage-codegen
+    span — the first draft fell out of codegen entirely ("Code grows
+    beyond 64 KB": the pushed-down null filter re-inlined ~300 regex
+    matchers; operators/links.py documents the size discipline)."""
+    df = entrymod._q_link_extract(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # every operator above the scan carries the codegen stage marker
+    import re
+
+    hits = [
+        m
+        for m in (
+            re.search(
+                r"^[\s+:-]*(\*\(\d+\)\s+)?(Project|Filter|Generate)\b",
+                line,
+            )
+            for line in plan.splitlines()
+        )
+        if m
+    ]
+    assert len(hits) == 4, plan[:2000]  # 2 Project, 1 Filter, 1 Generate
+    assert all(m.group(1) == "*(1) " for m in hits), plan[:2000]
+
+
+def test_pagerank_reuses_static_edge_exchanges(spark):
+    """Each PageRank round joins the SAME edges⋈out-degree table; the
+    executed plan must collapse those references via runtime exchange
+    reuse instead of re-parsing the corpus once per round (the minhash
+    ReusedExchange discipline)."""
+    df = entrymod._q_pagerank(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 8, plan[:4000]
