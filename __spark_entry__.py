@@ -1338,14 +1338,14 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"))
 
 
-_O_TOKEN_COUNTS = r"""
+def _o_token_counts(tbl: str = "documents") -> str:
+    return r"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
            AS bpe_ish_tokens,
        length(text) AS n_chars_raw
-FROM documents
-"""
+FROM """ + tbl
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,18 +1481,19 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_c4_clean() -> str:
+def _o_c4_clean(tbl: str = "documents") -> str:
     """Mirror of corpus.c4_text_from_documents + textstats.c4_page_clean:
     rebuild the punctuated multi-line pages from the same doc_id
     arithmetic, then re-apply the C4 line/page rules on the page string —
     the oracle runs the full synthesize → split → filter path, exactly
-    like the Spark side."""
+    like the Spark side. ``tbl`` lets the curation-pipeline oracle run
+    the same fragment over a filtered (doc_id, text) CTE."""
     w = _C4_LINE_WORDS
     return f"""
 WITH base AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS ws
-    FROM documents
+    FROM {tbl}
 ),
 lx AS (
     SELECT doc_id,
@@ -2302,14 +2303,14 @@ def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_assign_split() -> str:
+def _o_assign_split(tbl: str = "documents") -> str:
     b = _d_h48("('split:' || doc_id::VARCHAR)")
     return f"""
 SELECT doc_id,
        CASE WHEN {b} % 100 < 98 THEN 'train'
             WHEN {b} % 100 < 99 THEN 'val'
             ELSE 'test' END AS split
-FROM documents
+FROM {tbl}
 """
 
 
@@ -2728,6 +2729,67 @@ SELECT node, rank FROM {prev}
 
 
 # ===========================================================================
+# Composed curation pipeline: the faces chained end-to-end
+# ===========================================================================
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four faces composed into the C4/RefinedWeb curation chain:
+    crawl-identity collapse (latest_crawl over the url fixture, keeping
+    one freshest doc per canonical url) → C4 page cleaning over the kept
+    docs' punctuated pages → token counting on the CLEAN text →
+    deterministic split assignment. Each stage is individually
+    oracle-checked elsewhere; this query hash-checks the composition.
+
+    Scale shape: one agg (latest_crawl) + one semi join on doc_id (the
+    standard identity-collapse join — bucketable/bloomable at 10^12
+    docs; the kept set is O(n), so broadcasting would be wrong) + pure
+    projections after that. token_counts and assign_split compose as
+    column adds, NOT a self-join of two derivations of the same frame.
+    """
+    from servico_ocr_spark.operators import assign_split, latest_crawl
+
+    kept = latest_crawl(_url_corpus(spark, sf_dir)).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = _read(spark, sf_dir, "documents").join(
+        kept, "doc_id", "left_semi"
+    )
+    clean = (
+        c4_page_clean(c4_text_from_documents(docs))
+        .where("page_kept = 1")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return assign_split(token_counts(clean)).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens", "n_chars_raw", "split"
+    )
+
+
+def _o_curation_pipeline() -> str:
+    """The same chain as nested CTEs, each reusing the standalone
+    oracle fragment (parameterized on its input table)."""
+    return f"""
+WITH kept AS (
+    SELECT keep_id AS doc_id FROM ({_o_latest_crawl()}) lc
+),
+docs AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
+),
+c4 AS (
+    SELECT * FROM ({_o_c4_clean(tbl="docs")}) c
+),
+clean AS (
+    SELECT doc_id, clean_text AS text FROM c4 WHERE page_kept = 1
+),
+tok AS ({_o_token_counts(tbl="clean")}),
+sp AS ({_o_assign_split(tbl="clean")})
+SELECT tok.doc_id, tok.ws_tokens, tok.bpe_ish_tokens, tok.n_chars_raw,
+       sp.split
+FROM tok JOIN sp USING (doc_id)
+"""
+
+
+# ===========================================================================
 # contract surface
 # ===========================================================================
 
@@ -2775,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
+        "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
         "pii_scrub": _q_pii_scrub,
@@ -2821,7 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _o_ann_lsh_topk(),
         "embedding_neardups": _o_embedding_neardups(),
         "lang_id": _o_lang_id(),
-        "token_counts": _O_TOKEN_COUNTS,
+        "token_counts": _o_token_counts(),
         "quality_score": _o_quality(),
         "fingerprint": _o_fingerprint(),
         "repetition_stats": _o_repetition_stats(),
@@ -2834,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": _o_link_degrees(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
+        "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),
         "pii_scrub": _o_pii_scrub(),

@@ -146,6 +146,9 @@ BENCH_FAMILIES = {
         "assign_split",
         "pack_sequences",
         "token_budget_mix",
+        # four faces chained: url collapse -> C4 clean -> token counts
+        # -> split (one agg + one semi join + projections)
+        "curation_pipeline",
     ],
     "streaming_batch_twins": ["windowed_events"],
     "multimodal": ["media_features"],
