@@ -1392,6 +1392,47 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import inverted_index
+
+    # salt_buckets=4 exercises the two-stage hot-term path in the graded
+    # plan (equality with the one-stage plan is unit-tested); on this
+    # corpus EVERY term is hot (31-word vocabulary, df ≈ 0.8n)
+    return inverted_index(
+        _read(spark, sf_dir, "documents"), k=3, salt_buckets=4
+    )
+
+
+def _o_inverted_index() -> str:
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tf AS (
+    SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(words) AS w FROM base)
+    GROUP BY doc_id, w
+),
+stats AS (
+    SELECT word, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+           max(tf)::BIGINT AS max_tf
+    FROM tf GROUP BY word
+),
+topk AS (
+    SELECT word, doc_id, tf
+    FROM tf
+    QUALIFY row_number() OVER (PARTITION BY word
+                               ORDER BY tf DESC, doc_id) <= 3
+),
+posts AS (
+    SELECT word,
+           string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ','
+                      ORDER BY tf DESC, doc_id) AS top_docs
+    FROM topk GROUP BY word
+)
+SELECT s.word, s.df, s.total_tf, s.max_tf, p.top_docs
+FROM stats s JOIN posts p ON s.word = p.word
+"""
+
+
 def _o_fingerprint() -> str:
     gram_hash = _d_h48("(w || ' ' || w1 || ' ' || w2 || ' ' || w3)")
     return f"""
@@ -1968,8 +2009,11 @@ _URL_SITES = 23
 _URL_SCHEME = "CASE WHEN d2 % 3 = 0 THEN 'https' ELSE 'http' END"
 
 
-def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+def _url_corpus(
+    spark: SparkSession, sf_dir: str, with_text: bool = False
+) -> DataFrame:
+    cols = ["doc_id", "text"] if with_text else ["doc_id"]
+    docs = _read(spark, sf_dir, "documents").select(*cols)
     return (
         docs.withColumn("d2", F.expr("doc_id div 2"))
         .withColumn(
@@ -2050,7 +2094,7 @@ def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE doc_id % 23 END) as int), 0, 0)"
             ),
         )
-        .select("doc_id", "url", "warc_ts")
+        .select("doc_id", "url", "warc_ts", *(["text"] if with_text else []))
     )
 
 
@@ -2085,6 +2129,28 @@ def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_crawls",
     )
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two snapshots carved from the url corpus by doc_id residue:
+    old = id % 3 != 0, new = id % 3 != 1 (so ids ≡ 0 mod 3 are crawl
+    additions, ids ≡ 1 mod 3 removals, ids ≡ 2 both-side); content
+    drifts on id % 5 == 0 rows in the new crawl, exercising 'changed'.
+    All four statuses occur at every sf."""
+    from servico_ocr_spark.operators import crawl_delta
+
+    base = _url_corpus(spark, sf_dir, with_text=True)
+    old = base.where("doc_id % 3 != 0").select(
+        "doc_id", "url", F.col("text").alias("content")
+    )
+    new = base.where("doc_id % 3 != 1").select(
+        "doc_id",
+        "url",
+        F.expr(
+            "concat(text, CASE WHEN doc_id % 5 = 0 THEN ' rev' ELSE '' END)"
+        ).alias("content"),
+    )
+    return crawl_delta(old, new)
 
 
 _DOMAIN_CAP_K = 3
@@ -2567,6 +2633,38 @@ FROM r WHERE rn = 1
 """
 
 
+def _o_crawl_delta() -> str:
+    # same snapshot carve + content drift arithmetic as _q_crawl_delta;
+    # arg_min = Spark min_by (representative's FULL md5 as change detector)
+    return f"""
+WITH {_o_url_canon_cte()},
+txt AS (
+    SELECT c.doc_id, c.canonical_url, d.text
+    FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+),
+olds AS (
+    SELECT canonical_url, min(doc_id)::BIGINT AS old_id,
+           arg_min(md5(text), doc_id) AS old_h
+    FROM txt WHERE doc_id % 3 <> 0 GROUP BY canonical_url
+),
+news AS (
+    SELECT canonical_url, min(doc_id)::BIGINT AS new_id,
+           arg_min(md5(text ||
+               CASE WHEN doc_id % 5 = 0 THEN ' rev' ELSE '' END),
+               doc_id) AS new_h
+    FROM txt WHERE doc_id % 3 <> 1 GROUP BY canonical_url
+)
+SELECT COALESCE(o.canonical_url, n.canonical_url) AS canonical_url,
+       CASE WHEN o.old_id IS NULL THEN 'added'
+            WHEN n.new_id IS NULL THEN 'removed'
+            WHEN o.old_h <> n.new_h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COALESCE(o.old_id, -1)::BIGINT AS old_id,
+       COALESCE(n.new_id, -1)::BIGINT AS new_id
+FROM olds o FULL OUTER JOIN news n ON o.canonical_url = n.canonical_url
+"""
+
+
 def _o_domain_stats() -> str:
     return f"""
 WITH {_o_url_canon_cte()}
@@ -2827,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
+        "inverted_index": _q_inverted_index,
         "repetition_stats": _q_repetition_stats,
         "c4_clean": _q_c4_clean,
         "url_canonical": _q_url_canonical,
@@ -2840,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
+        "crawl_delta": _q_crawl_delta,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
@@ -2887,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(),
         "quality_score": _o_quality(),
         "fingerprint": _o_fingerprint(),
+        "inverted_index": _o_inverted_index(),
         "repetition_stats": _o_repetition_stats(),
         "c4_clean": _o_c4_clean(),
         "url_canonical": _o_url_canonical(),
@@ -2900,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),
+        "crawl_delta": _o_crawl_delta(),
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),

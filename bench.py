@@ -104,6 +104,9 @@ BENCH_FAMILIES = {
         # C4-style line/page cleaning (zero-shuffle projection over the
         # punctuated-line fixture)
         "c4_clean",
+        # retrieval-index build: (term,doc) tf agg + salted two-stage
+        # top-k postings + stats⋈postings on the agg partitioning
+        "inverted_index",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
@@ -114,6 +117,9 @@ BENCH_FAMILIES = {
         "domain_cap",
         # recrawl collapse: freshest warc_ts wins (one max_by agg)
         "latest_crawl",
+        # incremental-ingest snapshot diff: one agg per side + one
+        # full-outer equi join reusing the agg partitioning
+        "crawl_delta",
     ],
     "graph": [
         # link-graph face: zero-shuffle JVM-regex anchor parse, distinct

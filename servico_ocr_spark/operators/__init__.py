@@ -45,6 +45,7 @@ from .links import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     c4_page_clean,
+    inverted_index,
     language_id,
     quality_score,
     repetition_stats,
@@ -60,6 +61,7 @@ from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,
     canonicalize_urls,
+    crawl_delta,
     domain_cap,
     domain_stats,
     latest_crawl,

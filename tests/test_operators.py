@@ -708,3 +708,43 @@ def test_remove_duplicate_spans_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         remove_duplicate_spans(df, min_len=0)
+
+
+def test_inverted_index_exact_small(spark):
+    from servico_ocr_spark.operators import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana banana banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["word"]: r for r in inverted_index(df, k=2).collect()}
+    a = out["apple"]
+    assert (a["df"], a["total_tf"], a["max_tf"]) == (2, 3, 2)
+    assert a["top_docs"] == "1:2,3:1"
+    b = out["banana"]
+    assert (b["df"], b["total_tf"], b["max_tf"]) == (3, 5, 3)
+    # tf desc, doc_id asc: doc 3 (tf 3) then doc 1 (tf 1, id < 2)
+    assert b["top_docs"] == "3:3,1:1"
+    c = out["cherry"]
+    assert (c["df"], c["total_tf"], c["max_tf"]) == (1, 1, 1)
+    assert c["top_docs"] == "2:1"
+
+
+def test_inverted_index_two_stage_equals_one_stage(spark):
+    from servico_ocr_spark.operators import inverted_index
+
+    # 40 docs over a tiny vocabulary -> every term hot, buckets bind
+    rows = [
+        (i, " ".join("w%d" % (j % 5) for j in range(i % 7 + 1)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    one = sorted(map(tuple, inverted_index(df, k=3).collect()))
+    two = sorted(
+        map(tuple, inverted_index(df, k=3, salt_buckets=4).collect())
+    )
+    assert one == two

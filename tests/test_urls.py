@@ -229,3 +229,61 @@ def test_driver_fixture_pairs_are_duplicates(spark):
     # docs -> doc_ids 0..59 -> none hit % 101 == 100; assert the fixture
     # still produces >1 distinct canonical per site family overall)
     assert c.select("canonical_url").distinct().count() > 10
+
+
+def test_crawl_delta_statuses_and_representatives(spark):
+    from servico_ocr_spark.operators import crawl_delta
+
+    old = spark.createDataFrame(
+        [
+            # canonical family in both crawls, same content -> unchanged
+            (1, "http://a.com/x?utm_source=s", "same"),
+            (2, "http://a.com/x#frag", "noise"),  # not the representative
+            # in both, content drifts -> changed
+            (3, "http://b.org/", "v1"),
+            # only in old -> removed
+            (4, "http://gone.net/", "bye"),
+        ],
+        ["doc_id", "url", "content"],
+    )
+    new = spark.createDataFrame(
+        [
+            # representative is min doc_id per side: old rep=1, new rep=5
+            (5, "http://a.com/x", "same"),
+            (6, "http://b.org/#s", "v2"),
+            # only in new -> added
+            (7, "http://fresh.io/", "hi"),
+        ],
+        ["doc_id", "url", "content"],
+    )
+    out = {
+        r["canonical_url"]: r for r in crawl_delta(old, new).collect()
+    }
+    assert len(out) == 4
+    a = out["http://a.com/x"]
+    assert (a["status"], a["old_id"], a["new_id"]) == ("unchanged", 1, 5)
+    b = out["http://b.org/"]
+    assert (b["status"], b["old_id"], b["new_id"]) == ("changed", 3, 6)
+    assert out["http://gone.net/"]["status"] == "removed"
+    assert out["http://gone.net/"]["new_id"] == -1
+    assert out["http://fresh.io/"]["status"] == "added"
+    assert out["http://fresh.io/"]["old_id"] == -1
+
+
+def test_crawl_delta_plan_no_window_aggs_before_join(spark):
+    from servico_ocr_spark.operators import crawl_delta
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", "c")], ["doc_id", "url", "content"]
+    )
+    plan = (
+        crawl_delta(df, df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one map-side-combinable agg per side, one equi join on the
+    # canonical url string, no windows
+    assert "Window" not in plan
+    assert plan.count("FullOuter") == 1 or "full_outer" in plan.lower()
+    assert "partial_min_by" in plan or "partial_min" in plan
