@@ -906,6 +906,62 @@ FROM reach GROUP BY node
 """
 
 
+def _q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper: components over the chain corpus, then
+    per-component argmax of a deterministic doc quality (md5-derived
+    integer, the fixture stand-in for a real quality_score) — the row a
+    curation pipeline actually writes out per duplicate family."""
+    from servico_ocr_spark.operators import (
+        component_representatives,
+        neardup_components,
+    )
+
+    chain = _chain_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        chain, num_hashes=_CHAIN_K, bands=_CHAIN_BANDS,
+        threshold=_CHAIN_THRESHOLD / 100, max_word_df=None,
+    )
+    comps = neardup_components(chain, pairs)
+    scores = chain.select(
+        "doc_id",
+        (h48(F.concat(F.col("doc_id").cast("string"), F.lit("q"))) % 1000)
+        .alias("score"),
+    )
+    return component_representatives(comps, scores)
+
+
+def _o_neardup_keep_best() -> str:
+    score = _d_h48("(doc_id::VARCHAR || 'q')")
+    return f"""
+WITH RECURSIVE {_d_chain_wx()},
+{_o_minhash_pairs_from_wx(_CHAIN_K, _CHAIN_BANDS, _CHAIN_THRESHOLD)},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM mp
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM mp
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+),
+sc AS (SELECT doc_id, {score} % 1000 AS score FROM documents),
+ranked AS (
+    SELECT c.component_id, c.doc_id, sc.score,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY sc.score DESC, c.doc_id) AS rn,
+           count(*) OVER (PARTITION BY c.component_id) AS n_members
+    FROM comp c JOIN sc ON c.doc_id = sc.doc_id
+)
+SELECT component_id, doc_id AS keep_id, score::BIGINT AS best_score,
+       n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 _HOTSHINGLE_BOILER = 15  # boilerplate words shared by EVERY doc (df = n)
 _HOTSHINGLE_UNIQ = 10  # discriminative words; doc pair (2u, 2u+1) shares 9
 _HOTSHINGLE_CAP = 5  # BINDING at every sf: boilerplate df = n >> 5, while
@@ -2915,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
         "chain_components": _q_chain_components,
+        "neardup_keep_best": _q_neardup_keep_best,
         "hotshingle_neardups": _q_hotshingle_neardups,
         "zipf_neardups": _q_zipf_neardups,
         "ann_brute_topk": _q_ann_brute_topk,
@@ -2977,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "chain_components": _o_chain_components(),
+        "neardup_keep_best": _o_neardup_keep_best(),
         "hotshingle_neardups": _o_hotshingle_neardups(),
         "zipf_neardups": _o_zipf_neardups(),
         "ann_brute_topk": _o_ann_brute_topk(),

@@ -83,6 +83,9 @@ BENCH_FAMILIES = {
         # path-graph chain corpus (component iteration depth) and the
         # hot-shingle corpus (word-df cap actually dropping features)
         "chain_components",
+        # quality-aware keeper per component (components + score argmax,
+        # one max_by agg — the row a curation pipeline actually writes)
+        "neardup_keep_best",
         "hotshingle_neardups",
         # Zipf-vocabulary fixture: a CONSTANT df cap binding at every sf
         # (heavy-tailed background vocabulary, the real-web regime)

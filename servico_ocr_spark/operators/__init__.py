@@ -8,6 +8,7 @@ and multimodal column plumbing.
 """
 
 from .dedup import (  # noqa: F401
+    component_representatives,
     decontaminate,
     exact_duplicates,
     minhash_candidate_telemetry,

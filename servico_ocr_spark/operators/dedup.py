@@ -421,6 +421,42 @@ def neardup_components(
     )
 
 
+def component_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the document a dedup pipeline actually KEEPS from each
+    near-duplicate component: the member with the highest ``score_col``
+    (ties to the smallest ``id_col``), plus its score and the component
+    size — the final stage after :func:`neardup_components`, replacing
+    its id-order ``keeper`` with a quality-aware choice (keep the
+    best-quality page of a template family, not the lowest-id one).
+
+    Scale shape: one equi join of components with per-doc scores on the
+    id (both inputs are corpus-keyed; AQE picks broadcast when one side
+    is small), then ONE map-side-combinable aggregation on the component
+    key — ``max_by`` over the (score, -id) struct resolves the argmax
+    inside the partial aggregate, so a 10^9-member template cluster
+    costs its combiner a comparison, never a materialized row group
+    (same rule as ``urls.latest_crawl``). No windows."""
+    joined = components.select(id_col, comp_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    # (score asc, -id asc) max == highest score, then smallest id —
+    # lexicographic struct comparison, total because ids are unique
+    ord_key = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    )
+    return joined.groupBy(comp_col).agg(
+        F.max_by(F.col(id_col), ord_key).alias("keep_id"),
+        F.max(ord_key).getField("s").alias("best_score"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+
+
 def _simhash_sigs(df: DataFrame, text_col: str, id_col: str,
                   bits: int) -> DataFrame:
     """(doc_id, simhash, n) — n = distinct word count. A word-less doc

@@ -748,3 +748,38 @@ def test_inverted_index_two_stage_equals_one_stage(spark):
         map(tuple, inverted_index(df, k=3, salt_buckets=4).collect())
     )
     assert one == two
+
+
+def test_component_representatives_argmax_and_ties(spark):
+    from servico_ocr_spark.operators import component_representatives
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        ["doc_id", "component_id"],
+    )
+    scores = spark.createDataFrame(
+        [
+            # component 1: doc 2 wins on score, NOT the id-order keeper
+            (1, 5), (2, 9), (3, 7),
+            # component 10: score tie -> smallest id wins
+            (10, 4), (11, 4),
+            # singleton
+            (20, 0),
+        ],
+        ["doc_id", "score"],
+    )
+    out = {
+        r["component_id"]: r
+        for r in component_representatives(comps, scores).collect()
+    }
+    assert (out[1]["keep_id"], out[1]["best_score"], out[1]["n_members"]) \
+        == (2, 9, 3)
+    assert (out[10]["keep_id"], out[10]["best_score"]) == (10, 4)
+    assert (out[20]["keep_id"], out[20]["n_members"]) == (20, 1)
+    # plan: no window, argmax inside the partial aggregate
+    plan = (
+        component_representatives(comps, scores)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
