@@ -246,3 +246,35 @@ def test_pagerank_reuses_static_edge_exchanges(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 8, plan[:4000]
+
+
+def test_inverted_index_tf_computed_once_topk_bounded(spark):
+    """The (term, doc) tf aggregation feeds both the stats branch and the
+    postings branch; the EXECUTED plan must collapse the second reference
+    via runtime exchange reuse (the explode + big shuffle runs once per
+    job, not per branch). The top-k windows must compile to
+    WindowGroupLimit (partial per-partition top-k BEFORE each exchange),
+    so a hot term's final row group is bounded by k x partitions even
+    before the salted two-stage bound."""
+    df = entrymod.queries()["inverted_index"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan[:4000]
+    assert "WindowGroupLimit" in plan, plan[:4000]
+
+
+def test_crawl_delta_two_exchanges_join_reuses_partitioning(spark):
+    """One hash aggregation per snapshot side; the full-outer join must
+    consume the aggs' hash partitioning without a further exchange —
+    exactly 2 shuffles in the whole plan."""
+    import re
+
+    df = entrymod.queries()["crawl_delta"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchanges = len(
+        re.findall(r"\bExchange hashpartitioning", final)
+    ) - final.count("ReusedExchange")
+    assert n_exchanges <= 2, final[:4000]
+    assert "Window" not in final
