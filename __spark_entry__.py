@@ -2417,6 +2417,48 @@ _PACK_CAPACITY = 256
 _PACK_SHARDS = 8
 
 
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8  # stride 24: the 10-99-word corpus yields 1-4 chunks
+#                     per doc — single-chunk, multi-chunk, and short-tail
+#                     cases all live at every sf
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _o_chunk_documents() -> str:
+    cs, st = _CHUNK_SIZE, _CHUNK_SIZE - _CHUNK_OVERLAP
+    piece = f"list_slice(words, chunk_idx * {st} + 1, chunk_idx * {st} + {cs})"
+    return f"""
+WITH base AS ({_d_words_cte()}),
+c AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) <= 0 THEN 0
+                WHEN len(words) <= {cs} THEN 1
+                ELSE (len(words) - {cs} + {st - 1}) // {st} + 1 END
+               AS n_chunks
+    FROM base
+),
+x AS (
+    SELECT doc_id, words,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+    FROM c WHERE n_chunks > 0
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {st})::BIGINT AS start_token,
+       len({piece})::BIGINT AS n_tokens,
+       {_d_h48(f"array_to_string({piece}, ' ')")} AS chunk_h48
+FROM x
+"""
+
+
 def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import assign_split
 
@@ -3000,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
+        "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "dup_span_removal": _q_dup_span_removal,
@@ -3063,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),
+        "chunk_documents": _o_chunk_documents(),
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
         "dup_span_removal": _o_dup_span_removal(),

@@ -153,6 +153,8 @@ BENCH_FAMILIES = {
         # concat-and-chunk packing (one shuffle on shard), token-budget
         # data mixing (one strata agg + broadcast rate filter)
         "assign_split",
+        # context-window chunking: zero-shuffle projection + explode
+        "chunk_documents",
         "pack_sequences",
         "token_budget_mix",
         # four faces chained: url collapse -> C4 clean -> token counts

@@ -55,6 +55,7 @@ from .textstats import (  # noqa: F401
 )
 from .packing import (  # noqa: F401
     assign_split,
+    chunk_documents,
     pack_sequences,
     token_budget_mix,
 )

@@ -225,3 +225,70 @@ def token_budget_mix(
         .where(F.col("_h") * D < F.col("rate_pp") * F.lit(2 ** 48))
         .select("doc_id", F.col("stratum"), "n_tokens", "rate_pp")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window preparation step (RoBERTa/GPT-style striding) that
+    turns variable-length documents into model-consumable chunks while
+    the overlap preserves cross-boundary context.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last chunk may be short, a
+    document with <= chunk_size tokens yields exactly one chunk, and an
+    empty document yields none. Output per chunk: ``start_token``,
+    ``n_tokens``, and the portable 48-bit hash of the chunk text (the
+    downstream join key for chunk-level dedup).
+
+    Scale shape: pure projection + one ``explode`` over an arithmetic
+    chunk-index sequence — ZERO shuffle, whole-stage codegen, perfectly
+    data-parallel at any corpus size. Per-row cost is O(n_tokens ×
+    chunk_count) string slicing, bounded by max-document-length/stride;
+    the 10^12-doc skew story is the flagship's salted repartition (by
+    estimated length) if documents are pathologically long, not anything
+    in this operator."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    from .common import words_array
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        words_array(F.col(text_col)).alias("_w"),
+    )
+    n = F.size("_w")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_size, F.lit(1))
+        # ceil((n - chunk_size) / stride) + 1, exact integer `div`
+        .otherwise(
+            F.expr(
+                f"(size(_w) - {chunk_size} + {stride - 1}) "
+                f"div {stride} + 1"
+            )
+        )
+    )
+    # guard: Spark's sequence() infers step -1 when start > stop, so the
+    # zero-chunk case must short-circuit to an empty array, and explode
+    # (not explode_outer) drops the empty-doc rows entirely
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = words.select(
+        "doc_id", "_w", F.explode(idx).alias("chunk_idx")
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    piece = F.slice(F.col("_w"), start.cast("int") + 1, chunk_size)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        h48(F.array_join(piece, " ")).alias("chunk_h48"),
+    )

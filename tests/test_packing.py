@@ -199,3 +199,70 @@ def test_token_budget_mix_plan_broadcasts_rates(spark):
     # never a sort-merge shuffle of the document side
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_boundaries_and_edges(spark):
+    from servico_ocr_spark.operators import chunk_documents
+
+    w = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (0, ""),          # empty -> no chunks
+            (1, w(5)),        # short -> one chunk of 5
+            (2, w(8)),        # exactly chunk_size -> one chunk
+            (3, w(9)),        # one past -> two chunks (second short)
+            (4, w(20)),       # 8/stride 6 -> chunks at 0,6,12 -> 3 chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_size=8, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 0, 5),
+        (2, 0, 0, 8),
+        (3, 0, 0, 8), (3, 1, 6, 3),
+        (4, 0, 0, 8), (4, 1, 6, 8), (4, 2, 12, 8),
+    ]
+
+
+def test_chunk_documents_overlap_is_real_and_hashes_distinct(spark):
+    from servico_ocr_spark.operators import chunk_documents
+    from servico_ocr_spark.operators.common import h48, words_array
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=10, overlap=4).collect()
+    # stride 6: starts 0,6,12,18 -> ceil((30-10)/6)+1 = 5? (30-10+5)//6+1=5
+    starts = sorted(r["start_token"] for r in out)
+    assert starts == [0, 6, 12, 18, 24]
+    # chunk hash equals the hash of the slice it claims to cover
+    expected = df.select(
+        h48(
+            F.array_join(
+                F.slice(words_array(F.col("text")), 13, 10), " "
+            )
+        ).alias("h")
+    ).collect()[0]["h"]
+    by_start = {r["start_token"]: r for r in out}
+    assert by_start[12]["chunk_h48"] == expected
+    assert len({r["chunk_h48"] for r in out}) == len(out)
+    # last chunk is the short tail: tokens 24..29
+    assert by_start[24]["n_tokens"] == 6
+
+
+def test_chunk_documents_zero_shuffle_and_validation(spark):
+    import pytest as _pytest
+    from servico_ocr_spark.operators import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
