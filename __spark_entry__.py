@@ -86,9 +86,9 @@ def _d_h48(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
 
 
-def _d_words_cte() -> str:
+def _d_words_cte(tbl: str = "documents") -> str:
     words = _D_WORDS.format(norm=_D_NORM)
-    return f"SELECT doc_id, {words} AS words FROM documents"
+    return f"SELECT doc_id, {words} AS words FROM {tbl}"
 
 
 # ===========================================================================
@@ -1408,11 +1408,11 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_read(spark, sf_dir, "documents"))
 
 
-def _o_quality() -> str:
+def _o_quality(tbl: str = "documents") -> str:
     markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     marker_list = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
     return f"""
-WITH base AS ({_d_words_cte()}),
+WITH base AS ({_d_words_cte(tbl)}),
 m AS (
     SELECT doc_id,
            len(words) AS n_words,
@@ -1441,6 +1441,77 @@ SELECT doc_id, n_words,
                  AND floor(total_len * 100 / n_words) <= 1500
             THEN 'good' ELSE 'low' END AS quality_bucket
 FROM m
+"""
+
+
+# Gopher-filter fixture: the natural corpus has zero digit tokens and a
+# 4.2-4.8-char mean word length, so two drop rules would be dead code —
+# inject a digit-heavy subset (doc_id % 23 == 4) and a long-word subset
+# (doc_id % 29 == 5), same arithmetic in the DuckDB CTE. Thresholds are
+# corpus-tuned so EVERY rule binds at every sf while keeps survive
+# (measured quantiles at sf0.01: n_words p5=16, stopword‰ median 25,
+# dup_word_ppm p95≈688k, top_word_ppm p95≈160k, dup_2gram_ppm p95≈83k).
+_GOPHER_INJECT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 23 = 4 THEN repeat(' 12345', 30) ELSE '' END,"
+    " CASE WHEN doc_id % 29 = 5 THEN"
+    "   repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 40)"
+    "   ELSE '' END)"
+)
+_GOPHER_THRESHOLDS = dict(
+    min_words=20, max_words=100_000,
+    min_mwl_x100=200, max_mwl_x100=1500,
+    min_stop_permille=20, max_digit_permille=200,
+    max_dup_word_ppm=650_000, max_top_word_ppm=150_000,
+    max_dup_2gram_ppm=60_000,
+)
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from servico_ocr_spark.operators import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_INJECT).alias("text")
+    )
+    return gopher_filter(docs, **_GOPHER_THRESHOLDS)
+
+
+def _o_gopher_filter() -> str:
+    t = _GOPHER_THRESHOLDS
+    inject = (
+        "text || CASE WHEN doc_id % 23 = 4 THEN repeat(' 12345', 30) "
+        "ELSE '' END || CASE WHEN doc_id % 29 = 5 THEN "
+        "repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 40) "
+        "ELSE '' END"
+    )
+    return f"""
+WITH gdocs AS (
+    SELECT doc_id, {inject} AS text FROM documents
+),
+q AS (SELECT * FROM ({_o_quality(tbl="gdocs")}) qq),
+r AS (SELECT * FROM ({_o_repetition_stats(tbl="gdocs")}) rr),
+scored AS (
+    SELECT q.doc_id, q.n_words,
+        (CASE WHEN q.n_words < {t["min_words"]}
+                   OR q.n_words > {t["max_words"]} THEN 1 ELSE 0 END
+       + CASE WHEN q.mean_word_len_x100 < {t["min_mwl_x100"]}
+                   OR q.mean_word_len_x100 > {t["max_mwl_x100"]}
+              THEN 2 ELSE 0 END
+       + CASE WHEN q.stopword_permille < {t["min_stop_permille"]}
+              THEN 4 ELSE 0 END
+       + CASE WHEN q.digit_permille > {t["max_digit_permille"]}
+              THEN 8 ELSE 0 END
+       + CASE WHEN r.dup_word_ppm > {t["max_dup_word_ppm"]}
+              THEN 16 ELSE 0 END
+       + CASE WHEN r.top_word_ppm > {t["max_top_word_ppm"]}
+              THEN 32 ELSE 0 END
+       + CASE WHEN r.dup_2gram_ppm > {t["max_dup_2gram_ppm"]}
+              THEN 64 ELSE 0 END)::BIGINT AS reasons
+    FROM q JOIN r ON q.doc_id = r.doc_id
+)
+SELECT doc_id, n_words, reasons,
+       (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::INT AS keep
+FROM scored
 """
 
 
@@ -1525,7 +1596,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
 
-def _o_repetition_stats() -> str:
+def _o_repetition_stats(tbl: str = "documents") -> str:
     def ppm(num, denom):
         return (
             f"(CASE WHEN coalesce(m.{denom}, 0) > 0 THEN "
@@ -1533,7 +1604,7 @@ def _o_repetition_stats() -> str:
         )
 
     return f"""
-WITH base AS ({_d_words_cte()}),
+WITH base AS ({_d_words_cte(tbl)}),
 tok AS (
     SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
     FROM base
@@ -1568,7 +1639,7 @@ SELECT d.doc_id,
        {ppm("m.top_w", "n_words")} AS top_word_ppm,
        {ppm("(m.n_grams - m.d_grams)", "n_grams")} AS dup_2gram_ppm,
        {ppm("m.top_g", "n_grams")} AS top_2gram_ppm
-FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+FROM {tbl} d LEFT JOIN m ON m.doc_id = d.doc_id
 """
 
 
@@ -3023,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_score": _q_quality,
+        "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
         "inverted_index": _q_inverted_index,
         "repetition_stats": _q_repetition_stats,
@@ -3087,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "quality_score": _o_quality(),
+        "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),
         "inverted_index": _o_inverted_index(),
         "repetition_stats": _o_repetition_stats(),

@@ -110,6 +110,9 @@ BENCH_FAMILIES = {
         # retrieval-index build: (term,doc) tf agg + salted two-stage
         # top-k postings + stats⋈postings on the agg partitioning
         "inverted_index",
+        # Gopher-style composite quality gate: two metric branches
+        # joined on their agg key, decision is a pure projection
+        "gopher_filter",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

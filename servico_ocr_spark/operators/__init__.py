@@ -46,6 +46,7 @@ from .links import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     c4_page_clean,
+    gopher_filter,
     inverted_index,
     language_id,
     quality_score,

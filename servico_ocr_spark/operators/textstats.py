@@ -407,3 +407,72 @@ def inverted_index(
     return stats.join(top, "word").select(
         "word", "df", "total_tf", "max_tf", "top_docs"
     )
+
+
+#: (bit, human name) of each gopher_filter drop rule, in evaluation order
+GOPHER_RULES = [
+    (1, "word_count_out_of_range"),
+    (2, "mean_word_len_out_of_range"),
+    (4, "stopword_ratio_low"),
+    (8, "digit_ratio_high"),
+    (16, "dup_word_ratio_high"),
+    (32, "top_word_ratio_high"),
+    (64, "dup_2gram_ratio_high"),
+]
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_x100: int = 300,
+    max_mwl_x100: int = 1000,
+    min_stop_permille: int = 60,
+    max_digit_permille: int = 200,
+    max_dup_word_ppm: int = 300_000,
+    max_top_word_ppm: int = 200_000,
+    max_dup_2gram_ppm: int = 200_000,
+) -> DataFrame:
+    """Composite document-quality gate in the Gopher/MassiveText style:
+    every document gets ``keep`` (1/0) plus a ``reasons`` bitmask naming
+    each violated rule (bits per :data:`GOPHER_RULES`), so corpus triage
+    can count WHY documents drop, not just how many. Thresholds are
+    integer ratio adaptations of the Gopher paper's rules (Rae et al.
+    2021, Table A1); defaults approximate the paper, and callers tune
+    them per corpus.
+
+    Built by composing :func:`quality_score` and :func:`repetition_stats`
+    and joining on the id — each branch is one posexplode + one
+    aggregation, independently oracle-checked, and the join key is the
+    aggregation key so the join reuses both exchanges. The input is
+    scanned twice (once per metric family); fusing both families into
+    one pass would save a scan at the cost of duplicating both
+    aggregations' logic — rejected while the branches stay this simple.
+    The decision itself is a pure projection over the joined metrics."""
+    q = quality_score(df, text_col, id_col)
+    r = repetition_stats(df, text_col, id_col).drop("n_words")
+    m = q.join(r, "doc_id")
+    checks = [
+        (1, (F.col("n_words") < min_words)
+            | (F.col("n_words") > max_words)),
+        (2, (F.col("mean_word_len_x100") < min_mwl_x100)
+            | (F.col("mean_word_len_x100") > max_mwl_x100)),
+        (4, F.col("stopword_permille") < min_stop_permille),
+        (8, F.col("digit_permille") > max_digit_permille),
+        (16, F.col("dup_word_ppm") > max_dup_word_ppm),
+        (32, F.col("top_word_ppm") > max_top_word_ppm),
+        (64, F.col("dup_2gram_ppm") > max_dup_2gram_ppm),
+    ]
+    reasons = None
+    for bit, cond in checks:
+        term = F.when(cond, F.lit(bit)).otherwise(F.lit(0))
+        reasons = term if reasons is None else reasons + term
+    reasons = reasons.cast("long")
+    return m.select(
+        "doc_id",
+        "n_words",
+        reasons.alias("reasons"),
+        (reasons == 0).cast("int").alias("keep"),
+    )

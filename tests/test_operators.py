@@ -783,3 +783,48 @@ def test_component_representatives_argmax_and_ties(spark):
     )
     assert "Window" not in plan
     assert "partial_max_by" in plan or "partial_max" in plan
+
+
+def test_gopher_filter_bitmask_and_keep(spark):
+    from servico_ocr_spark.operators import gopher_filter
+
+    # stop-rich but NOT repetitive (a repeated stopword block would
+    # correctly trip the dup-2gram rule)
+    stopful = "the and is of to in that it big cat sat mat dog run sun"
+    df = spark.createDataFrame(
+        [
+            # passes everything
+            (1, stopful),
+            # too short (bit 1) AND stop-poor (bit 4 fails only if ratio
+            # low — all distinct non-stop words)
+            (2, "alpha beta gamma"),
+            # digit-heavy (bit 8) but otherwise like doc 1
+            (3, stopful + " 11 22 33 44 55 66 77 88 99 10 12 13"),
+            # one word repeated: dup_word (16), top_word (32),
+            # dup_2gram (64) all fire; word count ok
+            (4, "spam " * 30),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_filter(
+            df,
+            min_words=10,
+            max_words=100,
+            min_mwl_x100=100,
+            max_mwl_x100=900,
+            min_stop_permille=200,
+            max_digit_permille=200,
+            max_dup_word_ppm=800_000,
+            max_top_word_ppm=500_000,
+            max_dup_2gram_ppm=500_000,
+        ).collect()
+    }
+    assert (out[1]["keep"], out[1]["reasons"]) == (1, 0)
+    assert out[2]["keep"] == 0 and out[2]["reasons"] & 1 and \
+        out[2]["reasons"] & 4
+    assert out[3]["keep"] == 0 and out[3]["reasons"] == 8
+    # doc 4: 30x "spam" -> dup 29/30, top 30/30, dup_2gram 28/29, and
+    # zero stopwords (bit 4)
+    assert out[4]["reasons"] == 4 + 16 + 32 + 64
