@@ -2504,11 +2504,11 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_chunk_documents() -> str:
+def _o_chunk_documents(tbl: str = "documents") -> str:
     cs, st = _CHUNK_SIZE, _CHUNK_SIZE - _CHUNK_OVERLAP
     piece = f"list_slice(words, chunk_idx * {st} + 1, chunk_idx * {st} + {cs})"
     return f"""
-WITH base AS ({_d_words_cte()}),
+WITH base AS ({_d_words_cte(tbl)}),
 c AS (
     SELECT doc_id, words,
            CASE WHEN len(words) <= 0 THEN 0
@@ -2538,12 +2538,14 @@ def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_assign_split(tbl: str = "documents") -> str:
+def _o_assign_split(
+    tbl: str = "documents", train: int = 98, val: int = 1
+) -> str:
     b = _d_h48("('split:' || doc_id::VARCHAR)")
     return f"""
 SELECT doc_id,
-       CASE WHEN {b} % 100 < 98 THEN 'train'
-            WHEN {b} % 100 < 99 THEN 'val'
+       CASE WHEN {b} % 100 < {train} THEN 'train'
+            WHEN {b} % 100 < {train + val} THEN 'val'
             ELSE 'test' END AS split
 FROM {tbl}
 """
@@ -3056,6 +3058,77 @@ FROM tok JOIN sp USING (doc_id)
 """
 
 
+def _q_chunking_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-set prep over the NEW faces: Gopher quality gate
+    -> context-window chunking -> hash split -> per-split rollup (doc /
+    chunk / unique-chunk / token counts). The split is a pure function of
+    doc_id, so it attaches to the chunk rows as a projection — no join
+    anywhere after the keep-filter semi join."""
+    from servico_ocr_spark.operators import (
+        assign_split,
+        chunk_documents,
+        gopher_filter,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_INJECT).alias("text")
+    )
+    keep_ids = (
+        gopher_filter(docs, **_GOPHER_THRESHOLDS)
+        .where("keep = 1")
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    chunks = chunk_documents(
+        kept, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return (
+        # 80/10/10 (vs the standalone query's 98/1/1) so all three
+        # splits materialize at every sf
+        assign_split(
+            chunks, splits=[("train", 80), ("val", 10), ("test", 10)]
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_h48")
+            .cast("long")
+            .alias("n_unique_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _o_chunking_pipeline() -> str:
+    inject = (
+        "text || CASE WHEN doc_id % 23 = 4 THEN repeat(' 12345', 30) "
+        "ELSE '' END || CASE WHEN doc_id % 29 = 5 THEN "
+        "repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 40) "
+        "ELSE '' END"
+    )
+    return f"""
+WITH gdocs AS (
+    SELECT doc_id, {inject} AS text FROM documents
+),
+kept AS (
+    SELECT doc_id FROM ({_o_gopher_filter()}) gf WHERE keep = 1
+),
+kdocs AS (
+    SELECT g.doc_id, g.text FROM gdocs g JOIN kept USING (doc_id)
+),
+ch AS (SELECT * FROM ({_o_chunk_documents(tbl="kdocs")}) c),
+sp AS ({_o_assign_split(tbl="kdocs", train=80, val=10)})
+SELECT sp.split,
+       count(DISTINCT ch.doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT ch.chunk_h48)::BIGINT AS n_unique_chunks,
+       sum(ch.n_tokens)::BIGINT AS total_tokens
+FROM ch JOIN sp ON ch.doc_id = sp.doc_id
+GROUP BY sp.split
+"""
+
+
 # ===========================================================================
 # contract surface
 # ===========================================================================
@@ -3115,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
         "chunk_documents": _q_chunk_documents,
+        "chunking_pipeline": _q_chunking_pipeline,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "dup_span_removal": _q_dup_span_removal,
@@ -3180,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),
         "chunk_documents": _o_chunk_documents(),
+        "chunking_pipeline": _o_chunking_pipeline(),
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
         "dup_span_removal": _o_dup_span_removal(),

@@ -163,6 +163,10 @@ BENCH_FAMILIES = {
         # four faces chained: url collapse -> C4 clean -> token counts
         # -> split (one agg + one semi join + projections)
         "curation_pipeline",
+        # new faces chained: Gopher gate -> chunking -> hash split ->
+        # per-split rollup (split attaches as a projection, no join
+        # after the keep semi join)
+        "chunking_pipeline",
     ],
     "streaming_batch_twins": ["windowed_events"],
     "multimodal": ["media_features"],
