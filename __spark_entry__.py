@@ -2280,6 +2280,50 @@ def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_delta(old, new)
 
 
+_DICT_BUCKETS = 16
+
+
+def _q_url_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-id dictionary over the distinct canonical urls — the
+    portable two-stage zipWithIndex (bucket rank + cumulative offsets),
+    never a digest id and never a global sort."""
+    from servico_ocr_spark.operators import (
+        canonicalize_urls,
+        dictionary_encode,
+    )
+
+    c = canonicalize_urls(_url_corpus(spark, sf_dir)).select(
+        "canonical_url"
+    )
+    return dictionary_encode(
+        c, value_col="canonical_url", buckets=_DICT_BUCKETS
+    )
+
+
+def _o_url_dictionary() -> str:
+    h = _d_h48("value")
+    return f"""
+WITH {_o_url_canon_cte()},
+vals AS (SELECT DISTINCT canonical_url AS value FROM canon),
+b AS (SELECT value, {h} % {_DICT_BUCKETS} AS _b FROM vals),
+r AS (
+    SELECT value, _b,
+           row_number() OVER (PARTITION BY _b ORDER BY value) AS rn
+    FROM b
+),
+c AS (SELECT _b, count(*) AS c FROM b GROUP BY _b),
+o AS (
+    SELECT _b,
+           coalesce(sum(c) OVER (ORDER BY _b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+    FROM c
+)
+SELECT r.value, (o.off + r.rn - 1)::BIGINT AS id
+FROM r JOIN o USING (_b)
+"""
+
+
 _DOMAIN_CAP_K = 3
 
 
@@ -3184,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
         "crawl_delta": _q_crawl_delta,
+        "url_dictionary": _q_url_dictionary,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
@@ -3250,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),
         "crawl_delta": _o_crawl_delta(),
+        "url_dictionary": _o_url_dictionary(),
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),

@@ -126,6 +126,9 @@ BENCH_FAMILIES = {
         # incremental-ingest snapshot diff: one agg per side + one
         # full-outer equi join reusing the agg partitioning
         "crawl_delta",
+        # portable two-stage distributed zipWithIndex (dense ids, no
+        # digest identity, no global sort)
+        "url_dictionary",
     ],
     "graph": [
         # link-graph face: zero-shuffle JVM-regex anchor parse, distinct

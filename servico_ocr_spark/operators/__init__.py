@@ -60,6 +60,7 @@ from .packing import (  # noqa: F401
     pack_sequences,
     token_budget_mix,
 )
+from .encode import dictionary_encode  # noqa: F401
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,

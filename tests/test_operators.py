@@ -828,3 +828,47 @@ def test_gopher_filter_bitmask_and_keep(spark):
     # doc 4: 30x "spam" -> dup 29/30, top 30/30, dup_2gram 28/29, and
     # zero stopwords (bit 4)
     assert out[4]["reasons"] == 4 + 16 + 32 + 64
+
+
+def test_dictionary_encode_dense_unique_deterministic(spark):
+    from servico_ocr_spark.operators import dictionary_encode
+
+    vals = [f"v{i:03d}" for i in range(97)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(vals[0],), (None,)], ["value"]
+    )
+    out = dictionary_encode(df, buckets=8).collect()
+    ids = sorted(r["id"] for r in out)
+    # dense [0, n) over DISTINCT non-null values
+    assert ids == list(range(97))
+    mapping = {r["value"]: r["id"] for r in out}
+    # deterministic: independent of partitioning and row order
+    df2 = spark.createDataFrame(
+        [(v,) for v in reversed(vals)], ["value"]
+    ).repartition(7)
+    out2 = {
+        r["value"]: r["id"]
+        for r in dictionary_encode(df2, buckets=8).collect()
+    }
+    assert out2 == mapping
+    # intra-bucket order is by value (spot check: two values that land
+    # in the same bucket keep lexicographic id order)
+    from servico_ocr_spark.operators.common import h48
+    from pyspark.sql import functions as F
+
+    hb = {
+        r["value"]: r["b"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["value"])
+        .select("value", F.pmod(h48(F.col("value")), F.lit(8)).alias("b"))
+        .collect()
+    }
+    by_bucket = {}
+    for v, b in hb.items():
+        by_bucket.setdefault(b, []).append(v)
+    for b, vs in by_bucket.items():
+        vs = sorted(vs)
+        got = [mapping[v] for v in vs]
+        assert got == sorted(got)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dictionary_encode(df, buckets=0)
