@@ -128,3 +128,71 @@ except ImportError:  # pragma: no cover - pyspark < 4 fallback
             "transformWithStateInPandas requires pyspark >= 4.0; use "
             "dedupe_stream/applyInPandasWithState on this runtime"
         )
+
+
+LATEST_CRAWL_STATE_SCHEMA = "ts timestamp, keep_id long, n long"
+LATEST_CRAWL_OUTPUT_SCHEMA = (
+    "url string, keep_id long, last_crawl_ts timestamp, n_crawls long"
+)
+
+
+def latest_crawl_stream(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``operators.urls.latest_crawl``
+    ("freshest crawl wins, ties to smallest id"): per-url state holds the
+    running (best_ts, keep_id, n_crawls), and every micro-batch emits the
+    REFRESHED row for each url it touched — a changelog stream in append
+    mode, so any sink works: an Iceberg/Delta sink MERGEs it, a plain
+    file sink keeps the row with the highest ``n_crawls`` per url (the
+    counter is strictly monotone, so it is its own version stamp).
+
+    State is O(1) per url regardless of recrawl count — the same
+    "argmax inside the aggregate" rule as the batch operator's max_by,
+    applied across micro-batches instead of across partitions."""
+    from pyspark.sql.types import StructType as _St  # noqa: F401
+
+    def fn(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, keep_id, n = state.get
+        else:
+            ts, keep_id, n = None, None, 0
+        touched = False
+        for batch in batches:
+            if batch.empty:
+                continue
+            touched = True
+            n += len(batch)
+            b = batch.sort_values(
+                [ts_col, id_col], ascending=[False, True]
+            ).iloc[0]
+            bts, bid = b[ts_col], int(b[id_col])
+            if (
+                ts is None
+                or bts > ts
+                or (bts == ts and bid < keep_id)
+            ):
+                ts, keep_id = bts, bid
+        state.update((ts, keep_id, int(n)))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "keep_id": [keep_id],
+                    "last_crawl_ts": [ts],
+                    "n_crawls": [int(n)],
+                }
+            )
+
+    return stream.groupBy(url_col).applyInPandasWithState(
+        fn,
+        outputStructType=LATEST_CRAWL_OUTPUT_SCHEMA,
+        stateStructType=LATEST_CRAWL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,68 @@ def test_transform_with_state_plan_construction(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<source:string,n_docs:bigint,chars_sum:bigint>"
     )
+
+
+def test_latest_crawl_stream_changelog_matches_batch(spark, tmp_path):
+    """Streaming freshest-crawl-wins: the changelog's final row per url
+    (highest n_crawls — the counter is monotone) must equal the batch
+    latest_crawl over the union of all micro-batches."""
+    import datetime as dt
+
+    from servico_ocr_spark.operators import latest_crawl
+    from servico_ocr_spark.streaming.stateful import latest_crawl_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "doc_id long, url string, warc_ts timestamp"
+    t = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+
+    batch1 = [(1, "http://a.com/x", t(5)), (2, "http://b.org/", t(3)),
+              (3, "http://a.com/x", t(9))]
+    batch2 = [(4, "http://a.com/x", t(7)),   # older than state -> no flip
+              (5, "http://b.org/", t(3)),    # ts tie, larger id -> keep 2
+              (6, "http://c.net/", t(1))]    # new url
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = latest_crawl_stream(stream)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    # final changelog row per url = argmax n_crawls
+    rows = spark.read.parquet(output_dir).collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["url"])
+        if cur is None or r["n_crawls"] > cur["n_crawls"]:
+            final[r["url"]] = r
+    # batch reference over the union (urls here are already canonical)
+    ref = {
+        r["canonical_url"]: r
+        for r in latest_crawl(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    }
+    assert set(final) == set(ref)
+    for url, r in final.items():
+        assert r["keep_id"] == ref[url]["keep_id"], url
+        assert r["last_crawl_ts"] == ref[url]["last_crawl_ts"], url
+        assert r["n_crawls"] == ref[url]["n_crawls"], url
+    # the tie case really kept the smaller id
+    assert final["http://b.org/"]["keep_id"] == 2
