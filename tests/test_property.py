@@ -218,3 +218,49 @@ def test_simhash_pairs_bruteforce_random_corpora(spark):
             for r in simhash_near_duplicates(df, max_hamming=3).collect()
         }
         assert got == brute, (seed, got ^ brute)
+
+
+def test_chunk_documents_covers_every_token_exactly(spark):
+    """Deterministic sweep over (n_words, chunk_size, overlap): chunks
+    tile the token stream — starts advance by exactly stride, every token
+    index falls in >= 1 chunk, consecutive full chunks overlap by exactly
+    `overlap`, and total chunk tokens equal n + overlap*(n_chunks-1) only
+    when every interior chunk is full (checked via per-chunk sizes)."""
+    from servico_ocr_spark.operators import chunk_documents
+
+    cases = [
+        (n, cs, ov)
+        for n in (0, 1, 7, 8, 9, 20, 33, 64)
+        for cs, ov in ((8, 2), (8, 7), (5, 0), (16, 8))
+    ]
+    rows = [
+        (i, " ".join(f"t{k}" for k in range(n)))
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for i, (n, cs, ov) in enumerate(cases):
+        out = sorted(
+            (r["chunk_idx"], r["start_token"], r["n_tokens"])
+            for r in chunk_documents(
+                df.where(f"doc_id = {i}"), chunk_size=cs, overlap=ov
+            ).collect()
+        )
+        stride = cs - ov
+        if n == 0:
+            assert out == []
+            continue
+        # starts advance by stride from 0
+        assert [s for _, s, _ in out] == [
+            j * stride for j in range(len(out))
+        ]
+        covered = set()
+        for _, s, ln in out:
+            assert 1 <= ln <= cs
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n)), (n, cs, ov)
+        # every chunk except possibly the last is full
+        assert all(ln == cs for _, _, ln in out[:-1])
+        # no fully-redundant tail: the last chunk contributes new tokens
+        if len(out) > 1:
+            assert out[-1][1] + out[-1][2] == n
+            assert out[-1][1] > out[-2][1]
