@@ -1519,6 +1519,64 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-df rarity scoring (operators/textstats.token_rarity):
+    deliberately df-based, NOT a vocabulary dense_rank — a global rank
+    is a one-task sort over the whole vocabulary at web scale."""
+    from servico_ocr_spark.operators import token_rarity
+
+    return token_rarity(_read(spark, sf_dir, "documents"))
+
+
+_O_TOKEN_RARITY = """
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS word
+    FROM documents
+),
+dfreq AS (SELECT word, count(*) AS dfq FROM w GROUP BY word),
+s AS (
+    SELECT w.doc_id, count(*) AS n_distinct,
+           sum(1000000 // dfq) AS rarity_sum
+    FROM w JOIN dfreq USING (word) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_distinct, 0)::BIGINT AS n_distinct,
+       COALESCE(s.rarity_sum, 0)::BIGINT AS rarity_sum,
+       (CASE WHEN s.n_distinct IS NULL THEN -1
+             ELSE s.rarity_sum // s.n_distinct END)::BIGINT AS rarity_avg
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-iteration merge candidates
+    (operators/textstats.bpe_merge_candidates): top-20 adjacent char
+    pairs; global top-k via TakeOrderedAndProject, never a global sort."""
+    from servico_ocr_spark.operators import bpe_merge_candidates
+
+    return bpe_merge_candidates(_read(spark, sf_dir, "documents"), k=20)
+
+
+_O_BPE_PAIRS = """
+WITH w AS (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+    FROM documents
+),
+p AS (
+    SELECT substr(word, CAST(i AS INT), 2) AS pair
+    FROM (SELECT word, unnest(range(1, len(word))) AS i
+          FROM w WHERE len(word) >= 2)
+)
+SELECT pair, count(*)::BIGINT AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import inverted_index
 
@@ -1857,6 +1915,69 @@ WITH g AS (
 SELECT user_id, sum(session_start)::BIGINT AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+"""
+
+
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for each purchase event, the same
+    user's latest click at-or-before it (backward inclusive as-of).
+    Spark side is operators/temporal.asof_join — the union-and-window
+    shape (ONE shuffle, no join operator, no per-key row amplification);
+    the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so the two
+    engines reach the same rows through genuinely different plans.
+    Lag is integer microseconds (wall-clock timestampdiff ↔ epoch_us difference), -1 sentinel
+    for unattributed purchases (crawl_delta's null convention)."""
+    from servico_ocr_spark.operators import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="ts",
+        value_cols=["event_id", "ts"],
+        tie_break="event_id",
+        prefix="click_",
+    )
+    return j.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("click_event_id"), F.lit(-1))
+        .cast("long")
+        .alias("click_id"),
+        F.coalesce(
+            # NTZ-safe wall-clock difference (unix_micros rejects
+            # TIMESTAMP_NTZ; a tz-conversion round-trip is avoidable)
+            F.expr("timestampdiff(MICROSECOND, click_ts, ts)"),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
+_O_ASOF_ATTRIBUTION = """
+WITH clicks AS (
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+    SELECT user_id, ts, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id::BIGINT AS purchase_id,
+       p.user_id::BIGINT AS user_id,
+       COALESCE(c.event_id, -1)::BIGINT AS click_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT AS lag_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
@@ -3210,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": _q_embedding_neardups,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "token_rarity": _q_token_rarity,
+        "bpe_pairs": _q_bpe_pairs,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
@@ -3241,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
@@ -3277,6 +3401,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups": _o_embedding_neardups(),
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
+        "token_rarity": _O_TOKEN_RARITY,
+        "bpe_pairs": _O_BPE_PAIRS,
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),
@@ -3308,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
+        "asof_attribution": _O_ASOF_ATTRIBUTION,
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,

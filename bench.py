@@ -113,6 +113,12 @@ BENCH_FAMILIES = {
         # Gopher-style composite quality gate: two metric branches
         # joined on their agg key, decision is a pure projection
         "gopher_filter",
+        # inverse-df rarity scoring (no vocabulary-wide rank; one df
+        # agg + word join + doc agg + restoring id join)
+        "token_rarity",
+        # BPE merge-candidate counts; global top-k via
+        # TakeOrderedAndProject per-partition heaps
+        "bpe_pairs",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
@@ -152,6 +158,9 @@ BENCH_FAMILIES = {
         "top_revenue_orders",
         "first_orders",
         "sessionize",
+        # backward as-of join (union-and-window: one shuffle, no join
+        # operator; oracle is DuckDB's native ASOF JOIN)
+        "asof_attribution",
         "source_rollup",
     ],
     "packing": [

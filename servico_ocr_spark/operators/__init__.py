@@ -45,6 +45,7 @@ from .links import (  # noqa: F401
     resolve_href,
 )
 from .textstats import (  # noqa: F401
+    bpe_merge_candidates,
     c4_page_clean,
     gopher_filter,
     inverted_index,
@@ -53,6 +54,7 @@ from .textstats import (  # noqa: F401
     repetition_stats,
     text_fingerprint,
     token_counts,
+    token_rarity,
 )
 from .packing import (  # noqa: F401
     assign_split,
@@ -61,6 +63,7 @@ from .packing import (  # noqa: F401
     token_budget_mix,
 )
 from .encode import dictionary_encode  # noqa: F401
+from .temporal import asof_join  # noqa: F401
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,

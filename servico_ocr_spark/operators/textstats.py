@@ -476,3 +476,94 @@ def gopher_filter(
         reasons.alias("reasons"),
         (reasons == 0).cast("int").alias("keep"),
     )
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 scale: int = 1_000_000) -> DataFrame:
+    """(doc_id, n_distinct, rarity_sum, rarity_avg): corpus-rarity
+    quality score — each distinct word contributes ``scale // df(word)``
+    (integer inverse document frequency, the rarity-weighting idea
+    behind importance-based corpus filtering), summed and
+    integer-averaged per document. Rare words score near ``scale``;
+    a word present in every document scores ``scale // n_docs``.
+
+    Deliberately NOT a global ``dense_rank`` over the vocabulary — that
+    is a single-task global sort over up to 10^9 distinct words (the
+    straggler shape operators/encode.py exists to avoid). Inverse-df
+    needs only: one per-doc distinct (done map-side via
+    ``array_distinct`` before the explode — no dedup shuffle), one
+    map-side-combinable df aggregation, one word-keyed join, one
+    doc-keyed aggregation. Zero-token documents are preserved through
+    a restoring left join on the id (rarity 0, avg sentinel -1) —
+    the explode-drops-empty-rows lesson (CLAUDE.md).
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ws)).alias("word"),
+    )
+    dfreq = w.groupBy("word").agg(F.count("*").alias("_df"))
+    scored = (
+        w.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum(F.expr(f"{int(scale)} div _df")).alias("rarity_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0)).cast("long")
+            .alias("n_distinct"),
+            F.coalesce("rarity_sum", F.lit(0)).cast("long")
+            .alias("rarity_sum"),
+            F.when(
+                F.col("n_distinct").isNull(), F.lit(-1)
+            ).otherwise(
+                F.expr("rarity_sum div n_distinct")
+            ).cast("long").alias("rarity_avg"),
+        )
+    )
+
+
+def bpe_merge_candidates(df: DataFrame, text_col: str = "text",
+                         k: int = 20) -> DataFrame:
+    """(pair, n): the ``k`` most frequent adjacent character pairs
+    across all corpus words — the first-iteration merge candidates of
+    byte-pair-encoding vocabulary induction (Sennrich et al. 2016).
+    One driver-side iteration of the full BPE loop would re-aggregate
+    per merge; this operator is that loop's inner statistic, the part
+    that must be distributed.
+
+    Shape: explode words (one pass), then ``posexplode(sequence(...))``
+    + ``substring`` generates each word's pairs JVM-side (codegen — no
+    interpreted per-char HOF, per the r1/r2 measurements), one
+    map-side-combinable count aggregation, and the global top-k runs as
+    ``orderBy(...).limit(k)`` — Spark's TakeOrderedAndProject keeps a
+    k-row heap per partition, never a global sort. Ties break on the
+    pair text for determinism.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs = (
+        df.select(F.explode(ws).alias("word"))
+        .where(F.length("word") >= 2)
+        .select(
+            "word",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(F.substring(F.col("word"), F.col("i"), 2).alias("pair"))
+    )
+    # substring(word, i, 2) with i+1 <= length always yields 2 chars;
+    # no empty/1-char tails to filter
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

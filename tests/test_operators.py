@@ -872,3 +872,47 @@ def test_dictionary_encode_dense_unique_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dictionary_encode(df, buckets=0)
+
+
+def test_token_rarity_inverse_df_and_empty_doc(spark):
+    from servico_ocr_spark.operators import token_rarity
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare"),      # common df=2, rare df=1
+            (2, "common common"),    # duplicate word counted once
+            (3, ""),                 # zero tokens: preserved via left join
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_distinct"], r["rarity_sum"], r["rarity_avg"])
+        for r in token_rarity(docs, scale=100).collect()
+    }
+    # df(common)=2 -> 50, df(rare)=1 -> 100
+    assert got[1] == (2, 150, 75)
+    assert got[2] == (1, 50, 50)
+    assert got[3] == (0, 0, -1)
+
+
+def test_bpe_merge_candidates_counts_and_topk(spark):
+    from servico_ocr_spark.operators import bpe_merge_candidates
+
+    docs = _docs(spark, [(1, "abab ab"), (2, "x abab")])
+    # pairs: 'abab' x2 -> ab,ba,ab each; 'ab' -> ab; 'x' -> none
+    got = [(r["pair"], r["n"]) for r in
+           bpe_merge_candidates(docs, k=2).collect()]
+    assert got == [("ab", 5), ("ba", 2)]
+
+
+def test_bpe_merge_candidates_plan_is_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition k-row
+    heaps), never a global Sort of the aggregated pair table."""
+    from servico_ocr_spark.operators import bpe_merge_candidates
+
+    docs = _docs(spark, [(1, "abab ab")])
+    plan = (
+        bpe_merge_candidates(docs, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
