@@ -196,3 +196,71 @@ def latest_crawl_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONIZE_STATE_SCHEMA = "last_ts timestamp, n_sessions long, n_events long"
+SESSIONIZE_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Streaming twin of the batch driver query ``sessionize`` (lag-gap
+    session counting: a row starts a new session when it is the user's
+    first event or arrives more than ``gap_s`` seconds after the
+    previous one). Per-user state is O(1) — just (last_ts, n_sessions,
+    n_events) — and every micro-batch emits the REFRESHED per-user
+    totals it touched: a changelog stream in append mode, same contract
+    as :func:`latest_crawl_stream` (final row per user = row with the
+    highest ``n_events``; the counter is strictly monotone).
+
+    Ordering contract: rows are sorted by (ts, id) WITHIN each
+    micro-batch, and the fold assumes micro-batches arrive per-key in
+    event-time order (true for replay/backfill sources; an
+    out-of-order live source needs a watermark + sort stage upstream —
+    the gap rule is not commutative, so late data would need
+    re-folding, which O(1) state deliberately does not keep).
+    """
+
+    def fn(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        touched = False
+        for batch in batches:
+            if batch.empty:
+                continue
+            touched = True
+            b = batch.sort_values([ts_col, id_col])
+            t = b[ts_col].reset_index(drop=True)
+            prev = t.shift(1)
+            if last_ts is not None:
+                prev.iloc[0] = last_ts
+            gaps = (t - prev).dt.total_seconds()
+            n_sessions += int((gaps.isna() | (gaps > gap_s)).sum())
+            n_events += len(b)
+            last_ts = t.iloc[-1]
+        state.update((last_ts, int(n_sessions), int(n_events)))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_sessions": [int(n_sessions)],
+                    "n_events": [int(n_events)],
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+        stateStructType=SESSIONIZE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

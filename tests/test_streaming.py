@@ -252,3 +252,78 @@ def test_latest_crawl_stream_changelog_matches_batch(spark, tmp_path):
         assert r["n_crawls"] == ref[url]["n_crawls"], url
     # the tie case really kept the smaller id
     assert final["http://b.org/"]["keep_id"] == 2
+
+
+def test_sessionize_stream_changelog_matches_batch(spark, tmp_path):
+    """Streaming lag-gap sessionization: the changelog's final row per
+    user (highest n_events — monotone counter) must equal the batch
+    sessionize fold over the union of all micro-batches, including a
+    session that SPANS the micro-batch boundary (state carries
+    last_ts across batches) and one that starts at the boundary."""
+    import datetime as dt
+
+    from servico_ocr_spark.streaming.stateful import sessionize_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp"
+    t = lambda m: dt.datetime(2024, 3, 1, 12, 0, 0) + dt.timedelta(  # noqa: E731
+        minutes=m
+    )
+
+    # user 1: batch1 ends 12:10, batch2 starts 12:20 (gap 10 min ->
+    # SAME session), then 13:20 (gap 60 min -> new session)
+    # user 2: single event per batch, 40 min apart -> two sessions
+    batch1 = [(1, 1, t(0)), (2, 1, t(10)), (3, 2, t(5))]
+    batch2 = [(4, 1, t(20)), (5, 1, t(80)), (6, 2, t(45))]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = sessionize_stream(stream)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(output_dir).collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n_sessions"], r["n_events"]) for u, r in final.items()
+    }
+    assert got == {1: (2, 4), 2: (2, 2)}
+
+    # batch reference: the driver sessionize fold over the full union
+    from pyspark.sql import Window, functions as F
+
+    ev = spark.createDataFrame(batch1 + batch2, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ref = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev.withColumn(
+            "s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("s").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+        .collect()
+    }
+    assert got == ref
