@@ -1981,6 +1981,38 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles by rank arithmetic
+    (operators/stats.exact_group_quantiles): discrete value at
+    ceil(q*n/100), integer end-to-end — no percentile interpolation,
+    so Spark and DuckDB agree bit-for-bit."""
+    from servico_ocr_spark.operators import exact_group_quantiles
+
+    return exact_group_quantiles(
+        _read(spark, sf_dir, "documents"),
+        group_col="lang",
+        value_col="n_chars",
+        qs=(25, 50, 75, 95),
+    ).withColumnRenamed("group", "lang")
+
+
+_O_LENGTH_QUANTILES = """
+WITH r AS (
+    SELECT lang AS grp, n_chars AS value,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT grp AS lang,
+       max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END)::BIGINT AS p25,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END)::BIGINT AS p50,
+       max(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END)::BIGINT AS p75,
+       max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END)::BIGINT AS p95
+FROM r GROUP BY grp
+"""
+
+
 def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY §2.4 notes the reference has none —
     this is engine surface beyond it): per-(source, lang) corpus counts
@@ -3365,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "length_quantiles": _q_length_quantiles,
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
@@ -3435,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
         "asof_attribution": _O_ASOF_ATTRIBUTION,
+        "length_quantiles": _O_LENGTH_QUANTILES,
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,

@@ -119,6 +119,9 @@ BENCH_FAMILIES = {
         # BPE merge-candidate counts; global top-k via
         # TakeOrderedAndProject per-partition heaps
         "bpe_pairs",
+        # exact per-group quantiles by rank arithmetic (one shuffle,
+        # per-group window sort, conditional agg — no interpolation)
+        "length_quantiles",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -64,6 +64,7 @@ from .packing import (  # noqa: F401
 )
 from .encode import dictionary_encode  # noqa: F401
 from .temporal import asof_join  # noqa: F401
+from .stats import exact_group_quantiles  # noqa: F401
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,

@@ -1,0 +1,68 @@
+"""Exact per-group quantiles by rank arithmetic — the corpus-triage
+statistic ("p50/p95 document length per language/source") computed
+EXACTLY and engine-portably, without floating-point interpolation.
+
+Spark's built-in ``percentile``/``percentile_approx`` interpolate (or
+approximate) in doubles — useless for a hash-checked integer contract
+and subtly different from DuckDB's ``quantile_*`` family. The discrete
+quantile is instead taken by explicit rank arithmetic, identical in any
+SQL engine:
+
+    value at row_number ceil(q*n/100) of the group ordered by value
+
+(equivalently ``percentile_disc`` with lower-bound semantics; the
+integer form ``(n*q + 99) div 100`` avoids doubles entirely).
+
+Scale shape: ONE shuffle on the group key; one per-group window sort
+computes row_number and the group count in the same pass, then the
+quantile extraction is a conditional aggregation (map-side combinable)
+over the already-partitioned rows. No global sort, no driver collect.
+A mega-group serializes in its window sort — the standard per-key
+ordered-operator trade (cf. operators/dedup._cap_doc_freq); when groups
+can be 10^10 rows, switch to a sketch (t-digest/KLL) and accept
+approximation — exact quantiles fundamentally need the group's order
+statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[int] = (25, 50, 75, 95),
+) -> DataFrame:
+    """(group, n, p{q}...): exact discrete quantiles of ``value_col``
+    per group. Each ``p{q}`` is the group's value at 1-based rank
+    ``ceil(q*n/100)`` ordered ascending — a value that EXISTS in the
+    group (no interpolation), deterministic under duplicate values
+    (equal values occupy contiguous ranks). ``qs`` are integer
+    percents in (0, 100]."""
+    for q in qs:
+        if not (0 < int(q) <= 100):
+            raise ValueError(f"quantile percent out of (0,100]: {q}")
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).alias("value"),
+    ).select(
+        "group",
+        "value",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy("value")
+        ).alias("rn"),
+        F.count("*").over(Window.partitionBy("group")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        target = F.expr(f"(n * {int(q)} + 99) div 100")
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("value")))
+            .cast("long")
+            .alias(f"p{int(q)}")
+        )
+    return ranked.groupBy("group").agg(*aggs)

@@ -916,3 +916,30 @@ def test_bpe_merge_candidates_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_group_quantiles_rank_arithmetic(spark):
+    from servico_ocr_spark.operators import exact_group_quantiles
+
+    df = spark.createDataFrame(
+        # group a: 1..10 (p50 = value at ceil(5.0)=rank 5 -> 5);
+        # group b: one row; group c: duplicates
+        [("a", v) for v in range(1, 11)]
+        + [("b", 42)]
+        + [("c", 7), ("c", 7), ("c", 7), ("c", 9)],
+        "g string, v long",
+    )
+    got = {
+        r["group"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in exact_group_quantiles(df, "g", "v").collect()
+    }
+    # a: ranks ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8, ceil(9.5)=10
+    assert got["a"] == (10, 3, 5, 8, 10)
+    # b: every quantile is the single value
+    assert got["b"] == (1, 42, 42, 42, 42)
+    # c: n=4 -> ranks 1,2,3,4 -> 7,7,7,9
+    assert got["c"] == (4, 7, 7, 7, 9)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        exact_group_quantiles(df, "g", "v", qs=(0,))
