@@ -3194,6 +3194,56 @@ SELECT node, rank FROM {prev}
 """
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node undirected triangle counts over the link graph
+    (operators/links.triangle_counts): DEGREE-ORIENTED wedge join —
+    every node's oriented out-degree is O(√m), so the join is bounded
+    at O(m^1.5) regardless of hub skew. Oracle mirrors the same
+    orientation arithmetic in SQL."""
+    from servico_ocr_spark.operators import triangle_counts
+
+    return triangle_counts(
+        link_edges(extract_links(_linked_pages(spark, sf_dir)))
+    )
+
+
+def _o_triangles() -> str:
+    return f"""
+WITH {_O_LINKS_CTE},
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
+    GROUP BY node
+),
+o AS (
+    SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+           CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b
+    FROM und
+    JOIN deg d1 ON d1.node = und.u
+    JOIN deg d2 ON d2.node = und.v,
+    LATERAL (SELECT d1.deg AS du, d2.deg AS dv) t
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM o e1 JOIN o e2 ON e1.b = e2.a
+    JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) q
+    GROUP BY node
+)
+SELECT deg.node, COALESCE(per_node.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+"""
+
+
 # ===========================================================================
 # Composed curation pipeline: the faces chained end-to-end
 # ===========================================================================
@@ -3379,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
+        "triangles": _q_triangles,
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
@@ -3450,6 +3501,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": _o_link_degrees(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
+        "triangles": _o_triangles(),
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),

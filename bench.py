@@ -148,6 +148,9 @@ BENCH_FAMILIES = {
         "link_degrees",
         "anchor_stats",
         "pagerank",
+        # degree-oriented triangle counting: wedge join bounded at
+        # O(m^1.5) regardless of hub skew
+        "triangles",
     ],
     "ann": [
         "ann_brute_topk",

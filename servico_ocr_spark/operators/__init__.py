@@ -43,6 +43,7 @@ from .links import (  # noqa: F401
     link_edges,
     pagerank,
     resolve_href,
+    triangle_counts,
 )
 from .textstats import (  # noqa: F401
     bpe_merge_candidates,

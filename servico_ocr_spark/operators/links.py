@@ -282,3 +282,81 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles): per-node undirected triangle participation
+    over a directed edge table (direction collapsed, self-loops and
+    duplicates dropped) — the raw ingredient of clustering coefficients
+    and link-farm/spam-cluster detection.
+
+    The naive triple self-join explodes on hubs: a degree-d node
+    contributes O(d^2) wedges, so one 10^8-degree host kills the job.
+    This uses the standard DEGREE ORIENTATION (Cohen 2009; the
+    "node-iterator++" bound): orient every undirected edge from its
+    (degree, node)-smaller endpoint to the larger one. The orientation
+    is acyclic, every triangle has exactly one wedge-apex under it, and
+    each node's OUT-degree is bounded by O(sqrt(m)) — so the wedge join
+    is Θ(Σ out_deg²) ≤ O(m^1.5) regardless of hub skew, the best known
+    join-based bound. Shapes: one distinct agg (undirect), one degree
+    agg, two equi joins to attach degrees, one wedge self-join + one
+    closure semi-equi-join — all key-partitioned, no broadcast of
+    anything O(nodes). Zero-triangle nodes are restored with a left
+    join from the degree table (the explode-drops-rows lesson)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    tri = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            o.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )

@@ -296,3 +296,34 @@ def test_extract_links_matches_stdlib_reference_fuzz(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), one pendant node (0), a
+    directed two-way edge (collapses to one undirected edge), and a
+    self-loop (dropped)."""
+    from servico_ocr_spark.operators import triangle_counts
+
+    k4 = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in k4 for y in k4 if x < y]
+    edges += [("d", "e")]          # pendant: degree 1, no triangle
+    edges += [("b", "a")]          # reverse duplicate of (a,b)
+    edges += [("e", "e")]          # self-loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_partitioning_independence(spark):
+    from servico_ocr_spark.operators import triangle_counts
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ref = sorted(map(tuple, triangle_counts(df).collect()))
+    for n in (1, 13):
+        got = sorted(
+            map(tuple, triangle_counts(df.repartition(n)).collect())
+        )
+        assert got == ref
