@@ -1577,6 +1577,51 @@ LIMIT 20
 """
 
 
+def _q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word co-occurrence with an integer PMI surrogate
+    (operators/textstats.word_cooccurrence). The df cap reuses the
+    corpus-derived ceil(9n/10) bound (same rationale as minhash — see
+    the comment at _minhash_word_cap); binding-cap evidence lives in
+    the unit test. The division ORDER in `lift` is part of the
+    contract (overflow-safe to 10^12 docs)."""
+    from servico_ocr_spark.operators import word_cooccurrence
+
+    return word_cooccurrence(
+        _read(spark, sf_dir, "documents"),
+        max_doc_freq=_minhash_word_cap(spark, sf_dir),
+        min_pair_count=2,
+    )
+
+
+_O_WORD_PMI = """
+WITH w0 AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS word
+    FROM documents
+),
+cap AS (SELECT ((9 * count(*) + 9) // 10)::BIGINT AS v FROM documents),
+dfreq AS (
+    SELECT word, count(*) AS wdf FROM w0 GROUP BY word
+    HAVING count(*) <= (SELECT v FROM cap)
+),
+w AS (SELECT w0.doc_id, w0.word FROM w0 JOIN dfreq USING (word)),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+    SELECT a.word AS w1, b.word AS w2, count(*) AS n_pair
+    FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY a.word, b.word HAVING count(*) >= 2
+)
+SELECT p.w1, p.w2, p.n_pair::BIGINT AS n_pair,
+       d1.wdf::BIGINT AS n_w1, d2.wdf::BIGINT AS n_w2,
+       (((1000000 * p.n_pair) // d1.wdf * (SELECT n_docs FROM nd))
+            // d2.wdf)::BIGINT AS lift
+FROM p
+JOIN dfreq d1 ON d1.word = p.w1
+JOIN dfreq d2 ON d2.word = p.w2
+"""
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import inverted_index
 
@@ -3415,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
         "bpe_pairs": _q_bpe_pairs,
+        "word_pmi": _q_word_pmi,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
@@ -3487,6 +3533,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
         "bpe_pairs": _O_BPE_PAIRS,
+        "word_pmi": _O_WORD_PMI,
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),

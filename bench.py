@@ -122,6 +122,9 @@ BENCH_FAMILIES = {
         # exact per-group quantiles by rank arithmetic (one shuffle,
         # per-group window sort, conditional agg — no interpolation)
         "length_quantiles",
+        # df-capped co-occurrence pair join + integer PMI surrogate
+        # (overflow-safe division order)
+        "word_pmi",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -56,6 +56,7 @@ from .textstats import (  # noqa: F401
     text_fingerprint,
     token_counts,
     token_rarity,
+    word_cooccurrence,
 )
 from .packing import (  # noqa: F401
     assign_split,

@@ -567,3 +567,71 @@ def bpe_merge_candidates(df: DataFrame, text_col: str = "text",
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def word_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+    scale: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """(w1, w2, n_pair, n_w1, n_w2, lift): document-level co-occurrence
+    with an integer PMI surrogate — ``lift`` ≈ scale · P(a,b)/(P(a)P(b))
+    computed as ``((scale·n_pair) div n_w1 · n_docs) div n_w2``. The
+    division order is part of the contract: with this nesting every
+    intermediate stays ≤ scale·n_docs, so the arithmetic is
+    BIGINT-overflow-safe to 10^12 documents (the naive
+    ``scale·n_pair·n_docs`` numerator overflows at ~10^6). lift > scale
+    means the pair co-occurs more than independence predicts.
+
+    Scale controls: ``max_doc_freq`` drops stopword-tier words BEFORE
+    the pair join (the `_cap_doc_freq` anti-explosion rule — stopwords
+    otherwise dominate the pair space at Θ(n·V²) for no signal), and
+    ``min_pair_count`` bounds the output tail. The per-doc pair join is
+    Θ(Σ distinct_words(doc)²) — inherent to document-level
+    co-occurrence; cap document length upstream if docs can be 10^6
+    distinct words. Shapes: distinct explode, one df agg (map-side
+    combinable), one doc_id self-join, one pair agg, two word-keyed
+    joins for the marginals, one broadcast of the 1-row corpus count.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ws)).alias("word"),
+    )
+    dfreq = w.groupBy("word").agg(F.count("*").alias("wdf"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.where(F.col("wdf") <= int(max_doc_freq))
+        w = w.join(dfreq.select("word"), "word")
+    n_docs = df.select(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), "doc_id")
+        .where(F.col("a.word") < F.col("b.word"))
+        .groupBy(
+            F.col("a.word").alias("w1"), F.col("b.word").alias("w2")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_pair_count))
+    )
+    m1 = dfreq.select(F.col("word").alias("w1"), F.col("wdf").alias("n_w1"))
+    m2 = dfreq.select(F.col("word").alias("w2"), F.col("wdf").alias("n_w2"))
+    return (
+        pairs.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            F.expr(
+                f"(({int(scale)} * n_pair) div n_w1 * n_docs) div n_w2"
+            ).cast("long").alias("lift"),
+        )
+    )

@@ -943,3 +943,29 @@ def test_exact_group_quantiles_rank_arithmetic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         exact_group_quantiles(df, "g", "v", qs=(0,))
+
+
+def test_word_cooccurrence_lift_and_caps(spark):
+    from servico_ocr_spark.operators import word_cooccurrence
+
+    docs = _docs(
+        spark,
+        [
+            (1, "stop alpha beta"),
+            (2, "stop alpha beta"),
+            (3, "stop alpha gamma"),
+            (4, "stop gamma delta"),
+        ],
+    )
+    # max_doc_freq=3 drops 'stop' (df=4) BEFORE the pair join
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_w1"], r["n_w2"], r["lift"])
+        for r in word_cooccurrence(
+            docs, max_doc_freq=3, scale=1000, min_pair_count=2
+        ).collect()
+    }
+    # alpha(df=3) & beta(df=2) co-occur twice:
+    # lift = ((1000*2) div 3 * 4) div 2 = (666*4) div 2 = 1332 > 1000
+    assert got == {("alpha", "beta"): (2, 3, 2, 1332)}
+    # no 'stop' pair survived, and min_pair_count killed the singletons
+    assert all("stop" not in k for k in got)
