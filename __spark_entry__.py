@@ -2026,6 +2026,35 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+def _q_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: ALL clicks within 30 minutes before
+    each purchase (streaming/joins.interval_attribution run in batch
+    mode — the same function is the stream-stream interval join, so
+    this oracle anchors the streaming semantics). Contrast with
+    asof_attribution, which keeps only the LATEST click."""
+    from servico_ocr_spark.streaming.joins import interval_attribution
+
+    return interval_attribution(_read(spark, sf_dir, "events"))
+
+
+_O_ATTRIBUTION_WINDOW = """
+WITH p AS (
+    SELECT user_id, ts, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id::BIGINT AS purchase_id,
+       p.user_id::BIGINT AS user_id,
+       c.click_id::BIGINT AS click_id,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+"""
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles by rank arithmetic
     (operators/stats.exact_group_quantiles): discrete value at
@@ -3494,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
@@ -3567,6 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
         "asof_attribution": _O_ASOF_ATTRIBUTION,
+        "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,

@@ -189,7 +189,12 @@ BENCH_FAMILIES = {
         # after the keep semi join)
         "chunking_pipeline",
     ],
-    "streaming_batch_twins": ["windowed_events"],
+    "streaming_batch_twins": [
+        "windowed_events",
+        # batch mode of the stream-stream interval join (multi-touch
+        # attribution; oracle anchors the streaming semantics)
+        "attribution_window",
+    ],
     "multimodal": ["media_features"],
 }
 

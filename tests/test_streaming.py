@@ -327,3 +327,75 @@ def test_sessionize_stream_changelog_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == ref
+
+
+def test_interval_attribution_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: two micro-batches through the
+    watermarked join must produce exactly the batch-mode rows over the
+    unioned events — including a purchase in batch 2 matching a click
+    that arrived in batch 1 (join state carries across micro-batches)."""
+    import datetime as dt
+
+    from servico_ocr_spark.streaming.joins import interval_attribution
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    t = lambda m: dt.datetime(2024, 3, 1, 12, 0, 0) + dt.timedelta(  # noqa: E731
+        minutes=m
+    )
+
+    batch1 = [
+        (1, 1, t(0), "click"),
+        (2, 1, t(10), "click"),
+        (3, 1, t(25), "purchase"),   # matches clicks 1 and 2
+        (4, 2, t(0), "click"),
+    ]
+    batch2 = [
+        (5, 2, t(20), "purchase"),   # matches click 4 FROM BATCH 1
+        (6, 1, t(90), "purchase"),   # no click within 30 min -> no row
+        (7, 2, t(95), "click"),
+        (8, 2, t(95), "purchase"),   # equal ts: inclusive -> matches 7
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = interval_attribution(stream)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"], r["lag_us"])
+        for r in spark.read.parquet(output_dir).collect()
+    )
+    ref_df = interval_attribution(
+        spark.createDataFrame(batch1 + batch2, schema)
+    )
+    assert not ref_df.isStreaming
+    ref = sorted(
+        (r["purchase_id"], r["click_id"], r["lag_us"])
+        for r in ref_df.collect()
+    )
+    assert got == ref
+    assert got == [
+        (3, 1, 25 * 60 * 1_000_000),
+        (3, 2, 15 * 60 * 1_000_000),
+        (5, 4, 20 * 60 * 1_000_000),
+        (8, 7, 0),
+    ]
