@@ -66,7 +66,10 @@ from .packing import (  # noqa: F401
 )
 from .encode import dictionary_encode  # noqa: F401
 from .temporal import asof_join  # noqa: F401
-from .stats import exact_group_quantiles  # noqa: F401
+from .stats import (  # noqa: F401
+    distinct_count_telemetry,
+    exact_group_quantiles,
+)
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
     canonical_url,

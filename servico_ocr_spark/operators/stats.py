@@ -66,3 +66,34 @@ def exact_group_quantiles(
             .alias(f"p{int(q)}")
         )
     return ranked.groupBy("group").agg(*aggs)
+
+
+def distinct_count_telemetry(
+    df: DataFrame, col: str, rsd: float = 0.05
+) -> DataFrame:
+    """One row: (exact, approx, err_ppm) — exact COUNT(DISTINCT) next
+    to the HyperLogLog++ estimate (``approx_count_distinct``) and their
+    integer relative error in ppm. The production-observability twin of
+    the exact aggregates: at 10^12 rows the exact distinct is a full
+    shuffle of the distinct values, while the HLL sketch aggregates in
+    O(1) memory per partition and merges map-side — this operator is
+    how a pipeline MEASURES whether the sketch's error is acceptable
+    before switching the hot path to it (same telemetry-twin discipline
+    as the dedup candidate telemetry).
+
+    Not a driver-contract query: HLL estimates are implementation-
+    defined and cannot hash-match another engine; the unit test pins
+    the error band instead."""
+    return df.agg(
+        F.countDistinct(F.col(col)).cast("long").alias("exact"),
+        F.approx_count_distinct(F.col(col), rsd).cast("long").alias(
+            "approx"
+        ),
+    ).select(
+        "exact",
+        "approx",
+        F.expr(
+            "CASE WHEN exact = 0 THEN 0 ELSE "
+            "abs(approx - exact) * 1000000 div exact END"
+        ).cast("long").alias("err_ppm"),
+    )

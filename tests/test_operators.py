@@ -969,3 +969,16 @@ def test_word_cooccurrence_lift_and_caps(spark):
     assert got == {("alpha", "beta"): (2, 3, 2, 1332)}
     # no 'stop' pair survived, and min_pair_count killed the singletons
     assert all("stop" not in k for k in got)
+
+
+def test_distinct_count_telemetry_error_band(spark):
+    """HLL++ estimate within its configured error band against the
+    exact distinct, and err_ppm arithmetic correct."""
+    from servico_ocr_spark.operators import distinct_count_telemetry
+
+    df = spark.range(0, 20000).selectExpr("id % 10000 AS v")
+    r = distinct_count_telemetry(df, "v", rsd=0.02).collect()[0]
+    assert r["exact"] == 10000
+    # 0.02 rsd: allow 5 sigma
+    assert abs(r["approx"] - 10000) <= 10000 * 0.10
+    assert r["err_ppm"] == abs(r["approx"] - 10000) * 1_000_000 // 10000
