@@ -278,3 +278,22 @@ def test_crawl_delta_two_exchanges_join_reuses_partitioning(spark):
     ) - final.count("ReusedExchange")
     assert n_exchanges <= 2, final[:4000]
     assert "Window" not in final
+
+
+def test_asof_attribution_two_exchanges_one_window_no_join(spark):
+    """The union-and-window as-of shape: one shuffle for the build-side
+    tie-break aggregation, one for the union window — and NO join
+    operator anywhere (the naive rewrite's O(probe × history) join is
+    exactly what this operator exists to avoid)."""
+    import re
+
+    df = entrymod.queries()["asof_attribution"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchanges = len(
+        re.findall(r"\bExchange hashpartitioning", final)
+    ) - final.count("ReusedExchange")
+    assert n_exchanges <= 2, final[:4000]
+    assert final.count("Window") == 1, final[:4000]
+    assert "Join" not in final and "CartesianProduct" not in final
