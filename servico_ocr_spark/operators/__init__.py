@@ -65,7 +65,10 @@ from .packing import (  # noqa: F401
     token_budget_mix,
 )
 from .encode import dictionary_encode  # noqa: F401
-from .temporal import asof_join  # noqa: F401
+from .temporal import (  # noqa: F401
+    asof_join,
+    asof_join_broadcast,
+)
 from .stats import (  # noqa: F401
     distinct_count_telemetry,
     exact_group_quantiles,

@@ -114,3 +114,75 @@ def asof_join(
             for c in value_cols
         ],
     )
+
+
+def asof_join_broadcast(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Broadcast variant of :func:`asof_join` for the small-dimension
+    case (SCD lookups, config/state tables): when the build side fits
+    in a broadcast, shuffling the 100-TB probe through the union window
+    is pure waste. Here the build side collapses to ONE ROW PER KEY
+    holding its time-sorted history as an array of structs, broadcasts,
+    and each probe row binary-searches nothing — it filters the (small)
+    array to entries at-or-before its timestamp and takes the last.
+
+    Plan: one build-side aggregation, one BroadcastHashJoin, zero probe
+    shuffles. The array filter is an interpreted HOF per probe row —
+    fine when per-key history is small (the premise of broadcasting);
+    for large build sides use :func:`asof_join`, whose cost is one
+    shuffle regardless of history shape. Ties among build rows sharing
+    (key, ts) resolve to the last struct in sort order — pass a
+    pre-deduped build (or distinct value_cols) for determinism, same
+    contract as asof_join's tie_break.
+    """
+    for c in _RESERVED:
+        if c in probe.columns or c in build.columns:
+            raise ValueError(
+                f"column name {c!r} is reserved by asof_join_broadcast"
+            )
+    if not value_cols:
+        raise ValueError("value_cols must name at least one build column")
+    hist = (
+        build.where(F.col(on).isNotNull() & F.col(build_ts).isNotNull())
+        .select(
+            F.col(on).alias("_k"),
+            F.struct(
+                F.col(build_ts).alias("_ts"),
+                *[F.col(c) for c in value_cols],
+            ).alias("_e"),
+        )
+        .groupBy("_k")
+        # sort_array orders struct entries by the leading _ts field
+        .agg(F.sort_array(F.collect_list("_e")).alias("_asof"))
+    )
+    joined = probe.join(
+        F.broadcast(hist),
+        probe[on] == hist["_k"],
+        "left",
+    )
+    pts = F.col(probe_ts)
+    eligible = (
+        F.filter(F.col("_asof"), lambda e: e["_ts"] <= pts)
+        if inclusive
+        else F.filter(F.col("_asof"), lambda e: e["_ts"] < pts)
+    )
+    match = F.when(
+        F.col("_asof").isNull() | (F.size(eligible) == 0) | pts.isNull(),
+        F.lit(None),
+    ).otherwise(F.element_at(eligible, F.size(eligible)))
+    out = joined.withColumn("_m", match)
+    return out.select(
+        *probe.columns,
+        *[
+            F.col(f"_m.{c}").alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )

@@ -138,3 +138,42 @@ def test_asof_plan_has_no_join(spark):
     )
     assert "Window" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def _broadcast_run(spark, **kw):
+    probe, build = _frames(spark)
+    from servico_ocr_spark.operators import asof_join_broadcast
+
+    out = asof_join_broadcast(
+        probe, build, on="k", probe_ts="ts", build_ts="ts",
+        value_cols=["vid", "tag"], **kw,
+    )
+    return {r["pid"]: (r["asof_vid"], r["asof_tag"]) for r in out.collect()}
+
+
+def test_asof_broadcast_matches_shuffle_variant(spark):
+    assert _broadcast_run(spark) == _run(spark)
+    assert _broadcast_run(spark, inclusive=False) == _run(
+        spark, inclusive=False
+    )
+
+
+def test_asof_broadcast_plan_is_broadcast_no_shuffle_on_probe(spark):
+    """One build-side agg + one BroadcastHashJoin; the probe side must
+    reach the join without any Exchange hashpartitioning."""
+    import re
+
+    from servico_ocr_spark.operators import asof_join_broadcast
+
+    probe, build = _frames(spark)
+    df = asof_join_broadcast(
+        probe, build, on="k", probe_ts="ts", build_ts="ts",
+        value_cols=["vid"],
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:3000]
+    # the only hash exchange allowed is the build-side groupBy
+    n = len(re.findall(r"\bExchange hashpartitioning", final))
+    assert n <= 1, final[:3000]
