@@ -1577,6 +1577,85 @@ LIMIT 20
 """
 
 
+_BPE_MERGES = 3
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sequential BPE merge-learning loop (3 steps), each step
+    re-counting pairs AFTER the previous merge applied — the iterative
+    twin of the single-pass bpe_pairs (operators/textstats.bpe_learn).
+    The oracle is the same greedy gaps-and-islands relational algebra,
+    generated as nested CTEs per step (the _o_pagerank technique)."""
+    from servico_ocr_spark.operators import bpe_learn
+
+    return bpe_learn(
+        _read(spark, sf_dir, "documents"), merges=_BPE_MERGES
+    )
+
+
+def _o_bpe_merges() -> str:
+    cte = ["""
+wt AS (
+    SELECT word, count(*)::BIGINT AS n FROM (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS word
+        FROM documents)
+    GROUP BY word
+),
+sym0 AS (
+    SELECT word, n,
+           unnest(range(len(word)))::BIGINT AS pos,
+           unnest(string_split(word, '')) AS s
+    FROM wt
+)"""]
+    for i in range(1, _BPE_MERGES + 1):
+        prev = f"sym{i - 1}"
+        cte.append(f""",
+p{i} AS (
+    SELECT word, n, pos, s,
+           lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM {prev}
+),
+t{i} AS (
+    SELECT s AS a, nxt AS b, sum(n)::BIGINT AS weight
+    FROM p{i} WHERE nxt IS NOT NULL
+    GROUP BY s, nxt ORDER BY weight DESC, a, b LIMIT 1
+),
+z{i} AS (
+    SELECT *, row_number() OVER (PARTITION BY word, match, isl
+                                 ORDER BY pos) AS par
+    FROM (
+        SELECT *, pos - row_number() OVER (PARTITION BY word, match
+                                           ORDER BY pos) AS isl
+        FROM (
+            SELECT p.word, p.n, p.pos, p.s, p.nxt,
+                   (p.nxt IS NOT NULL AND p.s = t.a
+                    AND p.nxt = t.b) AS match
+            FROM p{i} p CROSS JOIN t{i} t))
+),
+m{i} AS (
+    SELECT word, n, pos, s, nxt,
+           (match AND par % 2 = 1) AS m,
+           coalesce(lag(match AND par % 2 = 1)
+                    OVER (PARTITION BY word ORDER BY pos),
+                    false) AS pm
+    FROM z{i}
+),
+sym{i} AS (
+    SELECT word, n,
+           (row_number() OVER (PARTITION BY word ORDER BY pos)
+                - 1)::BIGINT AS pos,
+           CASE WHEN m THEN s || nxt ELSE s END AS s
+    FROM m{i} WHERE m OR NOT pm
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, a AS left_sym, b AS right_sym, "
+        f"weight FROM t{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + "".join(cte) + "\n" + selects
+
+
 def _q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level word co-occurrence with an integer PMI surrogate
     (operators/textstats.word_cooccurrence). The df cap reuses the
@@ -3489,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
         "word_pmi": _q_word_pmi,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
@@ -3563,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
         "bpe_pairs": _O_BPE_PAIRS,
+        "bpe_merges": _o_bpe_merges(),
         "word_pmi": _O_WORD_PMI,
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),

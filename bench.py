@@ -125,6 +125,9 @@ BENCH_FAMILIES = {
         # df-capped co-occurrence pair join + integer PMI surrogate
         # (overflow-safe division order)
         "word_pmi",
+        # full sequential BPE merge loop (3 steps, gaps-and-islands
+        # greedy application, per-step localCheckpoint)
+        "bpe_merges",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -46,6 +46,7 @@ from .links import (  # noqa: F401
     triangle_counts,
 )
 from .textstats import (  # noqa: F401
+    bpe_learn,
     bpe_merge_candidates,
     c4_page_clean,
     gopher_filter,

@@ -4,7 +4,7 @@ document fingerprinting. All whole-stage-codegen column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .common import h48, norm_text, words_array
 
@@ -635,3 +635,126 @@ def word_cooccurrence(
             ).cast("long").alias("lift"),
         )
     )
+
+
+def bpe_learn(df: DataFrame, text_col: str = "text",
+              merges: int = 3) -> DataFrame:
+    """(step, left_sym, right_sym, weight): the first ``merges``
+    byte-pair-encoding merge rules learned from the corpus (Sennrich et
+    al. 2016) — the full sequential loop, where each step re-counts
+    adjacent symbol pairs AFTER applying every earlier merge.
+    :func:`bpe_merge_candidates` is one step's statistic; this is the
+    iterative algorithm built on it (same bounded-rounds driver-loop
+    shape as :func:`~servico_ocr_spark.operators.links.pagerank`).
+
+    Merge application is greedy left-to-right and non-overlapping, the
+    reference BPE semantics, expressed RELATIONALLY (no per-row Python,
+    no regex lookaround — which the DuckDB oracle's RE2 couldn't
+    mirror): a position merges iff its pair equals the step's top pair
+    and it sits at an ODD offset within its island of consecutive
+    matching positions (islands via the standard pos − row_number
+    gaps-and-islands key; islands longer than 1 only occur for a == b
+    pairs, where greedy consumption skips every second overlap).
+
+    Scale shape per step: the symbol table is one row per (distinct
+    word, position) — weighted by word frequency, so corpus size enters
+    only through the ONE word-count aggregation up front; all five
+    windows of a step share the per-word partitioning (one exchange);
+    the step's top-1 pair is a 1-row broadcast, never a driver collect.
+    ``merges`` is a small constant (plan depth grows linearly with it —
+    localCheckpoint every few steps if ever pushed past ~10, the
+    pagerank discipline)."""
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    wordtab = (
+        df.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("word") >= 1)
+    )
+    sym = wordtab.select(
+        "word",
+        "n",
+        F.posexplode(F.split(F.col("word"), "")).alias("pos", "s"),
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    steps = []
+    for step in range(1, merges + 1):
+        # each step references sym ~3x (pair counting, top-1, merge
+        # application) — without a cut, lineage grows ~3^k. Lazy
+        # localCheckpoint keeps it linear (the pagerank/star-contraction
+        # discipline; same reasoning as links.triangle_counts).
+        sym = sym.localCheckpoint(eager=False)
+        pairs = sym.withColumn("nxt", F.lead("s").over(w_word)).where(
+            F.col("nxt").isNotNull()
+        )
+        top = (
+            pairs.groupBy("s", "nxt")
+            .agg(F.sum("n").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("s"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("s").alias("a"),
+                F.col("nxt").alias("b"),
+                "weight",
+            )
+        )
+        steps.append(
+            top.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                "weight",
+            )
+        )
+        x = (
+            sym.crossJoin(F.broadcast(top.select("a", "b")))
+            .withColumn("nxt", F.lead("s").over(w_word))
+            .withColumn(
+                "match",
+                # null-free (last position has nxt NULL): the flag is
+                # a window PARTITION key, and a three-valued flag would
+                # partition differently from the oracle's boolean
+                F.col("nxt").isNotNull()
+                & (F.col("s") == F.col("a"))
+                & (F.col("nxt") == F.col("b")),
+            )
+        )
+        # islands of consecutive matching positions; merge at odd
+        # offsets within each island (greedy non-overlap for a == b)
+        x = x.withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("word", "match").orderBy("pos")
+            ),
+        ).withColumn(
+            "par",
+            F.row_number().over(
+                Window.partitionBy("word", "match", "isl").orderBy("pos")
+            ),
+        )
+        merged = F.col("match") & (F.col("par") % 2 == 1)
+        x = x.withColumn("m", merged).withColumn(
+            "pm", F.coalesce(F.lag("m").over(w_word), F.lit(False))
+        )
+        s2 = (
+            F.when(F.col("m"), F.concat(F.col("s"), F.col("nxt")))
+            .when(F.col("pm"), F.lit(None))
+            .otherwise(F.col("s"))
+        )
+        sym = (
+            x.withColumn("s2", s2)
+            .where(F.col("s2").isNotNull())
+            .select(
+                "word",
+                "n",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.col("s2").alias("s"),
+            )
+        )
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out

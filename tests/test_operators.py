@@ -982,3 +982,35 @@ def test_distinct_count_telemetry_error_band(spark):
     # 0.02 rsd: allow 5 sigma
     assert abs(r["approx"] - 10000) <= 10000 * 0.10
     assert r["err_ppm"] == abs(r["approx"] - 10000) * 1_000_000 // 10000
+
+
+def test_bpe_learn_greedy_overlap_and_sequence(spark):
+    """Greedy non-overlapping merge semantics on the a==b case: in
+    'aaaa' the pair (a,a) occurs 3 times but greedy left-to-right
+    merges positions 0-1 and 2-3 only; after step 1 the word is
+    'aa aa', so step 2's top pair is (aa, aa)."""
+    from servico_ocr_spark.operators import bpe_learn
+
+    docs = _docs(spark, [(1, "aaaa aaaa ab")])
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["weight"])
+        for r in bpe_learn(docs, merges=2).orderBy("step").collect()
+    ]
+    # step 1: (a,a) appears 3 per 'aaaa' (x2 words) + 0 in 'ab' = 6
+    # step 2: each 'aaaa' is now [aa, aa] -> pair (aa, aa) weight 2
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_learn_distinct_pair_merge_applies_everywhere(spark):
+    """a != b merges hit every non-adjacent occurrence: 'xyxy' has
+    (x,y) at positions 0 and 2 — both merge in one step."""
+    from servico_ocr_spark.operators import bpe_learn
+
+    docs = _docs(spark, [(1, "xyxy xyxy xyxy")])
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["weight"])
+        for r in bpe_learn(docs, merges=2).orderBy("step").collect()
+    ]
+    # step 1: (x,y) weight 2 per word x3 = 6 (beats (y,x) at 3)
+    # step 2: words are [xy, xy] -> (xy, xy) weight 3
+    assert got == [(1, "x", "y", 6), (2, "xy", "xy", 3)]
