@@ -1164,6 +1164,75 @@ _EMB_NEARDUP_PLANES = 8  # = resolve_srp_planes(65536), i.e. the ~2^16-row
 #                          wider plane count on both sides.
 
 
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized Lloyd's k-means, 3 fixed rounds
+    (operators/clustering.kmeans_lite) — iterative ML with a full
+    nested-CTE oracle (the pagerank technique): deterministic init
+    (smallest ids), tie-proof argmin (min of d2·k+cid), truncating
+    integer centroid means identical in both engines."""
+    from servico_ocr_spark.operators import kmeans_lite
+
+    return kmeans_lite(
+        _read(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+    )
+
+
+def _o_kmeans() -> str:
+    K = _KMEANS_K
+    dist = (
+        "SELECT p.vid, c.cid,\n"
+        "       sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS d2\n"
+        "FROM pts p JOIN {cent} c USING (dim)\n"
+        "GROUP BY p.vid, c.cid"
+    )
+    cte = [f"""
+v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
+pts AS (
+    SELECT vec_id AS vid,
+           unnest(range(len(iv)))::BIGINT AS dim,
+           unnest(iv)::BIGINT AS q
+    FROM v
+),
+c0 AS (SELECT vid AS cid, dim, q AS cq FROM pts WHERE vid < {K})"""]
+    for i in range(1, _KMEANS_ITERS + 1):
+        prev = f"c{i - 1}"
+        cte.append(f""",
+a{i} AS (
+    SELECT vid, min(d2 * {K} + cid) AS key
+    FROM ({dist.format(cent=prev)})
+    GROUP BY vid
+),
+s{i} AS (
+    SELECT (a.key % {K}) AS cid, p.dim,
+           sum(p.q)::BIGINT AS sm, count(*)::BIGINT AS n
+    FROM a{i} a JOIN pts p ON p.vid = a.vid
+    GROUP BY 1, 2
+),
+c{i} AS (
+    SELECT c.cid, c.dim,
+           COALESCE(s.sm // s.n, c.cq)::BIGINT AS cq
+    FROM {prev} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.dim = c.dim
+)""")
+    last = f"c{_KMEANS_ITERS}"
+    return (
+        "WITH " + "".join(cte) + f"""
+SELECT vid::BIGINT AS vec_id,
+       (key % {K})::BIGINT AS cluster,
+       (key // {K})::BIGINT AS d2
+FROM (
+    SELECT vid, min(d2 * {K} + cid) AS key
+    FROM ({dist.format(cent=last)})
+    GROUP BY vid)
+"""
+    )
+
+
 def _q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import embedding_near_duplicates
 
@@ -3564,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardups": _q_embedding_neardups,
+        "kmeans": _q_kmeans,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
@@ -3639,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _o_ann_ivf_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),
         "embedding_neardups": _o_embedding_neardups(),
+        "kmeans": _o_kmeans(),
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,

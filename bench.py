@@ -163,6 +163,9 @@ BENCH_FAMILIES = {
         "ann_ivf_topk",
         "ann_lsh_topk",
         "embedding_neardups",
+        # integer-quantized Lloyd's k-means, 3 fixed rounds (broadcast
+        # centroids, per-round checkpoint, nested-CTE oracle)
+        "kmeans",
     ],
     "relational": [
         "events_json",

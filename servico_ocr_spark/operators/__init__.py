@@ -65,6 +65,7 @@ from .packing import (  # noqa: F401
     pack_sequences,
     token_budget_mix,
 )
+from .clustering import kmeans_lite  # noqa: F401
 from .encode import dictionary_encode  # noqa: F401
 from .temporal import (  # noqa: F401
     asof_join,
