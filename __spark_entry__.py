@@ -1233,6 +1233,42 @@ FROM (
     )
 
 
+def _q_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster rollup over the kmeans assignment — representative
+    member (closest to centroid, ties to smallest id via the same
+    integer-key argmin), member count, distance mass. Composition
+    query: the oracle wraps _o_kmeans() as a subquery, so the hash
+    check proves the chain, not just the parts."""
+    # key packing: d2 <= dims*(2*scale)^2 ~ 2.7e8 here, so 2^34 leaves
+    # d2*big < 2^63 while admitting ids up to ~1.7e10
+    big = 1 << 34
+    a = _q_kmeans(spark, sf_dir)
+    return a.groupBy("cluster").agg(
+        F.min(F.col("d2") * big + F.col("vec_id"))
+        .cast("long")
+        .alias("_key"),
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("d2_sum"),
+    ).select(
+        "cluster",
+        (F.col("_key") % big).cast("long").alias("rep_id"),
+        "n_members",
+        "d2_sum",
+    )
+
+
+def _o_kmeans_summary() -> str:
+    big = 1 << 34
+    return f"""
+SELECT cluster,
+       (min(d2 * {big} + vec_id) % {big})::BIGINT AS rep_id,
+       count(*)::BIGINT AS n_members,
+       sum(d2)::BIGINT AS d2_sum
+FROM ({_o_kmeans()})
+GROUP BY cluster
+"""
+
+
 def _q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import embedding_near_duplicates
 
@@ -3634,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardups": _q_embedding_neardups,
         "kmeans": _q_kmeans,
+        "kmeans_summary": _q_kmeans_summary,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
@@ -3710,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _o_ann_lsh_topk(),
         "embedding_neardups": _o_embedding_neardups(),
         "kmeans": _o_kmeans(),
+        "kmeans_summary": _o_kmeans_summary(),
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,

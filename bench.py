@@ -166,6 +166,9 @@ BENCH_FAMILIES = {
         # integer-quantized Lloyd's k-means, 3 fixed rounds (broadcast
         # centroids, per-round checkpoint, nested-CTE oracle)
         "kmeans",
+        # per-cluster representative rollup composed on kmeans (the
+        # oracle wraps the kmeans oracle as a subquery)
+        "kmeans_summary",
     ],
     "relational": [
         "events_json",
