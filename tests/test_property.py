@@ -264,3 +264,84 @@ def test_chunk_documents_covers_every_token_exactly(spark):
         if len(out) > 1:
             assert out[-1][1] + out[-1][2] == n
             assert out[-1][1] > out[-2][1]
+
+
+def test_asof_join_equals_bruteforce_bisect(spark):
+    """Both as-of variants (shuffle union+window AND broadcast
+    history-array) must equal a per-key Python bisect reference on a
+    deterministic pseudo-random corpus — inclusive and strict tie
+    semantics, keys with no history, and probes before any build row."""
+    import bisect
+    import datetime as dt
+    import hashlib
+
+    from servico_ocr_spark.operators import asof_join, asof_join_broadcast
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    t0 = dt.datetime(2024, 5, 1)
+    # ~40 keys; ts drawn from a small grid so equal-ts probe/build ties
+    # actually occur; key 999 appears only on the probe side
+    build = [
+        (h(f"b{i}k") % 40, t0 + dt.timedelta(minutes=h(f"b{i}t") % 500),
+         i)
+        for i in range(300)
+    ]
+    probe = [
+        (i, (h(f"p{i}k") % 41) if i % 13 else 999,
+         t0 + dt.timedelta(minutes=h(f"p{i}t") % 500))
+        for i in range(400)
+    ]
+    bdf = spark.createDataFrame(
+        build, "k long, ts timestamp, vid long"
+    )
+    pdf = spark.createDataFrame(
+        probe, "pid long, k long, ts timestamp"
+    )
+
+    # Python reference: per key, (ts, vid)-sorted history; inclusive
+    # match = rightmost entry with ts <= probe_ts (max vid on ts ties —
+    # the operator's tie_break contract); strict = ts < probe_ts
+    hist = {}
+    for k, ts, vid in build:
+        hist.setdefault(k, []).append((ts, vid))
+    for k in hist:
+        hist[k].sort()
+
+    def ref(inclusive):
+        out = {}
+        for pid, k, ts in probe:
+            rows = hist.get(k, [])
+            idx = (
+                bisect.bisect_right(rows, (ts, float("inf")))
+                if inclusive
+                else bisect.bisect_left(rows, (ts, -1))
+            )
+            out[pid] = rows[idx - 1][1] if idx else None
+        return out
+
+    for inclusive in (True, False):
+        expected = ref(inclusive)
+        got_shuffle = {
+            r["pid"]: r["asof_vid"]
+            for r in asof_join(
+                pdf, bdf, on="k", probe_ts="ts", build_ts="ts",
+                value_cols=["vid"], inclusive=inclusive,
+                tie_break="vid",
+            ).collect()
+        }
+        assert got_shuffle == expected, f"shuffle inclusive={inclusive}"
+    # broadcast variant: inclusive only (it has no tie_break parameter;
+    # sort_array puts the max-vid struct last on ts ties, matching)
+    got_bcast = {
+        r["pid"]: r["asof_vid"]
+        for r in asof_join_broadcast(
+            pdf, bdf, on="k", probe_ts="ts", build_ts="ts",
+            value_cols=["vid"],
+        ).collect()
+    }
+    assert got_bcast == ref(True)
+    # the corpus must actually exercise ties and misses
+    assert any(v is None for v in ref(True).values())
+    assert ref(True) != ref(False), "no equal-ts tie occurred"
