@@ -345,3 +345,114 @@ def test_asof_join_equals_bruteforce_bisect(spark):
     # the corpus must actually exercise ties and misses
     assert any(v is None for v in ref(True).values())
     assert ref(True) != ref(False), "no equal-ts tie occurred"
+
+
+def test_triangle_counts_equals_bruteforce(spark):
+    """Degree-oriented wedge counting must equal a brute-force Python
+    triangle enumeration on a pseudo-random directed multigraph with
+    self-loops and reverse duplicates."""
+    import hashlib
+    import itertools
+
+    from servico_ocr_spark.operators import triangle_counts
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    edges = [
+        (f"n{h(f'{i}s') % 25}", f"n{h(f'{i}d') % 25}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    adj = {}
+    for e in und:
+        a, b = sorted(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if (
+            b in adj[a] and c in adj[a] and c in adj[b]
+        ):
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == expected
+    assert sum(expected.values()) > 0, "graph must contain triangles"
+
+
+def test_kmeans_equals_pure_python_lloyd(spark):
+    """The distributed k-means must equal an independent pure-Python
+    Lloyd implementation with the same integer contract (quantize,
+    truncating means, min-(d2,cid) ties, empty-cluster keep) — the
+    DuckDB oracle shares the relational algebra, this reference does
+    not."""
+    import hashlib
+    import math
+
+    from servico_ocr_spark.operators import kmeans_lite
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dims, k, iters = 6, 3, 3
+    rows = [
+        (
+            i,
+            [((h(f"{i}.{d}") % 2001) - 1000) / 1000.0 for d in range(dims)],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # independent reference (note: quantization goes through float32
+    # like the parquet/Spark path — struct trick via numpy)
+    import numpy as np
+
+    q = {
+        i: [int(math.floor(float(np.float32(x)) * 1000)) for x in v]
+        for i, v in rows
+    }
+    cent = {c: list(q[c]) for c in range(k)}
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c)
+                for c in cent
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for i, (c, _d) in a.items():
+            s = sums.setdefault(c, [0] * dims + [0])
+            for d in range(dims):
+                s[d] += q[i][d]
+            s[dims] += 1
+        for c in cent:
+            if c in sums:
+                n = sums[c][dims]
+                # exact integer truncation toward zero, matching
+                # Spark `div` / DuckDB `//` (NOT Python floor //)
+                cent[c] = [
+                    sums[c][d] // n if sums[c][d] >= 0
+                    else -((-sums[c][d]) // n)
+                    for d in range(dims)
+                ]
+    expected = {
+        i: (c, d2) for i, (c, d2) in assign().items()
+    }
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_lite(df, k=k, iterations=iters).collect()
+    }
+    assert got == expected
