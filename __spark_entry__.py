@@ -1655,6 +1655,69 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+_BM25_TERMS = ("dup", "query", "scan")  # dup df≈25 (rare), others ~400
+_BM25_K = 25
+_BM25 = dict(k1_pct=120, b_pct=75, idf_scale=100, tf_scale=1000)
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-k retrieval (operators/search.bm25_topk):
+    one corpus-scalar agg + a pre-shuffle term filter (shuffle volume is
+    matching tokens, not corpus tokens) + TakeOrderedAndProject top-k.
+    The term set mixes the corpus's one rare word ('dup', df≈25) with
+    two stopword-frequency terms, so idf spread, partial-match docs, and
+    the LIMIT boundary tiebreak are all exercised at every sf."""
+    from servico_ocr_spark.operators import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k=_BM25_K,
+        **_BM25,
+    )
+
+
+def _o_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    k1, b = _BM25["k1_pct"], _BM25["b_pct"]
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+    FROM documents
+),
+scalars AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           greatest(1, (SELECT count(*) FROM w)
+                       // (SELECT count(*) FROM documents)) AS avgdl
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+qtf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM w WHERE word IN ({terms})
+    GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*) AS df_t FROM qtf GROUP BY word),
+per AS (
+    SELECT q.doc_id, d.dl,
+           ((s.n_docs - f.df_t + 1) * {_BM25["idf_scale"]})
+               // (f.df_t + 1) AS idf,
+           (q.tf * {k1 + 100} * 100 * {_BM25["tf_scale"]})
+               // (q.tf * 10000 + {k1} * ((100 - {b})
+                   + ({b} * ((d.dl * 100) // s.avgdl)) // 100)) AS tfc
+    FROM qtf q
+    JOIN dfreq f USING (word)
+    JOIN dlt d USING (doc_id)
+    CROSS JOIN scalars s
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms, max(dl)::BIGINT AS dl,
+       sum(idf * tfc)::BIGINT AS score
+FROM per GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
 def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge candidates
     (operators/textstats.bpe_merge_candidates): top-20 adjacent char
@@ -3502,6 +3565,56 @@ FROM deg LEFT JOIN per_node ON per_node.node = deg.node
 """
 
 
+_BFS_SEED_MOD, _BFS_SEED_RES = 97, 13  # 5 seeds at every sf (ids 0-499)
+_BFS_HOPS = 12
+
+
+def _q_crawl_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl-frontier depths over the link graph
+    (operators/links.bfs_depths): frontier iteration — each round joins
+    only the last-settled layer against the edge table, distinct before
+    the shuffle (hub fan-in collapses map-side), anti-join against the
+    settled set, localCheckpoint per layer. The hop cap is a budget:
+    the empty-frontier early exit fires well before 12 on this graph.
+    Oracle is a DuckDB recursive CTE enumerating (node, depth<=cap)
+    pairs; min(depth) per node is the BFS distance."""
+    from servico_ocr_spark.operators import bfs_depths
+
+    seeds = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _BFS_SEED_MOD == _BFS_SEED_RES)
+        .select(
+            F.concat(
+                F.lit("https://graph.test/d/"), F.col("doc_id")
+            ).alias("node")
+        )
+    )
+    return bfs_depths(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        seeds,
+        max_hops=_BFS_HOPS,
+    )
+
+
+def _o_crawl_depths() -> str:
+    return f"""
+WITH RECURSIVE {_O_LINKS_CTE},
+seeds AS (
+    SELECT DISTINCT 'https://graph.test/d/' || doc_id AS node
+    FROM documents
+    WHERE doc_id % {_BFS_SEED_MOD} = {_BFS_SEED_RES}
+),
+walk AS (
+    SELECT node, 0 AS depth FROM seeds
+    UNION
+    SELECT e.dst AS node, w.depth + 1 AS depth
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.depth < {_BFS_HOPS}
+)
+SELECT node, min(depth)::BIGINT AS depth FROM walk GROUP BY node
+"""
+
+
 # ===========================================================================
 # Composed curation pipeline: the faces chained end-to-end
 # ===========================================================================
@@ -3674,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
+        "bm25_search": _q_bm25_search,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "word_pmi": _q_word_pmi,
@@ -3692,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
         "triangles": _q_triangles,
+        "crawl_depths": _q_crawl_depths,
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
@@ -3751,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
+        "bm25_search": _o_bm25_search(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),
         "word_pmi": _O_WORD_PMI,
@@ -3769,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
         "triangles": _o_triangles(),
+        "crawl_depths": _o_crawl_depths(),
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),

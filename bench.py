@@ -113,6 +113,9 @@ BENCH_FAMILIES = {
         # Gopher-style composite quality gate: two metric branches
         # joined on their agg key, decision is a pure projection
         "gopher_filter",
+        # fixed-point BM25 top-k retrieval: corpus-scalar agg +
+        # pre-shuffle term filter + broadcast df + TakeOrdered top-k
+        "bm25_search",
         # inverse-df rarity scoring (no vocabulary-wide rank; one df
         # agg + word join + doc agg + restoring id join)
         "token_rarity",
@@ -157,6 +160,9 @@ BENCH_FAMILIES = {
         # degree-oriented triangle counting: wedge join bounded at
         # O(m^1.5) regardless of hub skew
         "triangles",
+        # frontier-iterated BFS depths from the seed set (per-layer
+        # distinct-before-shuffle + anti-join, early exit on empty)
+        "crawl_depths",
     ],
     "ann": [
         "ann_brute_topk",

@@ -38,6 +38,7 @@ from .webtext import (  # noqa: F401
 )
 from .links import (  # noqa: F401
     anchor_text_agg,
+    bfs_depths,
     extract_links,
     link_degrees,
     link_edges,
@@ -45,6 +46,7 @@ from .links import (  # noqa: F401
     resolve_href,
     triangle_counts,
 )
+from .search import bm25_topk  # noqa: F401
 from .textstats import (  # noqa: F401
     bpe_learn,
     bpe_merge_candidates,

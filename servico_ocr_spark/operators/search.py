@@ -1,0 +1,153 @@
+"""Retrieval over the corpus: integer-contract BM25 top-k search.
+
+The inverted index (`textstats.inverted_index`) materializes the
+term→postings shape a corpus pipeline reuses; this module is its
+flagship consumer — ranked retrieval of the best-matching documents
+for a small query-term set (Robertson & Spärck Jones probabilistic
+relevance framework; the BM25 form follows Robertson et al., TREC-3).
+The reference service has no search face; this follows the public
+retrieval-pipeline shape re-expressed Spark-first.
+
+Portability contract (the driver bans float aggregates — every score
+must hash identically between Spark and the DuckDB oracle):
+
+- All arithmetic is fixed-point integer with **truncating division**
+  (`div` in Spark, `//` in DuckDB; every operand here is non-negative,
+  so trunc == floor and the engines agree).
+- ``idf`` uses the integer *argument* of BM25's log as a surrogate
+  (same precedent as `word_cooccurrence`'s lift-style PMI surrogate):
+  ``idf = ((n_docs - df + 1) · idf_scale) div (df + 1)`` — monotone
+  decreasing in df, ≥ 0, and portable. The log's dynamic-range
+  compression is deliberately traded for bit-determinism.
+- ``avgdl`` is the integer mean ``max(1, total_tokens div n_docs)``;
+  the sub-token remainder is dropped on both engines identically.
+- Division ORDER is part of the contract (overflow-safe): with
+  ``idf_scale = 100`` the per-term product is ≤ ~2·10⁻¹⁷ of int64 at
+  n_docs = 10¹², and the length-norm path never forms ``dl·n_docs``
+  (the naive scaling that overflows at web scale) — only
+  ``(dl·100) div avgdl``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import words_array
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    idf_scale: int = 100,
+    tf_scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, n_terms, dl, score)``: the ``k`` best BM25 matches
+    for ``terms`` (deduplicated, matched against the shared
+    `common.words_array` tokenization so index and query agree),
+    ordered by ``(score desc, doc_id asc)`` — the tiebreak makes the
+    LIMIT boundary deterministic on both engines.
+
+    Fixed-point score, per matched (doc, term) — ``k1_pct``/``b_pct``
+    are k1·100 and b·100 (defaults k1 = 1.2, b = 0.75):
+
+    - ``rel   = (dl · 100) div avgdl``               (dl/avgdl, ×100)
+    - ``inner = (100 − b_pct) + (b_pct · rel) div 100``        (×100)
+    - ``tfc   = (tf · (k1_pct+100) · 100 · tf_scale)
+                 div (tf · 10⁴ + k1_pct · inner)``   (tf-saturation)
+    - ``score = Σ_t idf_t · tfc_t``
+
+    Documents containing none of the terms are not scored (standard
+    retrieval semantics — at 10¹² docs the candidate set is the point).
+
+    Scale shape, stage by stage:
+
+    1. one corpus-scalar aggregation (n_docs, total_tokens, avgdl) —
+       map-side-combinable, 1-row broadcast;
+    2. explode → filter to the query terms → hash-aggregate
+       ``(doc, term) → tf``: keyed on (doc, term) so a stopword query
+       term still spreads over all partitions (no hot-key straggler);
+       the filter runs before the shuffle, so shuffle volume is
+       Θ(matching tokens), not corpus tokens;
+    3. per-term df: a ≤ |terms|-row aggregate, broadcast back — no
+       second corpus pass for document frequencies;
+    4. per-doc score: one map-side-combinable sum keyed on doc;
+    5. top-k as ``orderBy(...).limit(k)`` — TakeOrderedAndProject
+       keeps a k-row heap per partition, never a global sort.
+    """
+    qterms = sorted(set(terms))
+    if not qterms:
+        raise ValueError("at least one query term required")
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        words_array(F.col(text_col)).alias("ws"),
+    )
+    scalars = words.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size("ws")), F.lit(0))
+        .cast("long")
+        .alias("total_tokens"),
+    ).select(
+        "n_docs",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("total_tokens div n_docs").cast("long"),
+        ).alias("avgdl"),
+    )
+    qtf = (
+        words.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.explode("ws").alias("word"),
+        )
+        .where(F.col("word").isin(qterms))
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            # constant within the group (dl is per-doc); max is exact
+            F.max("dl").alias("dl"),
+        )
+    )
+    dfreq = qtf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df_t")
+    )
+    per_term = (
+        qtf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(
+                f"((n_docs - df_t + 1) * {int(idf_scale)})"
+                f" div (df_t + 1)"
+            ).alias("idf"),
+            F.expr(
+                f"(tf * {int(k1_pct) + 100} * 100 * {int(tf_scale)})"
+                f" div (tf * 10000 + {int(k1_pct)} * "
+                f"((100 - {int(b_pct)})"
+                f" + ({int(b_pct)} * ((dl * 100) div avgdl)) div 100))"
+            ).alias("tfc"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.max("dl").cast("long").alias("dl"),
+            F.sum(F.col("idf") * F.col("tfc"))
+            .cast("long")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,215 @@
+"""BM25 top-k retrieval (operators/search) and BFS crawl depths
+(operators/links.bfs_depths): integer-contract differentials against
+independent pure-Python references, plus the retrieval/frontier edge
+cases the operators promise."""
+
+import hashlib
+
+from servico_ocr_spark.operators import bfs_depths, bm25_topk
+from servico_ocr_spark.operators.common import words_array  # noqa: F401
+
+
+def _h(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+VOCAB = ["dup", "scan", "query", "sort", "merge", "join", "hash", "row"]
+
+
+def _corpus(n=80):
+    """Pseudo-random corpus over a small vocabulary: doc i holds
+    (h(i) % 9) + (1 if i % 7 else 12) tokens drawn by md5 arithmetic —
+    varied lengths (the 1-in-7 long docs exercise length norm) and
+    varied tf."""
+    rows = []
+    for i in range(n):
+        n_tok = (_h(f"len{i}") % 9) + (12 if i % 7 == 0 else 1)
+        toks = [
+            VOCAB[_h(f"{i}.{j}") % len(VOCAB)] for j in range(n_tok)
+        ]
+        rows.append((i, " ".join(toks)))
+    rows.append((n, ""))  # zero-token doc: counts in n_docs only
+    return rows
+
+
+def _bm25_reference(rows, terms, k, k1_pct=120, b_pct=75,
+                    idf_scale=100, tf_scale=1000):
+    """Independent pure-Python BM25 with the exact integer contract.
+    Tokenization here is plain whitespace split — the corpus is already
+    normalized lowercase ASCII, so it coincides with words_array by
+    construction, not by sharing code."""
+    docs = {i: [w for w in t.split(" ") if w] for i, t in rows}
+    n_docs = len(docs)
+    total = sum(len(ws) for ws in docs.values())
+    avgdl = max(1, total // n_docs)
+    dfreq = {
+        t: sum(1 for ws in docs.values() if t in ws) for t in terms
+    }
+    scored = []
+    for i, ws in docs.items():
+        dl = len(ws)
+        score, n_terms = 0, 0
+        for t in sorted(set(terms)):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf = ((n_docs - dfreq[t] + 1) * idf_scale) // (dfreq[t] + 1)
+            rel = (dl * 100) // avgdl
+            inner = (100 - b_pct) + (b_pct * rel) // 100
+            tfc = (tf * (k1_pct + 100) * 100 * tf_scale) // (
+                tf * 10000 + k1_pct * inner
+            )
+            score += idf * tfc
+        if n_terms:
+            scored.append((i, n_terms, dl, score))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return scored[:k]
+
+
+def test_bm25_equals_pure_python_reference(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["dup", "row", "query"]
+    for k in (15, 500):  # boundary top-k AND the full ranking
+        got = [
+            (r["doc_id"], r["n_terms"], r["dl"], r["score"])
+            for r in bm25_topk(df, terms, k=k).collect()
+        ]
+        assert got == _bm25_reference(rows, terms, k)
+    # the corpus must exercise partial AND full term matches
+    assert {g[1] for g in got} >= {1, 2, 3}
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'needle' appears once in one short doc; 'hay' is in every doc.
+    rows = [(i, "hay " * 5) for i in range(30)] + [(99, "needle hay")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(df, ["needle", "hay"], k=3).collect()
+    assert top[0]["doc_id"] == 99 and top[0]["n_terms"] == 2
+
+
+def test_bm25_zero_match_docs_absent_and_k_bounds(spark):
+    rows = [(1, "alpha beta"), (2, "gamma"), (3, "alpha alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["alpha"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [3, 1]  # 2 never scored
+    assert bm25_topk(df, ["alpha"], k=1).count() == 1
+
+
+def test_bm25_length_norm_prefers_shorter_at_equal_tf(spark):
+    rows = [(1, "t " + "pad " * 40), (2, "t pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["t"], k=2).collect()
+    assert [r["doc_id"] for r in out] == [2, 1]
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_bm25_deterministic_tie_break_on_doc_id(spark):
+    rows = [(i, "same text") for i in (7, 3, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["same"], k=2).collect()
+    assert [r["doc_id"] for r in out] == [3, 5]
+
+
+def test_bm25_plan_take_ordered_and_broadcasts(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition k-row heaps,
+    no global sort), and both the ≤|terms|-row df table and the 1-row
+    corpus-scalar table must reach the big side as broadcasts — the
+    per-doc scoring path must never shuffle on anything but
+    (doc_id, word) and doc_id."""
+    rows = [(i, "alpha beta gamma") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        bm25_topk(df, ["alpha", "beta"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalars cross join
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depths
+# ---------------------------------------------------------------------------
+
+
+def _graph(n_nodes=40, n_edges=55):
+    # 55 edges on 40 nodes: depth spread to 8 hops, 6 nodes reachable
+    # within 2, and 16 nodes unreachable from the seeds — exercises
+    # the budget cap AND the absent-unreachables contract
+    return [
+        (f"n{_h(f'{i}s') % n_nodes}", f"n{_h(f'{i}d') % n_nodes}")
+        for i in range(n_edges)
+    ]
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {
+            d
+            for u in frontier
+            for d in adj.get(u, ())
+            if d not in dist
+        }
+        if not nxt:
+            break
+        for d in nxt:
+            dist[d] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_equals_pure_python_reference(spark):
+    edges = _graph()
+    seeds = ["n0", "n17", "offgraph"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    for hops in (0, 2, 8):
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(df, sdf, max_hops=hops).collect()
+        }
+        assert got == _bfs_reference(edges, seeds, hops)
+    # the fixture must exercise the cap (hops=2 strictly smaller set)
+    assert len(_bfs_reference(edges, seeds, 2)) < len(
+        _bfs_reference(edges, seeds, 8)
+    )
+    # ... and unreachable nodes must exist at the full budget
+    all_nodes = {n for e in edges for n in e}
+    assert all_nodes - set(_bfs_reference(edges, seeds, 8))
+
+
+def test_bfs_early_exit_beats_budget_and_offgraph_seed_kept(spark):
+    # path a->b->c: diameter 2, budget 99 must stop after 3 rounds
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    sdf = spark.createDataFrame([("a",), ("zzz",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(df, sdf, max_hops=99).collect()
+    }
+    assert got == {"a": 0, "zzz": 0, "b": 1, "c": 2}
+
+
+def test_bfs_duplicate_seeds_and_cycle(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    sdf = spark.createDataFrame([("a",), ("a",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(df, sdf, max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1}
