@@ -1183,8 +1183,7 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_kmeans() -> str:
-    K = _KMEANS_K
+def _o_kmeans(K: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     dist = (
         "SELECT p.vid, c.cid,\n"
         "       sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS d2\n"
@@ -1200,7 +1199,7 @@ pts AS (
     FROM v
 ),
 c0 AS (SELECT vid AS cid, dim, q AS cq FROM pts WHERE vid < {K})"""]
-    for i in range(1, _KMEANS_ITERS + 1):
+    for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         cte.append(f""",
 a{i} AS (
@@ -1219,7 +1218,7 @@ c{i} AS (
            COALESCE(s.sm // s.n, c.cq)::BIGINT AS cq
     FROM {prev} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.dim = c.dim
 )""")
-    last = f"c{_KMEANS_ITERS}"
+    last = f"c{iters}"
     return (
         "WITH " + "".join(cte) + f"""
 SELECT vid::BIGINT AS vec_id,
@@ -1266,6 +1265,61 @@ SELECT cluster,
        sum(d2)::BIGINT AS d2_sum
 FROM ({_o_kmeans()})
 GROUP BY cluster
+"""
+
+
+_SEMDEDUP_K = 8  # the SemDeDup scale knob: k ~ n/target_cluster_size
+_SEMDEDUP_T = 400_000  # binds at every sf (same regime as _EMB_NEARDUP_T)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators/clustering.semantic_dedup): k-means cluster → exact
+    within-cluster integer-cosine pairs → per-pair domination on
+    (d2, vec_id) — keep the member most central to its cluster. The
+    oracle composes the parameterized kmeans CTE with the ANN face's
+    cosine arithmetic, so the hash check proves the whole chain."""
+    from servico_ocr_spark.operators import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"),
+        k=_SEMDEDUP_K,
+        iterations=_KMEANS_ITERS,
+        threshold_e6=_SEMDEDUP_T,
+    )
+
+
+def _o_semantic_dedup() -> str:
+    return f"""
+WITH a AS ({_o_kmeans(K=_SEMDEDUP_K)}),
+v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
+n AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT)
+               AS nrm
+    FROM v
+),
+m AS (
+    SELECT a.vec_id, a.cluster, a.d2, n.iv, n.nrm
+    FROM a JOIN n USING (vec_id)
+),
+p AS (
+    SELECT x.vec_id AS ia, x.d2 AS da, y.vec_id AS ib, y.d2 AS db,
+           floor(CAST(list_sum(list_transform(
+                     range(1, len(x.iv) + 1),
+                     i -> x.iv[i] * y.iv[i])) AS BIGINT) * 1000000 /
+                 (sqrt(CAST(x.nrm AS DOUBLE))
+                  * sqrt(CAST(y.nrm AS DOUBLE))))::BIGINT AS cos
+    FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+),
+losers AS (
+    SELECT DISTINCT CASE WHEN da < db OR (da = db AND ia < ib)
+                         THEN ib ELSE ia END AS vec_id
+    FROM p WHERE cos >= {_SEMDEDUP_T}
+)
+SELECT a.vec_id, a.cluster, a.d2,
+       (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+FROM a LEFT JOIN losers l USING (vec_id)
 """
 
 
@@ -3782,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardups": _q_embedding_neardups,
+        "semantic_dedup": _q_semantic_dedup,
         "kmeans": _q_kmeans,
         "kmeans_summary": _q_kmeans_summary,
         "lang_id": _q_lang_id,
@@ -3861,6 +3916,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _o_ann_ivf_topk(),
         "ann_lsh_topk": _o_ann_lsh_topk(),
         "embedding_neardups": _o_embedding_neardups(),
+        "semantic_dedup": _o_semantic_dedup(),
         "kmeans": _o_kmeans(),
         "kmeans_summary": _o_kmeans_summary(),
         "lang_id": _o_lang_id(),

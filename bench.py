@@ -175,6 +175,9 @@ BENCH_FAMILIES = {
         # per-cluster representative rollup composed on kmeans (the
         # oracle wraps the kmeans oracle as a subquery)
         "kmeans_summary",
+        # SemDeDup: kmeans -> within-cluster exact cosine -> per-pair
+        # domination keep (k is the quadratic-step knob)
+        "semantic_dedup",
     ],
     "relational": [
         "events_json",

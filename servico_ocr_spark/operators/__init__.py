@@ -46,6 +46,7 @@ from .links import (  # noqa: F401
     resolve_href,
     triangle_counts,
 )
+from .clustering import semantic_dedup  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .textstats import (  # noqa: F401
     bpe_learn,

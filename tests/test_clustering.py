@@ -3,7 +3,7 @@ engine-parity check is the driver query `kmeans`)."""
 
 import pytest
 
-from servico_ocr_spark.operators import kmeans_lite
+from servico_ocr_spark.operators import kmeans_lite, semantic_dedup
 
 
 def _emb(spark, rows):
@@ -55,3 +55,128 @@ def test_kmeans_validates_params(spark):
         kmeans_lite(_emb(spark, [(0, [0.0])]), k=0)
     with pytest.raises(ValueError):
         kmeans_lite(_emb(spark, [(0, [0.0])]), iterations=-1)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style: cluster -> within-cluster cosine ->
+# per-pair domination on (d2, vec_id))
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_far_duplicate_keeps_central(spark):
+    # two well-separated 2-D groups (k=2 init ids 0/1 sit one per
+    # group); in the left group, vectors 0/2/4 are near-parallel
+    # (cosine ~1) so the two farther-from-centroid members lose; 6 is
+    # orthogonal-ish and survives. Right group has no high-cos pair.
+    rows = [
+        (0, [1.0, 0.0]), (2, [0.99, 0.01]), (4, [0.98, 0.0]),
+        (6, [0.0, 0.2]),
+        (1, [10.0, 10.0]), (3, [10.0, -9.9]),
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        k=2, iterations=2, threshold_e6=950_000,
+    )
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert len(got) == 6  # every input vector present, kept or not
+    left = {i for i, (c, _) in got.items() if c == got[0][0]}
+    assert {0, 2, 4, 6} <= left
+    kept_left = {i for i in (0, 2, 4) if got[i][1] == 1}
+    assert len(kept_left) == 1  # exactly one of the parallel trio
+    assert got[6][1] == 1  # low-cosine member untouched
+    assert got[1][1] == 1 and got[3][1] == 1  # cross-cluster never pairs
+
+
+def test_semantic_dedup_equals_pure_python_reference(spark):
+    # pseudo-random small corpus; reference recomputes the whole chain
+    # independently (including the kmeans rounds) in plain Python
+    import hashlib
+    import math
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dims, k, iters, t = 4, 3, 2, 700_000
+    rows = [
+        (i, [((h(f"{i}.{d}") % 2001) - 1000) / 1000.0 for d in range(dims)])
+        for i in range(40)
+    ]
+
+    import numpy as np
+
+    q = {
+        i: [math.floor(float(np.float32(x)) * 1000) for x in v]
+        for i, v in rows
+    }
+    cent = {c: list(q[c]) for c in range(k)}
+    assign = {}
+    for it in range(iters + 1):
+        assign = {
+            i: min(
+                (sum((qi - ci) ** 2 for qi, ci in zip(q[i], cent[c])) * k + c)
+                for c in cent
+            )
+            for i in q
+        }
+        assign = {i: (key % k, key // k) for i, key in assign.items()}
+        if it == iters:
+            break
+        for c in range(k):
+            members = [i for i in q if assign[i][0] == c]
+            if members:
+                # truncation toward zero, matching Spark div / DuckDB //
+                cent[c] = [
+                    int(math.trunc(sum(q[i][d] for i in members)
+                                   / len(members)))
+                    for d in range(dims)
+                ]
+    losers = set()
+    ids = sorted(q)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if assign[a][0] != assign[b][0]:
+                continue
+            dot = sum(p * r for p, r in zip(q[a], q[b]))
+            na = sum(p * p for p in q[a])
+            nb = sum(p * p for p in q[b])
+            cos = math.floor(dot * 1_000_000
+                             / (math.sqrt(na) * math.sqrt(nb)))
+            if cos < t:
+                continue
+            da, db = assign[a][1], assign[b][1]
+            losers.add(b if (da < db or (da == db and a < b)) else a)
+    want = {
+        i: (assign[i][0], assign[i][1], 0 if i in losers else 1)
+        for i in q
+    }
+
+    out = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        k=k, iterations=iters, threshold_e6=t,
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"], r["keep"])
+        for r in out.collect()
+    }
+    assert got == want
+    # fixture must exercise both outcomes
+    assert losers and len(losers) < len(q)
+
+
+def test_semantic_dedup_d2_tie_larger_id_loses(spark):
+    # identical vectors => same d2, cosine 1: the larger id must lose
+    rows = [(0, [1.0, 1.0]), (5, [1.0, 1.0]), (7, [1.0, 1.0])]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        k=1, iterations=1, threshold_e6=999_000,
+    )
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert got == {0: 1, 5: 0, 7: 0}
+
+
+def test_semantic_dedup_threshold_validation(spark):
+    rows = [(0, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        semantic_dedup(df, threshold_e6=-1)
