@@ -3540,15 +3540,35 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_pagerank() -> str:
-    base = _PR_SCALE * (100 - _PR_DAMP) // 100
+def _o_pagerank(
+    prelude: str = _O_LINKS_CTE,
+    iters: int = _PR_ITERS,
+    scale: int = _PR_SCALE,
+    damp: int = _PR_DAMP,
+    seed_sql: str | None = None,
+) -> str:
+    """Unrolled-CTE integer PageRank over any ``prelude`` that defines
+    an ``edges(src, dst)`` CTE. ``seed_sql`` (a subquery yielding seed
+    nodes) switches to the personalized variant: base term and initial
+    mass land only on seeds — mirroring links.pagerank(seeds=...)."""
+    base = scale * (100 - damp) // 100
+    if seed_sql is None:
+        n_cols = f"node, {base}::BIGINT AS b, {scale}::BIGINT AS r0v"
+    else:
+        n_cols = (
+            f"node,\n"
+            f"    (CASE WHEN node IN ({seed_sql}) THEN {base} ELSE 0 "
+            f"END)::BIGINT AS b,\n"
+            f"    (CASE WHEN node IN ({seed_sql}) THEN {scale} ELSE 0 "
+            f"END)::BIGINT AS r0v"
+        )
     its = []
     prev = "r0"
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, iters + 1):
         its.append(f""",
 r{i} AS (
     SELECT n.node,
-           ({base} + ({_PR_DAMP} * COALESCE(s.c, 0)) // 100)::BIGINT
+           (n.b + ({damp} * COALESCE(s.c, 0)) // 100)::BIGINT
                AS rank
     FROM n LEFT JOIN (
         SELECT ed.dst AS node, SUM(r.rank // ed.out_deg) AS c
@@ -3557,14 +3577,15 @@ r{i} AS (
 )""")
         prev = f"r{i}"
     return f"""
-WITH {_O_LINKS_CTE},
+WITH {prelude},
 deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
 ed AS (SELECT e.src, e.dst, d.od AS out_deg
        FROM edges e JOIN deg d ON d.src = e.src),
-n AS (SELECT DISTINCT node FROM (
-        SELECT src AS node FROM edges
-        UNION ALL SELECT dst FROM edges) u),
-r0 AS (SELECT node, {_PR_SCALE}::BIGINT AS rank FROM n){''.join(its)}
+n AS (SELECT {n_cols} FROM (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges) u) nn),
+r0 AS (SELECT node, r0v AS rank FROM n){''.join(its)}
 SELECT node, rank FROM {prev}
 """
 
@@ -3634,7 +3655,15 @@ def _q_crawl_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; min(depth) per node is the BFS distance."""
     from servico_ocr_spark.operators import bfs_depths
 
-    seeds = (
+    return bfs_depths(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        _crawl_seeds(spark, sf_dir),
+        max_hops=_BFS_HOPS,
+    )
+
+
+def _crawl_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         _read(spark, sf_dir, "documents")
         .where(F.col("doc_id") % _BFS_SEED_MOD == _BFS_SEED_RES)
         .select(
@@ -3643,10 +3672,84 @@ def _q_crawl_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node")
         )
     )
-    return bfs_depths(
+
+
+_CRAWL_SEED_SQL = (
+    "SELECT 'https://graph.test/d/' || doc_id FROM documents "
+    f"WHERE doc_id % {_BFS_SEED_MOD} = {_BFS_SEED_RES}"
+)
+
+
+def _q_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the crawl seed list
+    (operators/links.pagerank with seeds=...): teleport mass lands only
+    on the seeds, so ranks measure seed-biased relevance — the crawl
+    prioritization twin of crawl_depths over the SAME seed set. The
+    per-node base rides the static nodes frame: identical per-round
+    plan to global pagerank, zero extra shuffles."""
+    return pagerank(
         link_edges(extract_links(_linked_pages(spark, sf_dir))),
-        seeds,
-        max_hops=_BFS_HOPS,
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+        seeds=_crawl_seeds(spark, sf_dir),
+    )
+
+
+def _o_seeded_pagerank() -> str:
+    return _o_pagerank(seed_sql=_CRAWL_SEED_SQL)
+
+
+_TEXTRANK_K = 20
+
+_O_WORD_GRAPH_CTE = """
+wtok AS (
+    SELECT doc_id,
+           unnest(range(len(ws)))::BIGINT AS pos,
+           unnest(ws) AS w
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents) t
+),
+bi AS (
+    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM wtok
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT w AS src, w1 AS dst FROM bi
+        WHERE w1 IS NOT NULL AND w <> w1
+        UNION ALL
+        SELECT w1 AS src, w AS dst FROM bi
+        WHERE w1 IS NOT NULL AND w <> w1) u
+)"""
+
+
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: the word-adjacency graph
+    (operators/textstats.word_adjacency_edges — posexplode + lead,
+    codegen, symmetrized distinct) fed to the SAME fixed-point integer
+    pagerank the link face uses, top-k by rank. The oracle composes the
+    parameterized pagerank CTE over a word-graph prelude — one operator
+    implementation, two graph faces, both hash-proven."""
+    from servico_ocr_spark.operators import word_adjacency_edges
+
+    return (
+        pagerank(
+            word_adjacency_edges(_read(spark, sf_dir, "documents")),
+            iterations=_PR_ITERS,
+            scale=_PR_SCALE,
+            damping_pct=_PR_DAMP,
+        )
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_TEXTRANK_K)
+    )
+
+
+def _o_textrank_keywords() -> str:
+    return (
+        _o_pagerank(prelude=_O_WORD_GRAPH_CTE).rstrip()
+        + f"\nORDER BY rank DESC, node LIMIT {_TEXTRANK_K}\n"
     )
 
 
@@ -3862,6 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "triangles": _q_triangles,
         "crawl_depths": _q_crawl_depths,
+        "seeded_pagerank": _q_seeded_pagerank,
+        "textrank_keywords": _q_textrank_keywords,
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "latest_crawl": _q_latest_crawl,
@@ -3942,6 +4047,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _o_pagerank(),
         "triangles": _o_triangles(),
         "crawl_depths": _o_crawl_depths(),
+        "seeded_pagerank": _o_seeded_pagerank(),
+        "textrank_keywords": _o_textrank_keywords(),
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "latest_crawl": _o_latest_crawl(),

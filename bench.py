@@ -116,6 +116,9 @@ BENCH_FAMILIES = {
         # fixed-point BM25 top-k retrieval: corpus-scalar agg +
         # pre-shuffle term filter + broadcast df + TakeOrdered top-k
         "bm25_search",
+        # TextRank keywords: bigram word graph -> the link face's
+        # integer pagerank -> top-k (one operator, two graph faces)
+        "textrank_keywords",
         # inverse-df rarity scoring (no vocabulary-wide rank; one df
         # agg + word join + doc agg + restoring id join)
         "token_rarity",
@@ -163,6 +166,9 @@ BENCH_FAMILIES = {
         # frontier-iterated BFS depths from the seed set (per-layer
         # distinct-before-shuffle + anti-join, early exit on empty)
         "crawl_depths",
+        # personalized pagerank from the same seed set (per-node base
+        # rides the static nodes frame: same per-round plan as global)
+        "seeded_pagerank",
     ],
     "ann": [
         "ann_brute_topk",

@@ -60,6 +60,7 @@ from .textstats import (  # noqa: F401
     text_fingerprint,
     token_counts,
     token_rarity,
+    word_adjacency_edges,
     word_cooccurrence,
 )
 from .packing import (  # noqa: F401

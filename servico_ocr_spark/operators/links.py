@@ -223,6 +223,7 @@ def pagerank(
     scale: int = 1_000_000,
     damping_pct: int = 85,
     checkpoint_every: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a distinct-edge table:
     ``(node, rank)`` after ``iterations`` synchronous rounds.
@@ -246,6 +247,18 @@ def pagerank(
     to break lineage with ``localCheckpoint`` every K rounds (the star
     contraction discipline in `dedup.neardup_components`); the default
     keeps the fixed-K plan lazy, which AQE plans fine for K ≤ ~10.
+
+    ``seeds`` (optional, one-column node frame) switches to
+    PERSONALIZED PageRank: the teleport/base term lands ONLY on the
+    seed set and the walk starts there (rank ``scale`` on seeds, 0
+    elsewhere) — the seed-biased relevance score a crawler uses to
+    prioritize its frontier (Haveliwala, WWW 2002 — public method).
+    Node universe stays the graph's own nodes; off-graph seeds
+    contribute nothing (unlike :func:`bfs_depths`, whose output keeps
+    them — a ranker scores pages, a frontier tracks intent). The
+    per-node base column rides the static ``nodes`` frame, so the
+    seeded variant has the SAME per-round plan — one join + one
+    map-side-combinable sum, zero extra shuffles.
     """
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = (
@@ -253,11 +266,28 @@ def pagerank(
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    edges_deg = edges.join(out_deg, "src")  # static across rounds
     base = scale * (100 - damping_pct) // 100
-    ranks = nodes.select(
-        "node", F.lit(scale).cast("long").alias("rank")
-    )
+    if seeds is None:
+        nodes = nodes.select(
+            "node",
+            F.lit(base).cast("long").alias("_b"),
+            F.lit(scale).cast("long").alias("_r0"),
+        )
+    else:
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .select("node", F.lit(1).alias("_s"))
+        )
+        nodes = nodes.join(seed_nodes, "node", "left").select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(base))
+            .otherwise(F.lit(0)).cast("long").alias("_b"),
+            F.when(F.col("_s").isNotNull(), F.lit(scale))
+            .otherwise(F.lit(0)).cast("long").alias("_r0"),
+        )
+    edges_deg = edges.join(out_deg, "src")  # static across rounds
+    ranks = nodes.select("node", F.col("_r0").alias("rank"))
     for i in range(iterations):
         contrib = (
             edges_deg.join(
@@ -273,7 +303,7 @@ def pagerank(
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                F.col("_b")
                 + F.expr(f"({damping_pct} * coalesce(_c, 0L)) div 100")
             )
             .cast("long")

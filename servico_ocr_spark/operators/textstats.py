@@ -758,3 +758,40 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
     for s_df in steps[1:]:
         out = out.unionByName(s_df)
     return out
+
+
+def word_adjacency_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(src, dst)``: the distinct UNDIRECTED word-adjacency graph —
+    an edge (both directions) wherever two distinct words appear
+    consecutively in some document. This is TextRank's co-occurrence
+    graph at window 2 (Mihalcea & Tarau, EMNLP 2004 — public method);
+    feed it to :func:`links.pagerank` and take the top-k ranks for
+    corpus keywords.
+
+    Shape: one posexplode + window ``lead()`` (whole-stage codegen —
+    the shingling discipline, never array HOFs), then a distinct on the
+    symmetrized pairs: one shuffle keyed on the pair, map-side
+    combinable (a stopword bigram occurring 10⁹ times collapses before
+    the exchange). Self-loops (repeated words) are dropped — pagerank's
+    edge contract excludes them anyway.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tokens.select("w", F.lead("w", 1).over(win).alias("w1"))
+        .where(F.col("w1").isNotNull() & (F.col("w") != F.col("w1")))
+    )
+    return (
+        bi.select(F.col("w").alias("src"), F.col("w1").alias("dst"))
+        .unionAll(
+            bi.select(F.col("w1").alias("src"), F.col("w").alias("dst"))
+        )
+        .distinct()
+    )

@@ -11,6 +11,7 @@ from servico_ocr_spark.operators import (
     link_degrees,
     link_edges,
     pagerank,
+    word_adjacency_edges,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -327,3 +328,60 @@ def test_triangle_counts_partitioning_independence(spark):
             map(tuple, triangle_counts(df.repartition(n)).collect())
         )
         assert got == ref
+
+
+def _seeded_pagerank_reference(edges, seeds, iterations, scale, damping):
+    """Personalized twin: base/init mass only on in-graph seeds."""
+    from collections import Counter, defaultdict
+
+    out_deg = Counter(s for s, _ in edges)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    base = scale * (100 - damping) // 100
+    rank = {n: scale if n in seeds else 0 for n in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // out_deg[s]
+        rank = {
+            n: (base if n in seeds else 0) + (damping * contrib[n]) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_seeded_pagerank_matches_python_reference_exactly(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # off-graph seed 'zzz' must contribute nothing and not appear
+    sdf = spark.createDataFrame(
+        [("a",), ("zzz",)], "node string"
+    )
+    for iters in (1, 3):
+        want = _seeded_pagerank_reference(
+            edges, {"a"}, iters, 1_000_000, 85
+        )
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iterations=iters,
+                                 seeds=sdf).collect()}
+        assert got == want, iters
+        assert "zzz" not in got
+    # mass is seed-biased: unreached-from-seed node d holds rank 0
+    assert got["d"] == 0 and got["a"] > 0
+    # duplicate seeds are idempotent
+    sdf2 = spark.createDataFrame([("a",), ("a",)], "node string")
+    got2 = {r["node"]: r["rank"]
+            for r in pagerank(df, iterations=3, seeds=sdf2).collect()}
+    assert got2 == got
+
+
+def test_word_adjacency_edges_symmetric_distinct_no_selfloop(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b b c a b"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {(r["src"], r["dst"])
+           for r in word_adjacency_edges(docs).collect()}
+    # bigrams: (a,b) (b,b)->dropped (b,c) (c,a) (a,b)->dup, symmetrized
+    want = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+            ("c", "a"), ("a", "c")}
+    assert got == want
