@@ -1268,6 +1268,38 @@ GROUP BY cluster
 """
 
 
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension integer moments of the embedding column
+    (operators/stats.embedding_dim_stats): the vector-column telemetry a
+    pipeline runs before trusting an encoder — dead dims (zero variance),
+    mis-scaled encoders (runaway min/max), ragged arrays (uneven n_vecs).
+    Shares the corpus-wide floor(x*1000) quantization with the ANN/kmeans
+    oracles so the numbers are directly comparable. Plan: scan →
+    posexplode → ONE map-side-combinable hash agg on dim."""
+    from servico_ocr_spark.operators import embedding_dim_stats
+
+    return embedding_dim_stats(_read(spark, sf_dir, "embeddings"))
+
+
+def _o_embedding_dim_stats() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
+pts AS (
+    SELECT unnest(range(len(iv)))::BIGINT AS dim,
+           unnest(iv)::BIGINT AS q
+    FROM v
+)
+SELECT dim,
+       count(*)::BIGINT AS n_vecs,
+       sum(q)::BIGINT AS sum_q,
+       sum(q * q)::BIGINT AS sum_sq,
+       min(q)::BIGINT AS min_q,
+       max(q)::BIGINT AS max_q
+FROM pts
+GROUP BY dim
+"""
+
+
 _SEMDEDUP_K = 8  # the SemDeDup scale knob: k ~ n/target_cluster_size
 _SEMDEDUP_T = 400_000  # binds at every sf (same regime as _EMB_NEARDUP_T)
 
@@ -3753,6 +3785,74 @@ def _o_textrank_keywords() -> str:
     )
 
 
+_HITS_ITERS = 3
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS hubs/authorities over the link graph
+    (operators/links.hits_scores): the directional complement to
+    pagerank — link DIRECTORIES (hubs) vs link TARGETS (authorities).
+    Integer max-normalization per half round keeps every value an exact
+    BIGINT on both engines; the oracle unrolls the K synchronous rounds
+    as nested CTEs (the pagerank/kmeans technique) with the max carried
+    by a scalar subquery mirroring Spark's 1-row broadcast."""
+    from servico_ocr_spark.operators import hits_scores
+
+    return hits_scores(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        iterations=_HITS_ITERS,
+        scale=_PR_SCALE,
+    )
+
+
+def _o_hits(
+    prelude: str = _O_LINKS_CTE,
+    iters: int = _HITS_ITERS,
+    scale: int = _PR_SCALE,
+) -> str:
+    """Unrolled-CTE integer HITS over any ``prelude`` defining an
+    ``edges(src, dst)`` CTE. Each half round: equi-join + sum, then
+    ``raw // greatest(max(raw) // scale, 1)`` — the exact integer
+    max-normalization of links.hits_scores (all values nonnegative, so
+    DuckDB ``//`` ≡ Spark ``div`` here). The generated CTEs are
+    ``MATERIALIZED``: each half round references its predecessor twice
+    (scalar-subquery max + the division), so DuckDB's default CTE
+    inlining would re-expand the chain exponentially across 2·K half
+    rounds — measured as a hang at sf0.01 before the annotation."""
+    half = (
+        ",\n{o}{i}r AS MATERIALIZED (\n"
+        "    SELECT e.{out} AS node, sum(f.s)::BIGINT AS raw\n"
+        "    FROM edges e JOIN {frm} f ON f.node = e.{key}\n"
+        "    GROUP BY e.{out}\n"
+        "),\n{o}{i} AS MATERIALIZED (\n"
+        "    SELECT node,\n"
+        "           (raw // greatest(\n"
+        "               (SELECT COALESCE(MAX(raw), 0) FROM {o}{i}r)"
+        f" // {scale}, 1))::BIGINT AS s\n"
+        "    FROM {o}{i}r\n"
+        ")"
+    )
+    its = []
+    for i in range(1, iters + 1):
+        its.append(half.format(o="a", i=i, out="dst", key="src",
+                               frm=f"h{i - 1}"))
+        its.append(half.format(o="h", i=i, out="src", key="dst",
+                               frm=f"a{i}"))
+    return f"""
+WITH {prelude},
+hn AS MATERIALIZED (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) u),
+h0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS s FROM hn){''.join(its)}
+SELECT hn.node,
+       COALESCE(h{iters}.s, 0)::BIGINT AS hub,
+       COALESCE(a{iters}.s, 0)::BIGINT AS auth
+FROM hn
+LEFT JOIN h{iters} ON h{iters}.node = hn.node
+LEFT JOIN a{iters} ON a{iters}.node = hn.node
+"""
+
+
 def _o_crawl_depths() -> str:
     return f"""
 WITH RECURSIVE {_O_LINKS_CTE},
@@ -3942,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "kmeans": _q_kmeans,
         "kmeans_summary": _q_kmeans_summary,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
@@ -3963,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "triangles": _q_triangles,
         "crawl_depths": _q_crawl_depths,
         "seeded_pagerank": _q_seeded_pagerank,
@@ -4024,6 +4126,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _o_semantic_dedup(),
         "kmeans": _o_kmeans(),
         "kmeans_summary": _o_kmeans_summary(),
+        "embedding_dim_stats": _o_embedding_dim_stats(),
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
@@ -4045,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": _o_link_degrees(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
+        "hits": _o_hits(),
         "triangles": _o_triangles(),
         "crawl_depths": _o_crawl_depths(),
         "seeded_pagerank": _o_seeded_pagerank(),

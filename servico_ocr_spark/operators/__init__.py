@@ -40,6 +40,7 @@ from .links import (  # noqa: F401
     anchor_text_agg,
     bfs_depths,
     extract_links,
+    hits_scores,
     link_degrees,
     link_edges,
     pagerank,
@@ -77,6 +78,7 @@ from .temporal import (  # noqa: F401
 )
 from .stats import (  # noqa: F401
     distinct_count_telemetry,
+    embedding_dim_stats,
     exact_group_quantiles,
 )
 from .pii import scrub_pii  # noqa: F401

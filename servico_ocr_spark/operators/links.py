@@ -314,6 +314,87 @@ def pagerank(
     return ranks
 
 
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over a distinct-edge
+    table: ``(node, hub, auth)`` after ``iterations`` synchronous
+    rounds — the hub/authority decomposition a crawler uses to separate
+    link DIRECTORIES (hubs) from link TARGETS (authorities), the
+    complementary signal to :func:`pagerank`'s single stationary score.
+
+    All arithmetic is integer so the result is bit-deterministic and
+    engine-portable (the pagerank/kmeans contract). The textbook L2
+    normalization is replaced by an integer max-normalization per half
+    round: ``norm = greatest(max(raw) div scale, 1)``; ``score =
+    raw div norm`` — every score lands in ~[0, 2·scale), so the next
+    raw sum is bounded by ``max_degree · 2·scale`` and stays BIGINT-safe
+    up to degree ~10^11 at the default scale. Values are relative
+    scores, not a unit vector (the same documented trade as pagerank's
+    leaked dangling mass). Update order is the classic one: authorities
+    from hubs first, then hubs from the NEW authorities.
+
+    Scale shape: the edge table is local-checkpointed ONCE up front —
+    each round joins it by src (auth step) AND by dst (hub step), two
+    different partitionings that ReuseExchange can never collapse (the
+    triangle_counts/bfs_depths lesson), so without the cut the upstream
+    html parse would re-execute 2·K times. Each half round is one
+    equi-join + one map-side-combinable sum (a 10^9-in-degree hub
+    collapses in the partial aggregate) + a 1-row broadcast cross join
+    carrying the max (the bpe_learn top-1 technique). Intermediate
+    score frames hold only NONZERO nodes (missing rows contribute
+    nothing to a sum); zero-degree sides are restored once at the end
+    with left joins from the node universe (the explode-drops-rows
+    lesson). Raw frames are lazily local-checkpointed because each is
+    referenced twice (max + division) with different downstream shapes.
+    """
+    if iterations < 1:
+        raise ValueError("iterations >= 1 required")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+
+    def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
+        """One half round: sum ``frm``'s scores onto the ``out`` end of
+        every edge whose ``key`` end matches, then max-normalize."""
+        raw = (
+            edges.alias("e")
+            .join(frm.alias("f"), F.col(f"e.{key}") == F.col("f.node"))
+            .groupBy(F.col(f"e.{out}").alias("node"))
+            .agg(F.sum("f.s").cast("long").alias("raw"))
+            .localCheckpoint(eager=False)
+        )
+        mx = raw.agg(F.coalesce(F.max("raw"), F.lit(0)).alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"raw div greatest(_mx div {scale}, 1L)")
+            .cast("long")
+            .alias("s"),
+        )
+
+    auth = hub  # placeholder; iterations >= 1 always overwrites
+    for _ in range(iterations):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    h = hub.select("node", F.col("s").alias("_h"))
+    a = auth.select("node", F.col("s").alias("_a"))
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("_a", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame, materialize: bool = True
 ) -> DataFrame:

@@ -97,3 +97,41 @@ def distinct_count_telemetry(
             "abs(approx - exact) * 1000000 div exact END"
         ).cast("long").alias("err_ppm"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """Per-dimension integer moments of an embedding column:
+    ``(dim, n_vecs, sum_q, sum_sq, min_q, max_q)`` over coordinates
+    quantized as ``floor(x * scale)`` — the embedding-quality telemetry
+    a pipeline runs before trusting a vector column (dead dimensions
+    show as zero variance, mis-scaled encoders as runaway min/max,
+    ragged arrays as uneven ``n_vecs``). Callers derive mean/variance
+    from the raw moments; keeping sums instead of means keeps every
+    column an exact BIGINT (the no-float-aggregates contract).
+
+    Uses the corpus-wide quantization idiom the ANN oracles share
+    (``floor(CAST(x AS DOUBLE) * 1000)``), so its numbers are directly
+    comparable with the distances kmeans/ANN compute. BIGINT audit:
+    |q| ≤ scale for unit-ish embeddings, so ``sum_sq`` per dimension is
+    ≤ n·scale² = 10^12·10^6 = 10^18 at 10^12 vectors — inside BIGINT;
+    for raw (unnormalized) vectors pick ``scale`` so max|q| ≤ ~10^3.
+
+    Scale shape: scan → posexplode → ONE map-side-combinable hash
+    aggregation on ``dim`` (≤ a few thousand groups — partials collapse
+    to the dimension count per task before the shuffle). No window, no
+    join, no Python."""
+    pts = emb.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * scale).cast("long").alias("q"),
+    )
+    return pts.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sum_sq"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+    )

@@ -385,3 +385,66 @@ def test_word_adjacency_edges_symmetric_distinct_no_selfloop(spark):
     want = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
             ("c", "a"), ("a", "c")}
     assert got == want
+
+
+def _hits_reference(edges, iterations, scale):
+    """Plain-python fixed-point twin of links.hits_scores (truncating
+    integer division, max-normalization per half round)."""
+    from collections import defaultdict
+
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+
+    def half(frm, key_idx, out_idx):
+        raw = defaultdict(int)
+        for e in edges:
+            s = frm.get(e[key_idx])
+            if s is not None:
+                raw[e[out_idx]] += s
+        mx = max(raw.values(), default=0)
+        norm = max(mx // scale, 1)
+        return {n: v // norm for n, v in raw.items()}
+
+    hub = {n: scale for n in nodes}
+    for _ in range(iterations):
+        auth = half(hub, 0, 1)
+        hub = half(auth, 1, 0)
+    return {n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_python_reference_exactly(spark):
+    from servico_ocr_spark.operators import hits_scores
+
+    # a bipartite-ish graph with a pure hub (d: out-only), a pure
+    # authority (c: in-only), and a cycle a<->b
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("d", "a"),
+             ("d", "b"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3):
+        want = _hits_reference(edges, iters, 1_000_000)
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits_scores(df, iterations=iters).collect()}
+        assert got == want, iters
+    # pure hub d has zero authority; pure authority c has zero hub
+    assert got["d"][1] == 0 and got["c"][0] == 0
+    # both are restored as rows (zero-degree-side restoration)
+    assert got["d"][0] > 0 and got["c"][1] > 0
+
+
+def test_hits_partitioning_independence(spark):
+    from servico_ocr_spark.operators import hits_scores
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)
+             if i != (i * 7 + 3) % 23]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(parts)
+        got = sorted(
+            (r["node"], r["hub"], r["auth"])
+            for r in hits_scores(df, iterations=2).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base

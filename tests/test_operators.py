@@ -1014,3 +1014,23 @@ def test_bpe_learn_distinct_pair_merge_applies_everywhere(spark):
     # step 1: (x,y) weight 2 per word x3 = 6 (beats (y,x) at 3)
     # step 2: words are [xy, xy] -> (xy, xy) weight 3
     assert got == [(1, "x", "y", 6), (2, "xy", "xy", 3)]
+
+
+def test_embedding_dim_stats_moments_and_ragged(spark):
+    """Known-value moments, 0-based dims, ragged arrays showing as
+    uneven n_vecs, and null embeddings contributing nothing."""
+    from servico_ocr_spark.operators import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [1.0, 0.75, 0.5]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["dim"]: (r["n_vecs"], r["sum_q"], r["sum_sq"],
+                      r["min_q"], r["max_q"])
+          for r in embedding_dim_stats(df).collect()}
+    # q = floor(x*1000): dim0 {500, 1000}, dim1 {-250, 750}, dim2 {500}
+    assert got == {
+        0: (2, 1500, 1250000, 500, 1000),
+        1: (2, 500, 625000, -250, 750),
+        2: (1, 500, 250000, 500, 500),
+    }
