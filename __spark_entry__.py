@@ -2296,6 +2296,77 @@ FROM g GROUP BY user_id
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-touch funnel over the events table
+    (operators/events.funnel_counts): users whose first click follows
+    their first view, whose first purchase follows THAT click. Every
+    intermediate frame is bounded by |users| (one row per user), all
+    shuffles keyed on user_id; unreached steps still emit a 0 row via
+    the literal step dimension. The oracle builds the same chain as
+    sequential CTEs (each referenced once — no MATERIALIZED needed,
+    the pagerank/hits distinction)."""
+    from servico_ocr_spark.operators import funnel_counts
+
+    return funnel_counts(_read(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+def _o_funnel_steps(steps: tuple = _FUNNEL_STEPS) -> str:
+    """Sequential-CTE funnel: s{i} = first step-i event strictly after
+    the user's s{i-1} timestamp. Aggregates without GROUP BY always
+    yield one row, so an unreached step reads count 0 — matching the
+    Spark side's right join against the step dimension."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM f\n"
+        f"        WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT f.user_id, min(f.ts) AS t FROM f\n"
+            f"        JOIN s{i - 1} p ON f.user_id = p.user_id\n"
+            f"        WHERE f.event_type = '{s}' AND f.ts > p.t\n"
+            f"        GROUP BY f.user_id)"
+        )
+    selects = [
+        f"SELECT {i}::BIGINT AS step, '{s}' AS step_name,\n"
+        f"       count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return (
+        "\nWITH f AS (\n"
+        "    SELECT user_id, ts, event_type FROM events\n"
+        f"    WHERE event_type IN ({in_list})\n"
+        "),\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\n"
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention matrix over the events table
+    (operators/events.cohort_retention): one shuffle collapses events
+    to a per-user active-day set (bounded by the corpus's calendar
+    span, not event count), a second map-side-combinable agg produces
+    the (cohort_day, offset_days) cells. The oracle takes the textbook
+    distinct+join route — two genuinely different plans, same cells."""
+    from servico_ocr_spark.operators import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
+_O_COHORT_RETENTION = """
+WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       (d.day - c.cohort)::BIGINT AS offset_days,
+       count(*)::BIGINT AS n_users
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: for each purchase event, the same
     user's latest click at-or-before it (backward inclusive as-of).
@@ -4086,6 +4157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
         "sessionize": _q_sessionize,
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "asof_attribution": _q_asof_attribution,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
@@ -4170,6 +4243,8 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "sessionize": _O_SESSIONIZE,
+        "funnel_steps": _o_funnel_steps(),
+        "cohort_retention": _O_COHORT_RETENTION,
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,

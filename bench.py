@@ -169,6 +169,9 @@ BENCH_FAMILIES = {
         # personalized pagerank from the same seed set (per-node base
         # rides the static nodes frame: same per-round plan as global)
         "seeded_pagerank",
+        # fixed-point integer HITS hubs/authorities (per half round:
+        # one equi-join + one combinable sum + a 1-row broadcast max)
+        "hits",
     ],
     "ann": [
         "ann_brute_topk",
@@ -184,6 +187,9 @@ BENCH_FAMILIES = {
         # SemDeDup: kmeans -> within-cluster exact cosine -> per-pair
         # domination keep (k is the quadratic-step knob)
         "semantic_dedup",
+        # per-dimension integer moments of the embedding column
+        # (posexplode + ONE combinable agg on dim)
+        "embedding_dim_stats",
     ],
     "relational": [
         "events_json",
@@ -191,6 +197,12 @@ BENCH_FAMILIES = {
         "top_revenue_orders",
         "first_orders",
         "sessionize",
+        # strictly-ordered first-touch funnel (|users|-bounded step
+        # frames, per-step lazy checkpoint bounds rescans to K)
+        "funnel_steps",
+        # day-grain cohort retention (one collect_set shuffle bounded
+        # by calendar span, one combinable agg — no join, no distinct)
+        "cohort_retention",
         # backward as-of join (union-and-window: one shuffle, no join
         # operator; oracle is DuckDB's native ASOF JOIN)
         "asof_attribution",

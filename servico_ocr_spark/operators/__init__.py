@@ -76,6 +76,10 @@ from .temporal import (  # noqa: F401
     asof_join,
     asof_join_broadcast,
 )
+from .events import (  # noqa: F401
+    cohort_retention,
+    funnel_counts,
+)
 from .stats import (  # noqa: F401
     distinct_count_telemetry,
     embedding_dim_stats,

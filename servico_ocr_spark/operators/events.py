@@ -1,0 +1,152 @@
+"""Event-stream product analytics: ordered funnels and cohort
+retention — the two aggregate views a web-scale events table is asked
+for after sessionization (operators in __spark_entry__._q_sessionize)
+and attribution (operators/temporal.asof_join) are in place.
+
+``funnel_counts`` answers "of the users who did step 1, how many went
+on to do step 2 AFTER it, then step 3 after that" — strictly ordered,
+first-touch semantics. The naive formulation self-joins the events
+table K times on (user, ts range); here each step keeps ONE row per
+user (the step's first qualifying timestamp), so every intermediate is
+bounded by |users| regardless of how many raw events a hot user has —
+the row-amplification bound that matters at 10^12 events.
+
+``cohort_retention`` answers "of the users first seen on day D, how
+many were active again k days later". One shuffle on user collapses
+events to a per-user set of active DAYS (collect_set partials dedupe
+map-side, and the set is bounded by the calendar span of the corpus,
+not by event count — a 10^9-event bot user still carries at most one
+entry per day); a second map-side-combinable aggregation produces the
+(cohort, offset) matrix. No join, no distinct over the raw table.
+
+Reference scope note: the reference service has no event analytics
+(SURVEY §2 covers extraction only); this is engine surface the
+training-data pipeline needs, same footing as sessionize/asof_join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered first-touch funnel: ``(step, step_name,
+    n_users)`` with one row per step in ``steps`` — n_users at step i
+    is the count of users whose first step-i event happened strictly
+    after their (recursively defined) first qualifying step-(i-1)
+    event. Strict ``>`` means a simultaneous pair does not advance the
+    funnel; deterministic and mirrored in the oracle.
+
+    Scale shape: the scan filters to the funnel's event types first
+    (predicate pushdown: non-funnel events never leave the source).
+    Step 1 is one map-side-combinable min per user; each later step is
+    one equi-join of the (|users|-bounded) previous frame against the
+    filtered scan plus another combinable min. Every shuffle is keyed
+    on the user column, and every intermediate holds at most one row
+    per user. Steps that nobody reaches still emit a row (n_users 0)
+    via the final left join from the literal step dimension — the
+    explode-drops-rows lesson applied to aggregation. Step frames are
+    lazily localCheckpointed (each is referenced twice: next step's
+    join + the final union — the hits/bfs lesson)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    ).where(F.col("_et").isin(list(steps)))
+
+    # each step frame is referenced TWICE (next step's join + the
+    # union), with different downstream shapes — the hits/bfs lesson:
+    # lazily localCheckpoint each, or step i re-scans the source i
+    # times and the K-step funnel costs O(K^2) scans (measured 11
+    # parquet scans for K=3 before the cut, K after)
+    cur = (
+        ev.where(F.col("_et") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    reached = [cur.select(F.lit(1).cast("long").alias("step"), "_u")]
+    for i, s in enumerate(steps[1:], start=2):
+        cur = (
+            ev.where(F.col("_et") == s)
+            .join(cur.select("_u", F.col("_t").alias("_prev")), "_u")
+            .where(F.col("_ts") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+            .localCheckpoint(eager=False)
+        )
+        reached.append(
+            cur.select(F.lit(i).cast("long").alias("step"), "_u")
+        )
+    per_user = reached[0]
+    for r in reached[1:]:
+        per_user = per_user.unionAll(r)
+    counts = per_user.groupBy("step").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    dim = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step long, step_name string",
+    )
+    return (
+        dim.join(F.broadcast(counts), "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-grain cohort retention matrix: ``(cohort_day, offset_days,
+    n_users)`` — users are cohorted by the calendar day of their first
+    event, and each (cohort, k) cell counts the cohort's users active
+    on cohort_day + k (offset 0 is the cohort size itself).
+    ``cohort_day`` is a yyyy-MM-dd string (the latest_crawl date
+    convention); counts are exact BIGINTs.
+
+    Scale shape: ONE shuffle on user collapses raw events to
+    ``collect_set(day)`` per user — the partial aggregate dedupes
+    map-side, and the merged set is bounded by the corpus's calendar
+    span, never by per-user event count. The per-user cohort is
+    ``array_min`` of that same set (no second scan, no join back).
+    Explode + one more map-side-combinable count finishes it. Total:
+    two shuffles, zero joins, zero distinct over the raw table."""
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(ts_col).alias("_day"),
+        )
+        .groupBy("_u")
+        .agg(F.collect_set("_day").alias("_days"))
+        .select(
+            F.array_min("_days").alias("_cohort"),
+            F.explode("_days").alias("_day"),
+        )
+    )
+    return (
+        per_user.groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("_day", "_cohort").cast("long").alias(
+                "offset_days"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for operators/events: ordered funnels + cohort retention
+(known-value fixtures, a pure-Python differential, strict-ordering edge
+cases, and partitioning independence)."""
+
+from datetime import datetime, timedelta
+
+from servico_ocr_spark.operators import cohort_retention, funnel_counts
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(user, minutes, et):
+    return (user, T0 + timedelta(minutes=minutes), et)
+
+
+EV_SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def test_funnel_known_values_and_strict_ordering(spark):
+    rows = [
+        # u1 completes in order
+        _ev(1, 0, "view"), _ev(1, 5, "click"), _ev(1, 9, "purchase"),
+        # u2 clicks BEFORE its first view -> stalls at step 1
+        _ev(2, 3, "click"), _ev(2, 4, "view"),
+        # u3 click at the EXACT view timestamp -> strict >, stalls
+        _ev(3, 7, "view"), _ev(3, 7, "click"),
+        # u4 never views (click+purchase only) -> never enters
+        _ev(4, 1, "click"), _ev(4, 2, "purchase"),
+        # u5 view->click, purchase earlier than the click -> step 2
+        _ev(5, 0, "purchase"), _ev(5, 1, "view"), _ev(5, 2, "click"),
+        # noise event types are ignored
+        _ev(1, 1, "error"), _ev(2, 1, "signup"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["step"]: (r["step_name"], r["n_users"])
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: ("view", 4),      # u1 u2 u3 u5
+        2: ("click", 2),     # u1 u5
+        3: ("purchase", 1),  # u1
+    }
+
+
+def test_funnel_unreached_step_emits_zero_row(spark):
+    rows = [_ev(1, 0, "view"), _ev(2, 1, "view")]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = sorted(
+        (r["step"], r["step_name"], r["n_users"])
+        for r in funnel_counts(df, ["view", "click"]).collect()
+    )
+    assert got == [(1, "view", 2), (2, "click", 0)]
+
+
+def _funnel_reference(rows, steps):
+    """Plain-python first-touch strictly-ordered funnel."""
+    by_user = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev = None
+        for i, s in enumerate(steps):
+            ts_list = [
+                t for t, et in evs
+                if et == s and (prev is None or t > prev)
+            ]
+            if not ts_list:
+                break
+            prev = min(ts_list)
+            counts[i] += 1
+    return {i + 1: c for i, c in enumerate(counts)}
+
+
+def test_funnel_matches_python_reference(spark):
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        _ev(u, (u * 13 + k * 7) % 97, types[(u * 3 + k * 5) % 4])
+        for u in range(25)
+        for k in range(8)
+    ]
+    steps = ["view", "click", "purchase"]
+    want = _funnel_reference(rows, steps)
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, EV_SCHEMA).repartition(parts)
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(df, steps).collect()
+        }
+        assert got == want, parts
+
+
+def test_cohort_retention_known_values(spark):
+    def day(user, d, minutes=0):
+        return (
+            user,
+            datetime(2024, 1, 1 + d, 8, 0, 0) + timedelta(minutes=minutes),
+            "view",
+        )
+
+    rows = [
+        # cohort 01-01: u1 active d0,d1,d3; u2 active d0 only
+        day(1, 0), day(1, 0, 30), day(1, 1), day(1, 3),
+        day(2, 0),
+        # cohort 01-02: u3 active d0,d2 (relative)
+        day(3, 1), day(3, 3),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 2): 1,
+    }
+
+
+def test_cohort_retention_partitioning_independence(spark):
+    rows = [
+        (u, datetime(2024, 1, 1 + (u * 5 + k * 3) % 9, k, 0, 0), "view")
+        for u in range(20)
+        for k in range(6)
+    ]
+    base = None
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, EV_SCHEMA).repartition(parts)
+        got = sorted(
+            (r["cohort_day"], r["offset_days"], r["n_users"])
+            for r in cohort_retention(df).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
