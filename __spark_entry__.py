@@ -2367,6 +2367,32 @@ GROUP BY 1, 2
 """
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over the events table
+    (operators/events.event_transitions): consecutive event-type pairs
+    per user stream, ordered by the sessionize tie-break (ts, event_id)
+    so simultaneous events have a stable successor. ONE user-keyed
+    window shuffle + one map-side-combinable count; output is bounded
+    by |types|², never event count. The user-flow / Sankey source and
+    next-event prior — the path-free complement to funnel_steps."""
+    from servico_ocr_spark.operators import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+_O_EVENT_TRANSITIONS = """
+WITH s AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type, next_type, count(*)::BIGINT AS n_transitions
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: for each purchase event, the same
     user's latest click at-or-before it (backward inclusive as-of).
@@ -3943,6 +3969,107 @@ SELECT node, min(depth)::BIGINT AS depth FROM walk GROUP BY node
 """
 
 
+_LPA_ITERS = 4
+
+
+def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the link graph
+    (operators/links.label_propagation): direction collapsed, each node
+    starts as its own label, new label = most frequent neighbor label
+    with MIN tie-break — fully deterministic (no visit order, no
+    randomness), so the unrolled-CTE oracle reproduces it bit-for-bit.
+    The neighbor table is checkpointed once (joined every round); each
+    round is join + count + window-max + min-agg, all keyed on node."""
+    from servico_ocr_spark.operators import label_propagation
+
+    return label_propagation(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        iterations=_LPA_ITERS,
+    )
+
+
+def _o_communities(
+    prelude: str = _O_LINKS_CTE, iters: int = _LPA_ITERS
+) -> str:
+    """Unrolled-CTE synchronous LPA over any ``prelude`` defining an
+    ``edges(src, dst)`` CTE. ``nbr`` is MATERIALIZED (referenced once
+    per round — default inlining would re-expand the full links CTE
+    K+1 times); the round CTEs form a single-reference chain, the
+    pagerank case, so they stay plain."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f""",
+c{i} AS (
+    SELECT n.node, l.label, count(*) AS cnt
+    FROM nbr n JOIN l{i - 1} l ON l.node = n.nbr
+    GROUP BY n.node, l.label
+),
+l{i} AS (
+    SELECT node, min(label) AS label
+    FROM (SELECT node, label, cnt,
+                 max(cnt) OVER (PARTITION BY node) AS mx
+          FROM c{i}) t
+    WHERE cnt = mx GROUP BY node
+)""")
+    return f"""
+WITH {prelude},
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+),
+nbr AS MATERIALIZED (
+    SELECT u AS node, v AS nbr FROM und
+    UNION ALL SELECT v, u FROM und
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM nbr){''.join(rounds)}
+SELECT node, label FROM l{iters}
+"""
+
+
+#: binds at every sf: the three nav hubs have in-degree n (≥ 500);
+#: at sf0.1 the partner.example targets (~143) and the e-hubs (~57)
+#: cross it too — the everyone-links-here targets carry no relatedness
+#: signal (idf intuition), and C(d,2) pair blowup is the scale hazard.
+_COCITE_CAP = 25
+
+
+def _q_related_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-page pairs over the link graph
+    (operators/links.cocitation_pairs): pages sharing ≥1 outlink
+    target after dropping targets with in-degree > cap, with an
+    integer milli-Jaccard over the capped outlink sets. The cap is the
+    O(d²) guard AND the signal filter; it binds at every sf via the
+    in-degree-n nav hubs."""
+    from servico_ocr_spark.operators import cocitation_pairs
+
+    return cocitation_pairs(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        max_in_degree=_COCITE_CAP,
+    )
+
+
+def _o_related_pages() -> str:
+    return f"""
+WITH {_O_LINKS_CTE},
+ind AS (SELECT dst FROM edges GROUP BY dst
+        HAVING count(*) <= {_COCITE_CAP}),
+kept AS (SELECT e.src, e.dst FROM edges e JOIN ind USING (dst)),
+outd AS (SELECT src, count(*)::BIGINT AS deg FROM kept GROUP BY src),
+pairs AS (
+    SELECT e1.src AS a, e2.src AS b, count(*)::BIGINT AS n_common
+    FROM kept e1 JOIN kept e2
+      ON e1.dst = e2.dst AND e1.src < e2.src
+    GROUP BY e1.src, e2.src
+)
+SELECT p.a, p.b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       ((p.n_common * 1000) // (da.deg + db.deg - p.n_common))::BIGINT
+           AS jaccard_x1000
+FROM pairs p
+JOIN outd da ON da.src = p.a
+JOIN outd db ON db.src = p.b
+"""
+
+
 # ===========================================================================
 # Composed curation pipeline: the faces chained end-to-end
 # ===========================================================================
@@ -4136,6 +4263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "communities": _q_communities,
+        "related_pages": _q_related_pages,
         "triangles": _q_triangles,
         "crawl_depths": _q_crawl_depths,
         "seeded_pagerank": _q_seeded_pagerank,
@@ -4159,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
         "asof_attribution": _q_asof_attribution,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
@@ -4222,6 +4352,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
         "hits": _o_hits(),
+        "communities": _o_communities(),
+        "related_pages": _o_related_pages(),
         "triangles": _o_triangles(),
         "crawl_depths": _o_crawl_depths(),
         "seeded_pagerank": _o_seeded_pagerank(),
@@ -4245,6 +4377,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _O_SESSIONIZE,
         "funnel_steps": _o_funnel_steps(),
         "cohort_retention": _O_COHORT_RETENTION,
+        "event_transitions": _O_EVENT_TRANSITIONS,
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,

@@ -39,8 +39,10 @@ from .webtext import (  # noqa: F401
 from .links import (  # noqa: F401
     anchor_text_agg,
     bfs_depths,
+    cocitation_pairs,
     extract_links,
     hits_scores,
+    label_propagation,
     link_degrees,
     link_edges,
     pagerank,
@@ -78,6 +80,7 @@ from .temporal import (  # noqa: F401
 )
 from .events import (  # noqa: F401
     cohort_retention,
+    event_transitions,
     funnel_counts,
 )
 from .stats import (  # noqa: F401

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_counts(
@@ -149,4 +149,40 @@ def cohort_retention(
             ),
         )
         .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``(event_type, next_type, n_transitions)``: counts of consecutive
+    event-type pairs within each user's stream — the Markov transition
+    matrix behind user-flow / Sankey views and next-event priors, the
+    step-free counterpart to :func:`funnel_counts` (a funnel fixes the
+    path; this measures ALL observed paths).
+
+    Determinism: the stream order is (ts, event_id) — the sessionize
+    tie-break, so simultaneous events have a stable successor and the
+    oracle reproduces the exact counts. A user's LAST event has no
+    successor and contributes nothing (no sentinel row — terminal mass
+    is recoverable as row_count − Σ outgoing, and a sentinel would put
+    a fabricated type in the key space).
+
+    Scale shape: ONE shuffle — the lead() window keyed on user — then a
+    map-side-combinable count by (event_type, next_type); the output is
+    bounded by |types|², never by event count, and a 10^9-event bot
+    user is one window partition streamed in sort order (bounded linear
+    straggler, the documented window trade). The window needs no frame
+    buffer (lead 1 = one row of lookahead)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.select(F.col(type_col).alias("event_type"), nxt.alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
     )

@@ -37,7 +37,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
 #: flat anchor element: start tag, then text with no nested markup
@@ -486,6 +486,153 @@ def triangle_counts(
             F.coalesce("n_triangles", F.lit(0))
             .cast("long")
             .alias("n_triangles"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """``(node, label)``: community assignment after ``iterations``
+    SYNCHRONOUS label-propagation rounds (Raghavan et al. 2007) over a
+    directed edge table, direction collapsed — the cheap community
+    detector a crawler uses to find link farms / mirror clusters, the
+    unsupervised complement to :func:`triangle_counts`'s local density.
+
+    Determinism contract (the pagerank/kmeans rule): updates are
+    synchronous (every round reads only the previous round's labels),
+    each node starts labeled with ITSELF, and the new label is the
+    neighbor label with the highest count, ties broken by MINIMUM label
+    (bytewise string order — identical in Spark and DuckDB for these
+    ASCII urls, the least/greatest precedent from triangle_counts). No
+    randomness, no visit order: the result is bit-stable and an
+    unrolled-CTE oracle reproduces it exactly. The textbook asynchronous
+    variant converges faster but is order-dependent — unusable under
+    the engine-portability contract; synchronous LPA may oscillate on
+    bipartite structures, which a fixed round budget turns into a
+    deterministic answer rather than a hang.
+
+    Scale shape: the symmetric neighbor table is local-checkpointed
+    ONCE up front (it is joined every round — the triangle_counts /
+    bfs_depths lesson). Each round is one equi-join (neighbor label
+    lookup), one map-side-combinable count by (node, label), one
+    window-max over node, one min-agg by node — all shuffles keyed on
+    node, and the window/final agg reuse the (node, label) exchange's
+    node-prefix. Per-round state is one row per node. A degree-10^9 hub
+    sees one window partition of ≤ |distinct neighbor labels| rows — a
+    bounded linear straggler, the `_cap_doc_freq` trade (labels
+    coarsen every round, so the distinct-label count only shrinks).
+    Labels are lazily checkpointed per round: round k's frame is
+    otherwise re-derived from scratch by round k+1's join at plan
+    explosion cost (the bpe_learn per-step discipline).
+    """
+    if iterations < 1:
+        raise ValueError("iterations >= 1 required")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v"), F.col("u")))
+        .localCheckpoint(eager=False)
+    )
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node")
+    for _ in range(iterations):
+        cnt = (
+            nbr.alias("n")
+            .join(labels.alias("l"), F.col("l.node") == F.col("n.nbr"))
+            .groupBy(
+                F.col("n.node").alias("node"), F.col("l.label").alias("label")
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("_mx", F.max("cnt").over(w))
+            .where(F.col("cnt") == F.col("_mx"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    max_in_degree: int,
+    min_common: int = 1,
+) -> DataFrame:
+    """``(a, b, n_common, deg_a, deg_b, jaccard_x1000)``: unordered page
+    pairs that link to at least ``min_common`` shared targets —
+    co-citation relatedness (Small 1973; the SALSA/"related pages"
+    signal), with an integer milli-Jaccard over the pages' outlink sets.
+
+    ``max_in_degree`` is MANDATORY and is the scale contract: a target
+    with in-degree d contributes C(d,2) pairs, so one 10^8-in-degree
+    hub (a homepage every page links to) is an O(d²) explosion — and a
+    shared everyone-links-here target carries no relatedness signal
+    anyway (the idf intuition). Targets above the cap are dropped
+    BEFORE the pair join, and out-degrees are computed over the SAME
+    capped edge set so the Jaccard numerator and denominator count the
+    same universe (the `_cap_doc_freq` / `DEFAULT_MAX_DOC_FREQ`
+    precedent from minhash — on the driver fixture the three
+    in-degree-n nav hubs make the cap bind at every sf).
+
+    Shapes: one in-degree agg + one equi-join to apply the cap (both
+    keyed on dst), one out-degree agg, the pair self-join keyed on dst
+    (bounded at Σ C(min(d, cap), 2) ≤ cap²/2 · |targets|), one
+    map-side-combinable count by (a, b), two degree lookups keyed on
+    the pair ends. ``jaccard_x1000 = n_common·1000 div (deg_a + deg_b −
+    n_common)`` — truncating integer division, BIGINT-safe, identical
+    on both engines.
+    """
+    if max_in_degree < 1:
+        raise ValueError("max_in_degree >= 1 required")
+    ind = edges.groupBy("dst").agg(F.count("*").alias("_in"))
+    kept = edges.join(
+        ind.where(F.col("_in") <= max_in_degree).select("dst"), "dst"
+    )
+    outd = kept.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pairs = (
+        kept.alias("e1")
+        .join(
+            kept.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.src").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(
+            outd.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            outd.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr("(n_common * 1000) div (deg_a + deg_b - n_common)")
+            .cast("long")
+            .alias("jaccard_x1000"),
         )
     )
 

@@ -139,3 +139,61 @@ def test_cohort_retention_partitioning_independence(spark):
             base = got
         else:
             assert got == base
+
+
+# ---------------------------------------------------------------------------
+# event transitions (Markov flow counts)
+# ---------------------------------------------------------------------------
+
+EV_ID_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def test_event_transitions_known_values_and_tie_break(spark):
+    from servico_ocr_spark.operators import event_transitions
+
+    rows = [
+        # u1: view -> click -> purchase (last event: no successor)
+        (1, 1, T0, "view"),
+        (2, 1, T0 + timedelta(minutes=1), "click"),
+        (3, 1, T0 + timedelta(minutes=2), "purchase"),
+        # u2: simultaneous pair ordered by event_id: view(10) -> click(11)
+        (11, 2, T0, "click"),
+        (10, 2, T0, "view"),
+        # u3: single event contributes nothing
+        (20, 3, T0, "error"),
+        # u4: view -> view (self transition counts)
+        (30, 4, T0, "view"),
+        (31, 4, T0 + timedelta(minutes=5), "view"),
+    ]
+    df = spark.createDataFrame(rows, EV_ID_SCHEMA)
+    got = {(r["event_type"], r["next_type"]): r["n_transitions"]
+           for r in event_transitions(df).collect()}
+    assert got == {
+        ("view", "click"): 2,
+        ("click", "purchase"): 1,
+        ("view", "view"): 1,
+    }
+    # terminal mass is recoverable: rows - sum(outgoing) = one terminal
+    # event per user
+    assert len(rows) - sum(got.values()) == 4
+
+
+def test_event_transitions_partitioning_independence(spark):
+    from servico_ocr_spark.operators import event_transitions
+
+    rows = [
+        (i, i % 5, T0 + timedelta(minutes=(i * 7) % 13),
+         ("view", "click", "purchase", "error")[(i * 3) % 4])
+        for i in range(80)
+    ]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, EV_ID_SCHEMA).repartition(parts)
+        got = sorted(
+            (r["event_type"], r["next_type"], r["n_transitions"])
+            for r in event_transitions(df).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base

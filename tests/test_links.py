@@ -448,3 +448,136 @@ def test_hits_partitioning_independence(spark):
             base = got
         else:
             assert got == base
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(edges, iterations):
+    """Plain-python synchronous LPA twin: min-label tie-break, direction
+    collapsed, self-loops dropped."""
+    from collections import Counter, defaultdict
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbr = defaultdict(set)
+    for u, v in und:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    labels = {n: n for n in nbr}
+    for _ in range(iterations):
+        new = {}
+        for n, ns in nbr.items():
+            c = Counter(labels[m] for m in ns)
+            mx = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == mx)
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from servico_ocr_spark.operators import label_propagation
+
+    # two triangles + a bridge, with duplicate/reversed/self-loop noise
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+             ("a3", "b1"), ("a2", "a1"), ("a1", "a1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 4):
+        want = _lpa_reference(edges, iters)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, iterations=iters).collect()}
+        assert got == want, iters
+
+
+def test_label_propagation_two_cliques_two_communities(spark):
+    from servico_ocr_spark.operators import label_propagation
+
+    cl1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    cl2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = cl1 + cl2 + [("a3", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iterations=4).collect()}
+    assert got == _lpa_reference(edges, 4)
+    # the bridge does not merge the cliques: exactly two communities,
+    # each labeled by its own min member
+    assert all(got[f"a{i}"] == "a0" for i in range(4))
+    assert all(got[f"b{i}"] == "b0" for i in range(4))
+
+
+def test_label_propagation_partitioning_independence(spark):
+    from servico_ocr_spark.operators import label_propagation
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)
+             if i != (i * 7 + 3) % 23]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(parts)
+        got = sorted(
+            (r["node"], r["label"])
+            for r in label_propagation(df, iterations=3).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+# ---------------------------------------------------------------------------
+# co-citation pairs
+# ---------------------------------------------------------------------------
+
+
+def test_cocitation_known_values_and_cap(spark):
+    from servico_ocr_spark.operators import cocitation_pairs
+
+    edges = [("p", "t1"), ("p", "t2"), ("p", "hub"),
+             ("q", "t1"), ("q", "t2"), ("q", "t3"), ("q", "hub"),
+             ("r", "t3"), ("r", "hub"),
+             ("s", "hub")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["a"], r["b"]): (r["n_common"], r["deg_a"], r["deg_b"],
+                              r["jaccard_x1000"])
+           for r in cocitation_pairs(df, max_in_degree=3).collect()}
+    # hub (in-degree 4 > cap 3) is dropped BEFORE pairing: s vanishes
+    # entirely, and degrees count only the capped edge set
+    assert out == {
+        ("p", "q"): (2, 2, 3, 2000 // 3),   # J = 2/(2+3-2)
+        ("q", "r"): (1, 3, 1, 1000 // 3),   # J = 1/(3+1-1)
+    }
+    out2 = {(r["a"], r["b"])
+            for r in cocitation_pairs(df, max_in_degree=3,
+                                      min_common=2).collect()}
+    assert out2 == {("p", "q")}
+
+
+def test_cocitation_matches_python_reference(spark):
+    from itertools import combinations
+
+    from servico_ocr_spark.operators import cocitation_pairs
+
+    edges = sorted({(f"s{i % 7}", f"t{(i * 5 + 2) % 11}")
+                    for i in range(60)})
+    cap = 4
+    ind = {}
+    for _, d in edges:
+        ind[d] = ind.get(d, 0) + 1
+    kept = [(s, d) for s, d in edges if ind[d] <= cap]
+    outs = {}
+    for s, d in kept:
+        outs.setdefault(s, set()).add(d)
+    want = {}
+    for a, b in combinations(sorted(outs), 2):
+        n = len(outs[a] & outs[b])
+        if n >= 1:
+            da, db = len(outs[a]), len(outs[b])
+            want[(a, b)] = (n, da, db, n * 1000 // (da + db - n))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): (r["n_common"], r["deg_a"], r["deg_b"],
+                              r["jaccard_x1000"])
+           for r in cocitation_pairs(df, max_in_degree=cap).collect()}
+    assert got == want
