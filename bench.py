@@ -172,6 +172,12 @@ BENCH_FAMILIES = {
         # fixed-point integer HITS hubs/authorities (per half round:
         # one equi-join + one combinable sum + a 1-row broadcast max)
         "hits",
+        # synchronous min-tie-break label propagation (per round: one
+        # node-keyed join + count + window-max + min-agg, lazy ckpt)
+        "communities",
+        # in-degree-capped co-citation pairs + integer milli-Jaccard
+        # (the cap kills the C(d,2) hub blowup before the pair join)
+        "related_pages",
     ],
     "ann": [
         "ann_brute_topk",
@@ -203,6 +209,9 @@ BENCH_FAMILIES = {
         # day-grain cohort retention (one collect_set shuffle bounded
         # by calendar span, one combinable agg — no join, no distinct)
         "cohort_retention",
+        # per-user Markov transition counts (ONE user-keyed window
+        # shuffle, output bounded by |types|^2)
+        "event_transitions",
         # backward as-of join (union-and-window: one shuffle, no join
         # operator; oracle is DuckDB's native ASOF JOIN)
         "asof_attribution",
