@@ -1955,6 +1955,111 @@ JOIN dfreq d2 ON d2.word = p.w2
 """
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model with integer conditional
+    probabilities (operators/lm.bigram_lm): one doc-keyed window builds
+    the bigram stream, ONE combinable count by (w1, w2), context counts
+    re-aggregated from the bounded model table — never a second corpus
+    scan. p_x1e6 = c(w1,w2)·10^6 div c(w1·), the CCNet model half."""
+    from servico_ocr_spark.operators import bigram_lm
+
+    return bigram_lm(_read(spark, sf_dir, "documents"))
+
+
+def _o_bigram_lm(tbl: str = "documents") -> str:
+    return f"""
+WITH base AS ({_d_words_cte(tbl)}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
+    FROM base
+),
+bi AS (
+    SELECT doc_id, w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+c AS (
+    SELECT w1, w2, count(*)::BIGINT AS n_bigram
+    FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+ctx AS (SELECT w1, sum(n_bigram)::BIGINT AS n_ctx FROM c GROUP BY w1)
+SELECT c.w1, c.w2, c.n_bigram, ctx.n_ctx,
+       ((c.n_bigram * 1000000) // ctx.n_ctx)::BIGINT AS p_x1e6
+FROM c JOIN ctx USING (w1)
+"""
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/lm.lm_doc_scores +
+    lm_quality_buckets): every document scored by its mean bigram
+    probability under the corpus's own model, then bucketed head/
+    middle/tail by CORPUS-RELATIVE position — the percentile boundary
+    comes from a score-space-bounded histogram (≤ 10^6+1 rows at any
+    corpus size), never a global sort. Zero-bigram docs restored with
+    score 0 so the percentile sees every document."""
+    from servico_ocr_spark.operators import lm_doc_scores, lm_quality_buckets
+
+    return lm_quality_buckets(
+        lm_doc_scores(_read(spark, sf_dir, "documents"))
+    )
+
+
+def _o_lm_quality(tbl: str = "documents") -> str:
+    return f"""
+WITH base AS ({_d_words_cte(tbl)}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
+    FROM base
+),
+bi AS (
+    SELECT doc_id, w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+c AS (
+    SELECT w1, w2, count(*) AS n_bigram
+    FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+ctx AS (SELECT w1, sum(n_bigram) AS n_ctx FROM c GROUP BY w1),
+model AS (
+    SELECT c.w1, c.w2, (c.n_bigram * 1000000) // ctx.n_ctx AS p
+    FROM c JOIN ctx USING (w1)
+),
+occ AS (
+    SELECT doc_id, w1, w2, count(*) AS n_occ
+    FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+),
+sc0 AS (
+    SELECT doc_id, sum(n_occ) AS nb,
+           sum(n_occ * p) // sum(n_occ) AS s
+    FROM occ JOIN model USING (w1, w2) GROUP BY doc_id
+),
+sc AS (
+    SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+           coalesce(s, 0)::BIGINT AS lm_score_x1e6
+    FROM {tbl} d LEFT JOIN sc0 USING (doc_id)
+),
+hist AS (
+    SELECT lm_score_x1e6, count(*) AS cc FROM sc GROUP BY lm_score_x1e6
+),
+hb AS (
+    SELECT lm_score_x1e6,
+           coalesce(sum(cc) OVER (ORDER BY lm_score_x1e6 DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS gt,
+           sum(cc) OVER () AS n
+    FROM hist
+)
+SELECT sc.doc_id, sc.n_bigrams, sc.lm_score_x1e6,
+       CASE WHEN gt * 3 < n THEN 'head'
+            WHEN gt * 3 < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN hb USING (lm_score_x1e6)
+"""
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import inverted_index
 
@@ -4248,6 +4353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "word_pmi": _q_word_pmi,
+        "bigram_lm": _q_bigram_lm,
+        "lm_quality": _q_lm_quality,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
@@ -4337,6 +4444,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),
         "word_pmi": _O_WORD_PMI,
+        "bigram_lm": _o_bigram_lm(),
+        "lm_quality": _o_lm_quality(),
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),

@@ -134,6 +134,12 @@ BENCH_FAMILIES = {
         # full sequential BPE merge loop (3 steps, gaps-and-islands
         # greedy application, per-step localCheckpoint)
         "bpe_merges",
+        # corpus bigram LM: one window + one combinable count; context
+        # counts re-aggregated from the bounded model table
+        "bigram_lm",
+        # CCNet-style LM quality thirds: self-scored mean bigram
+        # probability + score-space-bounded histogram percentiles
+        "lm_quality",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -83,6 +83,11 @@ from .events import (  # noqa: F401
     event_transitions,
     funnel_counts,
 )
+from .lm import (  # noqa: F401
+    bigram_lm,
+    lm_doc_scores,
+    lm_quality_buckets,
+)
 from .stats import (  # noqa: F401
     distinct_count_telemetry,
     embedding_dim_stats,

@@ -324,3 +324,20 @@ def test_funnel_steps_checkpoints_bound_rescans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 0, final[:4000]
+
+
+def test_lm_quality_checkpoint_bounds_scoring_to_one_pass(spark):
+    """lm_quality_buckets references the scores frame twice (histogram
+    + join back) and lm_doc_scores references the bigram stream twice
+    (model + per-doc side); without the lazy localCheckpoints the
+    WHOLE scoring pipeline (window, model join, restore join) appeared
+    twice in the plan — measured 4 parquet scans / 20 joins before the
+    cut. With them the final plan reads only the checkpointed scores:
+    zero parquet scans, one broadcast join (docs -> bucketed histogram
+    row), one bounded-histogram window pair."""
+    df = entrymod.queries()["lm_quality"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0, final[:4000]
+    assert final.count("Join") <= 1, final[:4000]
