@@ -1847,7 +1847,12 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_bpe_merges() -> str:
+def _o_bpe_cte() -> str:
+    """Shared CTE chain for the BPE oracles: word table → char symbol
+    table → ``merges`` rounds of (pair count, top-1, greedy
+    gaps-and-islands application), ending at ``sym{_BPE_MERGES}`` — the
+    vocabulary's segmentation. ``_o_bpe_merges`` unions the per-step
+    top-1s; ``_o_bpe_encode`` aggregates the final symbol table."""
     cte = ["""
 wt AS (
     SELECT word, count(*)::BIGINT AS n FROM (
@@ -1902,12 +1907,37 @@ sym{i} AS (
            CASE WHEN m THEN s || nxt ELSE s END AS s
     FROM m{i} WHERE m OR NOT pm
 )""")
+    return "WITH " + "".join(cte)
+
+
+def _o_bpe_merges() -> str:
     selects = " UNION ALL ".join(
         f"SELECT {i}::BIGINT AS step, a AS left_sym, b AS right_sym, "
         f"weight FROM t{i}"
         for i in range(1, _BPE_MERGES + 1)
     )
-    return "WITH " + "".join(cte) + "\n" + selects
+    return _o_bpe_cte() + "\n" + selects
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/textstats.bpe_encode): the BPE
+    segmentation of every distinct corpus word after the same 3 learned
+    merges — the shared merge loop's final symbol table plus one
+    vocab-keyed aggregation. One row per distinct word; corpus size
+    enters only through the word-count agg."""
+    from servico_ocr_spark.operators import bpe_encode
+
+    return bpe_encode(
+        _read(spark, sf_dir, "documents"), merges=_BPE_MERGES
+    )
+
+
+def _o_bpe_encode() -> str:
+    return _o_bpe_cte() + f"""
+SELECT word, n, count(*)::BIGINT AS n_pieces,
+       string_agg(s, ' ' ORDER BY pos) AS encoded
+FROM sym{_BPE_MERGES} GROUP BY word, n
+"""
 
 
 def _q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4352,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "word_pmi": _q_word_pmi,
         "bigram_lm": _q_bigram_lm,
         "lm_quality": _q_lm_quality,
@@ -4443,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _o_bm25_search(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),
+        "bpe_encode": _o_bpe_encode(),
         "word_pmi": _O_WORD_PMI,
         "bigram_lm": _o_bigram_lm(),
         "lm_quality": _o_lm_quality(),

@@ -134,6 +134,9 @@ BENCH_FAMILIES = {
         # full sequential BPE merge loop (3 steps, gaps-and-islands
         # greedy application, per-step localCheckpoint)
         "bpe_merges",
+        # tokenizer application: the merge loop's final symbol table
+        # aggregated to per-distinct-word segmentations
+        "bpe_encode",
         # corpus bigram LM: one window + one combinable count; context
         # counts re-aggregated from the bounded model table
         "bigram_lm",

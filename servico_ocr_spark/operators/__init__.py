@@ -52,6 +52,7 @@ from .links import (  # noqa: F401
 from .clustering import semantic_dedup  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .textstats import (  # noqa: F401
+    bpe_encode,
     bpe_learn,
     bpe_merge_candidates,
     c4_page_clean,

@@ -664,6 +664,20 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
     ``merges`` is a small constant (plan depth grows linearly with it —
     localCheckpoint every few steps if ever pushed past ~10, the
     pagerank discipline)."""
+    steps, _ = _bpe_loop(df, text_col, merges)
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out
+
+
+def _bpe_loop(
+    df: DataFrame, text_col: str, merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE merge loop: returns (per-step merge-rule frames, the
+    final symbol table ``(word, n, pos, s)``). The final symbol table IS
+    the vocabulary's segmentation after ``merges`` merges — which is why
+    :func:`bpe_encode` costs the same loop plus one vocab-sized agg."""
     if merges < 1:
         raise ValueError("merges must be >= 1")
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -754,10 +768,42 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
                 F.col("s2").alias("s"),
             )
         )
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionByName(s_df)
-    return out
+    return steps, sym
+
+
+def bpe_encode(df: DataFrame, text_col: str = "text",
+               merges: int = 3) -> DataFrame:
+    """``(word, n, n_pieces, encoded)``: the BPE segmentation of every
+    DISTINCT corpus word after ``merges`` learned merges — ``encoded``
+    is the space-joined piece sequence, ``n`` the word's corpus
+    frequency. This is tokenizer *application*, the other half of
+    :func:`bpe_learn` (Sennrich et al. 2016): real tokenizers encode at
+    the vocabulary level and look words up per document, so the output
+    is one row per distinct word, not per occurrence — corpus size
+    enters only through the one word-count aggregation.
+
+    Shape: the shared merge loop's final symbol table (already one row
+    per (distinct word, position)) plus ONE vocab-keyed aggregation.
+    The piece order is restored by sorting the collected (pos, piece)
+    structs — an interpreted per-word ``transform`` over arrays bounded
+    by word LENGTH on a vocab-sized frame, nowhere near the corpus-hot
+    path the HOF rule is about."""
+    _, sym = _bpe_loop(df, text_col, merges)
+    return (
+        sym.groupBy("word", "n")
+        .agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+        .select("word", F.col("n").cast("long").alias("n"),
+                "n_pieces", "encoded")
+    )
 
 
 def word_adjacency_edges(

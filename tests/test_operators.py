@@ -1016,6 +1016,68 @@ def test_bpe_learn_distinct_pair_merge_applies_everywhere(spark):
     assert got == [(1, "x", "y", 6), (2, "xy", "xy", 3)]
 
 
+def _py_bpe(texts, merges):
+    """Reference BPE (Sennrich et al. 2016): frequency-weighted pair
+    counts over the distinct-word vocab, top pair by (weight desc, a
+    asc, b asc), greedy left-to-right non-overlapping application."""
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    segs = {w: list(w) for w in vocab}
+    rules = []
+    for _ in range(merges):
+        pc = Counter()
+        for w, n in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), wt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((a, b, wt))
+        for w in vocab:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return rules, {w: (vocab[w], segs[w]) for w in vocab}
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Segmentations after 3 merges equal the classic greedy BPE's,
+    including the a==b overlap word and a single-char word."""
+    from servico_ocr_spark.operators import bpe_encode
+
+    texts = ["aaaa aaaa ab", "banana bandana band", "a", "xyxy banana"]
+    docs = _docs(spark, list(enumerate(texts)))
+    got = {r["word"]: (r["n"], r["n_pieces"], r["encoded"])
+           for r in bpe_encode(docs, merges=3).collect()}
+    _, want = _py_bpe(texts, 3)
+    assert got == {w: (n, len(s), " ".join(s)) for w, (n, s) in want.items()}
+
+
+def test_bpe_encode_consistent_with_bpe_learn(spark):
+    """The rules bpe_learn emits are exactly the rules whose greedy
+    application yields bpe_encode's segmentation (same corpus, same
+    merges) — the two halves cannot diverge."""
+    from servico_ocr_spark.operators import bpe_encode, bpe_learn
+
+    texts = ["the cat sat on the mat", "that hat math", "aaaa xyxy"]
+    docs = _docs(spark, list(enumerate(texts)))
+    rules = [(r["left_sym"], r["right_sym"], r["weight"])
+             for r in bpe_learn(docs, merges=3).orderBy("step").collect()]
+    py_rules, py_segs = _py_bpe(texts, 3)
+    assert rules == py_rules
+    got = {r["word"]: r["encoded"]
+           for r in bpe_encode(docs, merges=3).collect()}
+    assert got == {w: " ".join(s) for w, (_, s) in py_segs.items()}
+
+
 def test_embedding_dim_stats_moments_and_ragged(spark):
     """Known-value moments, 0-based dims, ragged arrays showing as
     uneven n_vecs, and null embeddings contributing nothing."""
