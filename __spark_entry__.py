@@ -2090,6 +2090,89 @@ FROM sc JOIN hb USING (lm_score_x1e6)
 """
 
 
+#: LM-quality mixing recipe: CCNet keeps the model-typical end of the
+#: corpus — head oversampled 6:3:1 over middle:tail
+_QMIX_WEIGHTS = {"head": 6, "middle": 3, "tail": 1}
+
+
+def _q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query — CCNet's END USE of the LM buckets: the
+    head/middle/tail thirds become the strata of a token-budget mix
+    (head oversampled 6:3:1), i.e. 'train mostly on model-typical
+    text'. lm_quality_buckets ∘ token_budget_mix(stratum_col='bucket');
+    the budget is half the corpus token mass, derived in integer
+    arithmetic both engines reproduce (the documented eager-agg
+    precedent from token_budget_mix). All three bucket rates bind at
+    every sf (thirds by doc count ⇒ each stratum's token share is ~1/3,
+    above its 0.6/0.3/0.1 budget share except head's, which the
+    keep-everything cap handles if the corpus skews)."""
+    from servico_ocr_spark.operators import (
+        lm_doc_scores,
+        lm_quality_buckets,
+        token_budget_mix,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    total = (
+        docs.agg(
+            F.sum(F.size(words_array(F.col("text"))))
+            .cast("long").alias("t")
+        ).collect()[0]["t"]
+    )
+    staged = docs.select("doc_id", "text").join(
+        lm_quality_buckets(lm_doc_scores(docs)).select("doc_id", "bucket"),
+        "doc_id",
+    )
+    return token_budget_mix(
+        staged,
+        budget=int(total) // 2,
+        weights=_QMIX_WEIGHTS,
+        stratum_col="bucket",
+        salt="qmix",
+        rate_denom=_MIX_DENOM,
+    ).orderBy("doc_id")
+
+
+def _o_quality_mix() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    h = _d_h48("('qmix:' || doc_id::VARCHAR)")
+    D = _MIX_DENOM
+    w_total = sum(_QMIX_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_QMIX_WEIGHTS.items())
+    )
+    return f"""
+WITH lmq AS (
+    SELECT doc_id, bucket FROM ({_o_lm_quality()})
+),
+t AS (
+    SELECT d.doc_id, q.bucket AS stratum,
+           len({words})::BIGINT AS n_tokens,
+           {h} AS h,
+           (CASE q.bucket {w_case} ELSE 0 END)::BIGINT AS w
+    FROM documents d JOIN lmq q USING (doc_id)
+),
+b AS (SELECT (sum(n_tokens)::BIGINT // 2) AS budget FROM t),
+s AS (
+    SELECT stratum, sum(n_tokens)::BIGINT AS ts, min(w) AS w2
+    FROM t GROUP BY stratum
+),
+r AS (
+    SELECT stratum,
+           (CASE WHEN ts = 0 THEN {D}
+                 ELSE least({D},
+                            ((SELECT budget FROM b) * w2 * {D})
+                                // ({w_total} * ts))
+            END)::BIGINT AS rate_pp
+    FROM s
+)
+SELECT t.doc_id, t.stratum, t.n_tokens, r.rate_pp
+FROM t JOIN r USING (stratum)
+WHERE t.h * {D} < r.rate_pp * 281474976710656
+ORDER BY t.doc_id
+"""
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import inverted_index
 
@@ -4386,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_pmi": _q_word_pmi,
         "bigram_lm": _q_bigram_lm,
         "lm_quality": _q_lm_quality,
+        "quality_mix": _q_quality_mix,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
@@ -4478,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "word_pmi": _O_WORD_PMI,
         "bigram_lm": _o_bigram_lm(),
         "lm_quality": _o_lm_quality(),
+        "quality_mix": _o_quality_mix(),
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),

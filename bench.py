@@ -143,6 +143,9 @@ BENCH_FAMILIES = {
         # CCNet-style LM quality thirds: self-scored mean bigram
         # probability + score-space-bounded histogram percentiles
         "lm_quality",
+        # the buckets' end use: LM-stratified token-budget mix,
+        # head oversampled 6:3:1 (composition with token_budget_mix)
+        "quality_mix",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
