@@ -2585,6 +2585,38 @@ GROUP BY 1, 2
 """
 
 
+def _q_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (operators/events.activity_gapfill): one row
+    per user per day between the user's first and last event, gap days
+    zero-filled — the timeseries resample primitive. Raw events
+    collapse map-side in one (user, day) count; the calendar expansion
+    runs on the per-user span relation (explode(sequence(d0, d1))), so
+    state is bounded by users × calendar span, not event count."""
+    from servico_ocr_spark.operators import activity_gapfill
+
+    return activity_gapfill(_read(spark, sf_dir, "events"))
+
+
+_O_ACTIVITY_GAPFILL = """
+WITH daily AS (
+    SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id, ts::DATE
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1
+    FROM daily GROUP BY user_id
+),
+cal AS (
+    SELECT user_id,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM span
+)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition counts over the events table
     (operators/events.event_transitions): consecutive event-type pairs
@@ -3575,6 +3607,40 @@ ORDER BY a.doc_id
 """
 
 
+_STRAT_K = 16
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source eval sample
+    (operators/packing.stratified_sample): exactly min(k, |stratum|)
+    docs per source, ordered by the portable 48-bit hash (id
+    tie-break), rank included so nested smaller samples are prefixes.
+    Per-stratum top-k runs under WindowGroupLimit (per-partition k-heap
+    before the exchange)."""
+    from servico_ocr_spark.operators import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), k=_STRAT_K
+    )
+
+
+def _o_stratified_sample() -> str:
+    h = _d_h48("('strat:' || doc_id::VARCHAR)")
+    return f"""
+WITH t AS (
+    SELECT source::VARCHAR AS stratum, doc_id, {h} AS h
+    FROM documents
+),
+r AS (
+    SELECT stratum, doc_id,
+           row_number() OVER (PARTITION BY stratum
+                              ORDER BY h, doc_id)::BIGINT AS rk
+    FROM t
+)
+SELECT stratum, doc_id, rk FROM r WHERE rk <= {_STRAT_K}
+"""
+
+
 def _o_url_canon_cte() -> str:
     """Shared CTE chain: fixture urls -> canonical parts (independent SQL
     re-implementation of operators/urls' documented canonical form)."""
@@ -4503,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking_pipeline": _q_chunking_pipeline,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
+        "stratified_sample": _q_stratified_sample,
         "dup_span_removal": _q_dup_span_removal,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -4510,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
+        "activity_gapfill": _q_activity_gapfill,
         "event_transitions": _q_event_transitions,
         "asof_attribution": _q_asof_attribution,
         "attribution_window": _q_attribution_window,
@@ -4596,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "chunking_pipeline": _o_chunking_pipeline(),
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
+        "stratified_sample": _o_stratified_sample(),
         "dup_span_removal": _o_dup_span_removal(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
@@ -4603,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _O_SESSIONIZE,
         "funnel_steps": _o_funnel_steps(),
         "cohort_retention": _O_COHORT_RETENTION,
+        "activity_gapfill": _O_ACTIVITY_GAPFILL,
         "event_transitions": _O_EVENT_TRANSITIONS,
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "attribution_window": _O_ATTRIBUTION_WINDOW,

@@ -224,6 +224,9 @@ BENCH_FAMILIES = {
         # per-user Markov transition counts (ONE user-keyed window
         # shuffle, output bounded by |types|^2)
         "event_transitions",
+        # calendar gap-fill: one (user, day) combinable count +
+        # per-user span explode (state = users x calendar span)
+        "activity_gapfill",
         # backward as-of join (union-and-window: one shuffle, no join
         # operator; oracle is DuckDB's native ASOF JOIN)
         "asof_attribution",
@@ -238,6 +241,9 @@ BENCH_FAMILIES = {
         "chunk_documents",
         "pack_sequences",
         "token_budget_mix",
+        # deterministic per-stratum eval sample: hash-ordered top-k
+        # per source under WindowGroupLimit (nested samples free)
+        "stratified_sample",
         # four faces chained: url collapse -> C4 clean -> token counts
         # -> split (one agg + one semi join + projections)
         "curation_pipeline",

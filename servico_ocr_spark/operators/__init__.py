@@ -71,6 +71,7 @@ from .packing import (  # noqa: F401
     assign_split,
     chunk_documents,
     pack_sequences,
+    stratified_sample,
     token_budget_mix,
 )
 from .clustering import kmeans_lite  # noqa: F401
@@ -80,6 +81,7 @@ from .temporal import (  # noqa: F401
     asof_join_broadcast,
 )
 from .events import (  # noqa: F401
+    activity_gapfill,
     cohort_retention,
     event_transitions,
     funnel_counts,

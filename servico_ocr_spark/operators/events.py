@@ -186,3 +186,50 @@ def event_transitions(
         .groupBy("event_type", "next_type")
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+def activity_gapfill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(user_id, day, n_events)``: one row per user per CALENDAR DAY
+    between the user's first and last event, with that day's event
+    count — gap days zero-filled. The timeseries resample/gap-fill
+    primitive behind retention curves and activity heatmaps (dashboards
+    need the zeros; SQL engines grow a calendar dimension for this).
+    ``day`` is a yyyy-MM-dd string (the cohort_retention convention).
+
+    Scale shape: raw events collapse map-side in ONE (user, day) count
+    aggregation; the calendar expansion works on the per-user span
+    relation (one row per user) via ``explode(sequence(d0, d1))`` —
+    output state is bounded by users × corpus calendar span,
+    independent of event count. The zero-fill is a left join keyed on
+    (user, day) between two already-aggregated frames; a 10^9-event
+    bot user costs one combiner-heavy aggregation, never a window
+    buffer. A user active on one day yields exactly that one row
+    (sequence(d, d) = [d])."""
+    daily = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(ts_col).alias("_day"),
+        )
+        .groupBy("user_id", "_day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("_day").alias("_d0"), F.max("_day").alias("_d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("_d0", "_d1")).alias("_day"),
+        )
+    )
+    return (
+        cal.join(daily, ["user_id", "_day"], "left")
+        .select(
+            "user_id",
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -292,3 +292,43 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         h48(F.array_join(piece, " ")).alias("chunk_h48"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """``(stratum, doc_id, rk)``: exactly ``min(k, |stratum|)`` rows per
+    stratum, chosen uniformly and DETERMINISTICALLY — the eval/held-out
+    sampling step (a fixed-size per-source sample that replays
+    identically on any engine and any partitioning, unlike
+    ``df.sample``'s seed-and-partition-dependent Bernoulli).
+
+    The order key is the portable 48-bit hash ``h48(salt:id)`` (the
+    split-assignment hash), tie-broken by id so a hash collision cannot
+    make the sample ambiguous; ``rk`` is the in-sample rank (1-based),
+    so nested smaller samples are free (``rk <= j`` for any j ≤ k).
+
+    Scale shape: one shuffle on the stratum; the per-stratum
+    ``row_number`` top-k runs under Spark 4's WindowGroupLimit — a
+    per-partition partial k-heap pass BEFORE the exchange, so a
+    10^12-row stratum ships ~k rows per input partition, not the
+    stratum (the inverted_index precedent; the salted two-stage exact
+    bound documented there applies if k itself is huge)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("stratum").orderBy("_h", "doc_id")
+    return (
+        df.select(
+            F.col(stratum_col).cast("string").alias("stratum"),
+            F.col(id_col).alias("doc_id"),
+            h.alias("_h"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= int(k))
+        .select("stratum", "doc_id", "rk")
+    )

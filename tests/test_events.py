@@ -197,3 +197,62 @@ def test_event_transitions_partitioning_independence(spark):
             base = got
         else:
             assert got == base
+
+
+def test_activity_gapfill_known_values(spark):
+    from servico_ocr_spark.operators import activity_gapfill
+
+    rows = [
+        # u1: Jan 1 (x2), Jan 4 -> gap days Jan 2, Jan 3 zero-filled
+        (1, datetime(2024, 1, 1, 8), "a"),
+        (1, datetime(2024, 1, 1, 9), "b"),
+        (1, datetime(2024, 1, 4, 10), "a"),
+        # u2: a single event -> exactly one row, no expansion
+        (2, datetime(2024, 2, 10, 23, 59), "a"),
+        # u3: two adjacent days -> no gap rows
+        (3, datetime(2024, 3, 1, 0), "a"),
+        (3, datetime(2024, 3, 2, 0), "a"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = sorted(
+        (r["user_id"], r["day"], r["n_events"])
+        for r in activity_gapfill(df).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", 2), (1, "2024-01-02", 0),
+        (1, "2024-01-03", 0), (1, "2024-01-04", 1),
+        (2, "2024-02-10", 1),
+        (3, "2024-03-01", 1), (3, "2024-03-02", 1),
+    ]
+
+
+def test_activity_gapfill_partitioning_independence(spark):
+    from servico_ocr_spark.operators import activity_gapfill
+
+    rows = [
+        (u, T0 + timedelta(hours=(u * 37 + j * 13) % 2000), "a")
+        for u in range(8)
+        for j in range((u % 5) + 1)
+    ]
+    base = None
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, EV_SCHEMA).repartition(parts)
+        got = sorted(
+            (r["user_id"], r["day"], r["n_events"])
+            for r in activity_gapfill(df).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    # span tiling: per user, rows cover first..last day contiguously
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for u, d, n in base:
+        per_user[u].append((d, n))
+    from datetime import date
+    for u, pairs in per_user.items():
+        days = [date.fromisoformat(d) for d, _ in pairs]
+        assert days == sorted(days)
+        assert (days[-1] - days[0]).days + 1 == len(days)
+        assert pairs[0][1] > 0 and pairs[-1][1] > 0  # endpoints active

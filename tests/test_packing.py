@@ -266,3 +266,56 @@ def test_chunk_documents_zero_shuffle_and_validation(spark):
     assert "Exchange" not in plan and "Window" not in plan
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_stratified_sample_exact_k_and_determinism(spark):
+    from servico_ocr_spark.operators import stratified_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(200)] + [(900, "tiny")]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(
+            parts
+        )
+        got = sorted(
+            (r["stratum"], r["doc_id"], r["rk"])
+            for r in stratified_sample(df, k=10).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    from collections import Counter
+    per = Counter(s for s, _, _ in base)
+    # full strata give exactly k; the 1-row stratum gives all of it
+    assert per == {"src0": 10, "src1": 10, "src2": 10, "tiny": 1}
+    # ranks are 1..k within each stratum
+    ranks = {}
+    for s, _, rk in base:
+        ranks.setdefault(s, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
+
+
+def test_stratified_sample_nesting(spark):
+    """rk <= j of the k-sample IS the j-sample: shrinking the sample
+    size never reshuffles who is in it (eval sets stay stable)."""
+    from servico_ocr_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(100)], ["doc_id", "source"]
+    )
+    big = stratified_sample(df, k=20).collect()
+    small = stratified_sample(df, k=5).collect()
+    big_set = {(r["stratum"], r["doc_id"], r["rk"]) for r in big
+               if r["rk"] <= 5}
+    small_set = {(r["stratum"], r["doc_id"], r["rk"]) for r in small}
+    assert big_set == small_set
+
+
+def test_stratified_sample_validates_k(spark):
+    from servico_ocr_spark.operators import stratified_sample
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, k=0)
