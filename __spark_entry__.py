@@ -3761,6 +3761,43 @@ QUALIFY row_number() OVER (PARTITION BY registered_domain
 """
 
 
+_SCHED_RATE = 4
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling (operators/urls.crawl_schedule):
+    each host's frontier enumerated in portable-hash order, wave = slot
+    div rate. The Spark side runs the two-stage bucket-offset
+    enumeration (no whole-host single-task sort — straggler bound
+    ~host/16); the oracle is the naive single per-host window — two
+    genuinely different plans, same assignment (equality also
+    unit-tested Spark-vs-Spark)."""
+    from servico_ocr_spark.operators import crawl_schedule
+
+    return crawl_schedule(
+        _url_corpus(spark, sf_dir), rate_per_wave=_SCHED_RATE
+    )
+
+
+def _o_crawl_schedule() -> str:
+    h = _d_h48("('sched:' || doc_id::VARCHAR)")
+    return f"""
+WITH {_o_url_canon_cte()},
+t AS (
+    SELECT host, doc_id, {h} AS h
+    FROM canon WHERE host <> ''
+),
+r AS (
+    SELECT host, doc_id,
+           (row_number() OVER (PARTITION BY host ORDER BY h, doc_id)
+                - 1)::BIGINT AS slot
+    FROM t
+)
+SELECT host, doc_id, slot, (slot // {_SCHED_RATE})::BIGINT AS wave
+FROM r
+"""
+
+
 def _o_latest_crawl() -> str:
     # warc_ts is a pure function of doc_id (same arithmetic as the Spark
     # fixture), so the oracle re-derives it instead of threading it
@@ -4559,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank_keywords,
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
+        "crawl_schedule": _q_crawl_schedule,
         "latest_crawl": _q_latest_crawl,
         "crawl_delta": _q_crawl_delta,
         "url_dictionary": _q_url_dictionary,
@@ -4654,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _o_textrank_keywords(),
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
+        "crawl_schedule": _o_crawl_schedule(),
         "latest_crawl": _o_latest_crawl(),
         "crawl_delta": _o_crawl_delta(),
         "url_dictionary": _o_url_dictionary(),

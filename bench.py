@@ -154,6 +154,9 @@ BENCH_FAMILIES = {
         "url_dedup",
         "domain_stats",
         "domain_cap",
+        # per-host politeness schedule: two-stage bucket-offset
+        # enumeration (no whole-host single-task sort)
+        "crawl_schedule",
         # recrawl collapse: freshest warc_ts wins (one max_by agg)
         "latest_crawl",
         # incremental-ingest snapshot diff: one agg per side + one

@@ -101,6 +101,7 @@ from .urls import (  # noqa: F401
     canonical_url,
     canonicalize_urls,
     crawl_delta,
+    crawl_schedule,
     domain_cap,
     domain_stats,
     latest_crawl,

@@ -294,3 +294,88 @@ def domain_stats(
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    rate_per_wave: int = 4,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    salt: str = "sched",
+    two_stage: bool = True,
+) -> DataFrame:
+    """``(host, doc_id, slot, wave)``: per-host politeness scheduling
+    for a crawl frontier — ``slot`` enumerates each host's urls 0..n-1,
+    ``wave = slot div rate_per_wave``; a crawler honoring
+    ``rate_per_wave`` requests per host per pass fetches wave w's rows
+    in pass w. Scheme-less rows (no host) are not schedulable and are
+    dropped.
+
+    The enumeration order is the portable 48-bit hash ``h48(salt:id)``
+    (id tie-break) — the frontier randomization crawlers want anyway
+    (id order would walk one site section at a time), and the property
+    that makes DISTRIBUTED enumeration exact: with ``bucket`` = the
+    hash's value range split into ``buckets`` equal slices, (bucket,
+    hash) order IS hash order, so a local row_number per (host, bucket)
+    plus per-host cumulative bucket offsets reproduces the global
+    per-host rank without ever sorting a whole mega-host in one task —
+    the straggler bound drops to ~host/buckets (the domain_cap salting
+    economics, but EXACT for full enumeration, not just top-k; the
+    offsets relation is hosts × buckets rows, broadcast back). Both
+    window/groupBy key on (host, bucket), so AQE collapses the scan to
+    one exchange. ``two_stage=False`` keeps the naive single per-host
+    window (same output, unit-tested equal) for small frontiers."""
+    from pyspark.sql import Window
+
+    from .common import h48
+
+    if rate_per_wave < 1:
+        raise ValueError("rate_per_wave must be >= 1")
+    if buckets < 1 or (1 << 48) % buckets:
+        raise ValueError("buckets must be a power of two")
+    t = (
+        canonicalize_urls(df, url_col)
+        .where(F.col("host") != "")
+        .select(
+            "host",
+            F.col(id_col).alias("doc_id"),
+            h48(
+                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+    )
+    if two_stage:
+        width = (1 << 48) // buckets
+        t = t.withColumn("_b", F.expr(f"_h div {width}L"))
+        w_local = Window.partitionBy("host", "_b").orderBy("_h", "doc_id")
+        sizes = t.groupBy("host", "_b").agg(F.count("*").alias("_c"))
+        w_off = (
+            Window.partitionBy("host")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = sizes.select(
+            "host",
+            "_b",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+        slot = (
+            F.col("_off") + F.row_number().over(w_local) - 1
+        ).cast("long")
+        out = t.join(F.broadcast(offs), ["host", "_b"]).select(
+            "host", "doc_id", slot.alias("slot")
+        )
+    else:
+        w = Window.partitionBy("host").orderBy("_h", "doc_id")
+        out = t.select(
+            "host",
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        )
+    return out.select(
+        "host",
+        "doc_id",
+        "slot",
+        F.expr(f"slot div {int(rate_per_wave)}L").cast("long").alias("wave"),
+    )

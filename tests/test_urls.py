@@ -287,3 +287,66 @@ def test_crawl_delta_plan_no_window_aggs_before_join(spark):
     assert "Window" not in plan
     assert plan.count("FullOuter") == 1 or "full_outer" in plan.lower()
     assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_crawl_schedule_contract_and_two_stage_equality(spark):
+    from servico_ocr_spark.operators import crawl_schedule
+
+    rows = (
+        [(i, f"http://big.com/p{i}") for i in range(40)]
+        + [(100 + i, f"http://small.org/{i}") for i in range(3)]
+        + [(900, "urn:doc:900")]  # no host: not schedulable
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    a = sorted(
+        (r["host"], r["doc_id"], r["slot"], r["wave"])
+        for r in crawl_schedule(df, rate_per_wave=4).collect()
+    )
+    b = sorted(
+        (r["host"], r["doc_id"], r["slot"], r["wave"])
+        for r in crawl_schedule(df, rate_per_wave=4, two_stage=False)
+        .collect()
+    )
+    assert a == b  # bucket-offset enumeration is EXACT
+    assert len(a) == 43  # urn row dropped
+    per_host = {}
+    for h, _, slot, wave in a:
+        per_host.setdefault(h, []).append((slot, wave))
+    # slots tile 0..n-1 per host; wave = slot div rate
+    for h, sw in per_host.items():
+        slots = sorted(s for s, _ in sw)
+        assert slots == list(range(len(sw)))
+        assert all(w == s // 4 for s, w in sw)
+    assert len(per_host["big.com"]) == 40
+    assert len(per_host["small.org"]) == 3
+
+
+def test_crawl_schedule_deterministic_across_partitionings(spark):
+    from servico_ocr_spark.operators import crawl_schedule
+
+    rows = [(i, f"http://h{i % 5}.net/x{i}") for i in range(60)]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["doc_id", "url"]).repartition(
+            parts
+        )
+        got = sorted(
+            (r["host"], r["doc_id"], r["slot"], r["wave"])
+            for r in crawl_schedule(df, rate_per_wave=2).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_crawl_schedule_validates_params(spark):
+    import pytest
+
+    from servico_ocr_spark.operators import crawl_schedule
+
+    df = spark.createDataFrame([(1, "http://a.com/")], ["doc_id", "url"])
+    with pytest.raises(ValueError):
+        crawl_schedule(df, rate_per_wave=0)
+    with pytest.raises(ValueError):
+        crawl_schedule(df, buckets=3)
