@@ -668,6 +668,69 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 _NGRAM_MAX_DF = 5
 
 
+def _title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, title)`` fixture with KNOWN distance-1 structure (the
+    decontaminate inject-a-known-sentence lesson — the natural corpus's
+    titles differ by whole words, never one character): every group of
+    7 consecutive ids shares a stem 'crawl report nr G', and doc_id % 3
+    injects a one-char substitution ('repart') and insertion
+    ('reports'); neighboring group numbers differing in one digit add
+    cross-group dist-1 pairs. Pure ASCII, so Spark's codepoint
+    levenshtein and DuckDB's byte levenshtein agree exactly (the
+    linkage module's dialect rule)."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('crawl ', CASE cast(doc_id % 3 as int) WHEN 1 THEN "
+            "'repart' WHEN 2 THEN 'reports' ELSE 'report' END, ' nr ', "
+            "cast(doc_id div 7 as string))"
+        ).alias("title"),
+    )
+
+
+def _q_title_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style distance-1 record linkage
+    (operators/linkage.edit1_linkage): ONE equi-join on deletion-
+    neighborhood keys enumerates candidates (per-key fan-out bounded by
+    near-duplicate family size, never corpus size — the scalable
+    alternative to blocked all-pairs, whose blocks track corpus size on
+    this vocabulary), exact levenshtein verifies. Identical titles
+    collapse to counts before key generation."""
+    from servico_ocr_spark.operators import edit1_linkage
+
+    return edit1_linkage(_title_corpus(spark, sf_dir))
+
+
+_O_TITLE_LINKAGE = """
+WITH t AS (
+    SELECT doc_id,
+           'crawl ' || (CASE doc_id % 3 WHEN 1 THEN 'repart'
+                        WHEN 2 THEN 'reports' ELSE 'report' END)
+           || ' nr ' || (doc_id // 7)::VARCHAR AS title
+    FROM documents
+),
+c AS (SELECT title, count(*)::BIGINT AS n FROM t GROUP BY title),
+k AS (
+    SELECT title AS s, title AS key FROM c
+    UNION ALL
+    SELECT title AS s,
+           substr(title, 1, CAST(i AS INT))
+               || substr(title, CAST(i + 2 AS INT)) AS key
+    FROM (SELECT title, unnest(range(len(title))) AS i FROM c) z
+),
+p AS (
+    SELECT DISTINCT a.s AS s_a, b.s AS s_b
+    FROM k a JOIN k b ON a.key = b.key AND a.s < b.s
+),
+v AS (SELECT s_a, s_b FROM p WHERE levenshtein(s_a, s_b) <= 1)
+SELECT v.s_a, v.s_b, ca.n AS n_a, cb.n AS n_b,
+       levenshtein(v.s_a, v.s_b)::BIGINT AS dist
+FROM v
+JOIN c ca ON ca.title = v.s_a
+JOIN c cb ON cb.title = v.s_b
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), n=3, threshold_pct=20,
@@ -4550,6 +4613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "title_linkage": _q_title_linkage,
         "chain_components": _q_chain_components,
         "neardup_keep_best": _q_neardup_keep_best,
         "hotshingle_neardups": _q_hotshingle_neardups,
@@ -4646,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
+        "title_linkage": _O_TITLE_LINKAGE,
         "chain_components": _o_chain_components(),
         "neardup_keep_best": _o_neardup_keep_best(),
         "hotshingle_neardups": _o_hotshingle_neardups(),

@@ -154,6 +154,9 @@ BENCH_FAMILIES = {
         "url_dedup",
         "domain_stats",
         "domain_cap",
+        # SymSpell distance-1 linkage: deletion-key equi-join candidates
+        # + exact levenshtein verify (fan-out bounded by family size)
+        "title_linkage",
         # per-host politeness schedule: two-stage bucket-offset
         # enumeration (no whole-host single-task sort)
         "crawl_schedule",

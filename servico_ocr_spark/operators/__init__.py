@@ -86,6 +86,7 @@ from .events import (  # noqa: F401
     event_transitions,
     funnel_counts,
 )
+from .linkage import edit1_linkage  # noqa: F401
 from .lm import (  # noqa: F401
     bigram_lm,
     lm_doc_scores,
