@@ -77,10 +77,15 @@ def edit1_linkage(
     pathological hot families — e.g. 10^6 serial numbers differing in
     one position all share deletion keys); capped keys lose those
     candidates, a documented recall trade."""
+    # counts is referenced four times (variant build ×2 via the
+    # self-join, n_a, n_b) — without the lazy cut the input scan +
+    # aggregation ran twice in the executed plan (the hits/bfs
+    # double-reference lesson); with it, one scan
     counts = (
         df.select(F.col(str_col).alias("title"))
         .groupBy("title")
         .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     keys = _deletion_keys(counts.select("title"), "title")
     if max_key_df is not None:

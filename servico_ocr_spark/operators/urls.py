@@ -347,7 +347,14 @@ def crawl_schedule(
     )
     if two_stage:
         width = (1 << 48) // buckets
-        t = t.withColumn("_b", F.expr(f"_h div {width}L"))
+        # t feeds both the local window and the bucket-size aggregate;
+        # their exchanges carry different payloads (partial-agg rows vs
+        # raw), so ReuseExchange cannot collapse them — the lazy cut
+        # keeps the canonicalize projection + scan to ONE execution
+        # (measured 2 scans / 0 reuse without it)
+        t = t.withColumn(
+            "_b", F.expr(f"_h div {width}L")
+        ).localCheckpoint(eager=False)
         w_local = Window.partitionBy("host", "_b").orderBy("_h", "doc_id")
         sizes = t.groupBy("host", "_b").agg(F.count("*").alias("_c"))
         w_off = (

