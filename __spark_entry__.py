@@ -4356,6 +4356,88 @@ SELECT node, min(depth)::BIGINT AS depth FROM walk GROUP BY node
 _LPA_ITERS = 4
 
 
+_KCORE_K = 8
+_KCORE_ROUNDS = 12
+_KCORE_CLIQUE = 17
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organic link graph ∪ an injected 17-node clique over docs
+    0..16 (present at every sf). The organic graph's degrees sit at
+    5-11 for ~all nodes, so k=8 peeling cascades it to EMPTY in ≤ 9
+    rounds (measured at sf0.001 and sf0.1) — the clique (internal
+    degree 16) is the surviving core that makes the fixture
+    demonstrative (the decontaminate inject-to-bind lesson)."""
+    docs = _read(spark, sf_dir, "documents")
+    organic = link_edges(extract_links(_linked_pages(spark, sf_dir)))
+    small = docs.where(F.col("doc_id") < _KCORE_CLIQUE).select(
+        F.concat(
+            F.lit("https://graph.test/d/"), F.col("doc_id").cast("string")
+        ).alias("n"),
+        "doc_id",
+    )
+    clique = (
+        small.alias("a")
+        .join(small.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.n").alias("src"), F.col("b.n").alias("dst"))
+    )
+    return organic.unionByName(clique)
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling fixpoint (operators/links.kcore, k=8): per round
+    one combinable degree agg + two keep-joins, per-round lazy
+    localCheckpoint, the surviving-edge count is both the single action
+    and the convergence signal. Early exit ≡ running all rounds
+    (post-fixpoint rounds are no-ops), so the fixed-depth unrolled
+    oracle reproduces the data-dependent iteration exactly."""
+    from servico_ocr_spark.operators import kcore
+
+    return kcore(
+        _kcore_edges(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    )
+
+
+def _o_kcore() -> str:
+    # every e{i} is referenced three times by round i+1 (degree agg ×2
+    # endpoints + the keep join) and k{i} twice — MATERIALIZED, or
+    # DuckDB inline-re-expands the chain exponentially (the hits lesson)
+    cte = [f"""{_O_LINKS_CTE},
+cl AS (
+    SELECT 'https://graph.test/d/' || a.doc_id AS src,
+           'https://graph.test/d/' || b.doc_id AS dst
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < {_KCORE_CLIQUE} AND b.doc_id < {_KCORE_CLIQUE}
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM (SELECT src, dst FROM edges
+          UNION ALL SELECT src, dst FROM cl) z
+    WHERE src <> dst
+)"""]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = f"e{i - 1}"
+        cte.append(f""",
+k{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p}) x
+    GROUP BY node HAVING count(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {p} e
+    JOIN k{i} a ON e.u = a.node
+    JOIN k{i} b ON e.v = b.node
+)""")
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        "WITH " + "".join(cte) + f"""
+SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last}) x
+GROUP BY node
+"""
+    )
+
+
 def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities over the link graph
     (operators/links.label_propagation): direction collapsed, each node
@@ -4655,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": _q_communities,
         "related_pages": _q_related_pages,
         "triangles": _q_triangles,
+        "kcore": _q_kcore,
         "crawl_depths": _q_crawl_depths,
         "seeded_pagerank": _q_seeded_pagerank,
         "textrank_keywords": _q_textrank_keywords,
@@ -4752,6 +4835,7 @@ def oracle_sql() -> dict[str, str]:
         "communities": _o_communities(),
         "related_pages": _o_related_pages(),
         "triangles": _o_triangles(),
+        "kcore": _o_kcore(),
         "crawl_depths": _o_crawl_depths(),
         "seeded_pagerank": _o_seeded_pagerank(),
         "textrank_keywords": _o_textrank_keywords(),

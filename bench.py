@@ -181,6 +181,9 @@ BENCH_FAMILIES = {
         # degree-oriented triangle counting: wedge join bounded at
         # O(m^1.5) regardless of hub skew
         "triangles",
+        # k-core peeling fixpoint (per-round degree agg + keep joins,
+        # one action/round = edge count = convergence signal)
+        "kcore",
         # frontier-iterated BFS depths from the seed set (per-layer
         # distinct-before-shuffle + anti-join, early exit on empty)
         "crawl_depths",

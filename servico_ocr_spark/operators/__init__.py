@@ -42,6 +42,7 @@ from .links import (  # noqa: F401
     cocitation_pairs,
     extract_links,
     hits_scores,
+    kcore,
     label_propagation,
     link_degrees,
     link_edges,

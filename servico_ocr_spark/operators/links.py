@@ -702,3 +702,69 @@ def bfs_depths(
         dist = dist.unionAll(new)
         frontier = new
     return dist
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+    """``(node, deg)``: the k-core of the undirected simple graph —
+    the maximal subgraph where every node keeps degree ≥ k — with each
+    surviving node's CORE degree. The standard peeling fixpoint
+    (Matula & Beck 1983): repeatedly drop nodes of degree < k and the
+    edges touching them; spam/link-farm and community-density analysis
+    live on this (a k-core survives only through mutual support).
+
+    Round shape: one degree aggregation (map-side combinable) + two
+    semi-equi-joins of the edge table against the ≤-node-sized keep
+    set; the edge table is lazily localCheckpointed per round (it is
+    referenced by the next round's degree agg AND both keep joins —
+    the bpe_learn lineage discipline), and the ONE action per round is
+    the surviving-edge count, which doubles as the convergence signal:
+    peeling only removes, so an unchanged count IS the fixpoint (the
+    star-contraction one-action rule). Early exit leaves the result
+    identical to running all ``max_rounds`` (post-fixpoint rounds are
+    no-ops) — which is what lets a FIXED-depth unrolled SQL oracle
+    reproduce a data-dependent iteration count exactly.
+
+    At 10^12 edges: every join is key-partitioned (no broadcast of
+    anything O(nodes)); rounds are bounded by ``max_rounds``, and real
+    web graphs peel in O(10) rounds for small k because removals
+    cascade geometrically."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_d"))
+        )
+        keep = deg.where(F.col("_d") >= int(k)).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n2 = und.count()
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )

@@ -581,3 +581,59 @@ def test_cocitation_matches_python_reference(spark):
                               r["jaccard_x1000"])
            for r in cocitation_pairs(df, max_in_degree=cap).collect()}
     assert got == want
+
+
+def _py_kcore(edges, k):
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = Counter()
+        for u, v in und:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(u, v) for u, v in und if u in keep and v in keep}
+        if e2 == und:
+            break
+        und = e2
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Clique + pendant chain: the chain peels away over several
+    cascading rounds, the clique survives; duplicate/reversed/self
+    edges are collapsed first."""
+    from servico_ocr_spark.operators import kcore
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [("c0", "p0")] + [(f"p{i}", f"p{i+1}") for i in range(6)]
+    noise = [("c1", "c0"), ("c0", "c0"), ("c0", "c1")]  # dup/self/rev
+    edges = clique + chain + noise
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 4, 5):
+        got = {r["node"]: r["deg"] for r in kcore(df, k=k).collect()}
+        assert got == _py_kcore(edges, k), f"k={k}"
+    # k=4: exactly the clique, every node at degree 4
+    got4 = {r["node"]: r["deg"] for r in kcore(df, k=4).collect()}
+    assert got4 == {f"c{i}": 4 for i in range(5)}
+    # k=5: empty graph, empty result
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_early_exit_equals_full_rounds(spark):
+    """Post-fixpoint rounds are no-ops: max_rounds far beyond
+    convergence gives the identical result (the property that lets the
+    fixed-depth SQL oracle mirror a data-dependent iteration)."""
+    from servico_ocr_spark.operators import kcore
+
+    edges = [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]  # 6-cycle
+    edges += [("n0", "x"), ("x", "y")]  # pendant path: peels in 2 rounds
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted((r["node"], r["deg"]) for r in kcore(df, k=2, max_rounds=2).collect())
+    b = sorted((r["node"], r["deg"]) for r in kcore(df, k=2, max_rounds=30).collect())
+    assert a == b == [(f"n{i}", 2) for i in range(6)]
