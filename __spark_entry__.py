@@ -3670,6 +3670,60 @@ ORDER BY a.doc_id
 """
 
 
+_NEG_M = 3
+_NEG_BUCKETS = 256
+
+
+def _q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives
+    (operators/packing.negative_sampling ∘ encode.dictionary_encode —
+    the backlog's integer-encoding composition): ring-shift over the
+    dense rank space, offset in [1, n-1] so negative ≠ anchor by
+    construction; corpus count is a 1-row broadcast, rank→id resolution
+    one equi-join."""
+    from servico_ocr_spark.operators import negative_sampling
+
+    return negative_sampling(
+        _read(spark, sf_dir, "documents"), m=_NEG_M, buckets=_NEG_BUCKETS
+    )
+
+
+def _o_contrastive_negatives() -> str:
+    h = _d_h48("value")
+    hneg = _d_h48("('neg:' || j::VARCHAR || ':' || d.value)")
+    return f"""
+WITH vals AS (SELECT DISTINCT doc_id::VARCHAR AS value FROM documents),
+b AS (SELECT value, {h} % {_NEG_BUCKETS} AS _b FROM vals),
+r AS (
+    SELECT value, _b,
+           row_number() OVER (PARTITION BY _b ORDER BY value) AS rn
+    FROM b
+),
+c AS (SELECT _b, count(*) AS c FROM b GROUP BY _b),
+o AS (
+    SELECT _b,
+           coalesce(sum(c) OVER (ORDER BY _b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+    FROM c
+),
+d AS MATERIALIZED (
+    SELECT r.value, (o.off + r.rn - 1)::BIGINT AS rk
+    FROM r JOIN o USING (_b)
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM d),
+s AS (
+    SELECT d.value AS anchor, j::BIGINT AS j,
+           (d.rk + 1 + {hneg} % ((SELECT n FROM nn) - 1))
+               % (SELECT n FROM nn) AS nrk
+    FROM d CROSS JOIN (SELECT unnest(range(1, {_NEG_M} + 1)) AS j) z
+    WHERE (SELECT n FROM nn) > 1
+)
+SELECT s.anchor, s.j, d2.value AS negative
+FROM s JOIN d d2 ON d2.rk = s.nrk
+"""
+
+
 _STRAT_K = 16
 
 
@@ -4755,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "stratified_sample": _q_stratified_sample,
+        "contrastive_negatives": _q_contrastive_negatives,
         "dup_span_removal": _q_dup_span_removal,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -4853,6 +4908,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
         "stratified_sample": _o_stratified_sample(),
+        "contrastive_negatives": _o_contrastive_negatives(),
         "dup_span_removal": _o_dup_span_removal(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,

@@ -253,6 +253,9 @@ BENCH_FAMILIES = {
         # deterministic per-stratum eval sample: hash-ordered top-k
         # per source under WindowGroupLimit (nested samples free)
         "stratified_sample",
+        # contrastive negatives: ring-shift over the dictionary-encoded
+        # dense rank space (negative != anchor by construction)
+        "contrastive_negatives",
         # four faces chained: url collapse -> C4 clean -> token counts
         # -> split (one agg + one semi join + projections)
         "curation_pipeline",

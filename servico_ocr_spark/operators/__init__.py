@@ -71,6 +71,7 @@ from .textstats import (  # noqa: F401
 from .packing import (  # noqa: F401
     assign_split,
     chunk_documents,
+    negative_sampling,
     pack_sequences,
     stratified_sample,
     token_budget_mix,

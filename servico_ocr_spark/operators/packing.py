@@ -332,3 +332,80 @@ def stratified_sample(
         .where(F.col("rk") <= int(k))
         .select("stratum", "doc_id", "rk")
     )
+
+
+def negative_sampling(
+    df: DataFrame,
+    m: int = 2,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+    buckets: int = 256,
+) -> DataFrame:
+    """``(anchor, j, negative)``: ``m`` deterministic contrastive
+    negatives per distinct id — the training-pair generation step for
+    contrastive/embedding objectives, where every anchor needs
+    in-corpus negatives that (a) are never the anchor itself and (b)
+    replay identically on any engine/partitioning (a seeded
+    ``df.sample`` does neither).
+
+    Method: ring-shift over a DENSE rank space. Ids are dictionary-
+    encoded (``encode.dictionary_encode`` — the two-stage distributed
+    zipWithIndex, so arbitrary/sparse id domains work, not just 0..n-1),
+    then negative ``j`` of an anchor at rank ``r`` is the id at rank
+    ``(r + 1 + h48(salt:j:anchor) mod (n-1)) mod n`` — the offset lands
+    in [1, n-1], so ``negative ≠ anchor`` by construction, and marginal
+    selection is hash-uniform over the other n-1 ids (two j's may
+    collide on the same negative; draws are independent, not
+    without-replacement). With n = 1 there is no valid negative and the
+    output is empty.
+
+    Scale shape: the dict build's costs (one distinct agg + bounded
+    bucket windows); the corpus count is a 1-row broadcast (never a
+    driver collect); the rank→id resolution is ONE equi-join on the
+    dense rank. The dict is referenced twice (anchor side + negative
+    lookup) — lazily localCheckpointed."""
+    from .encode import dictionary_encode
+
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    d = dictionary_encode(
+        df.select(F.col(id_col).cast("string").alias("value")),
+        "value",
+        buckets=buckets,
+    ).localCheckpoint(eager=False)
+    n = d.select(F.count("*").cast("long").alias("_n"))
+    shifted = (
+        d.select(
+            F.col("value").alias("anchor"),
+            F.col("id").alias("_rk"),
+            F.explode(F.sequence(F.lit(1), F.lit(int(m)))).alias("j"),
+        )
+        .join(F.broadcast(n))
+        .where(F.col("_n") > 1)
+        .select(
+            "anchor",
+            F.col("j").cast("long").alias("j"),
+            (
+                (
+                    F.col("_rk")
+                    + 1
+                    + F.pmod(
+                        h48(
+                            F.concat(
+                                F.lit(salt + ":"),
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("anchor"),
+                            )
+                        ),
+                        F.col("_n") - 1,
+                    )
+                )
+                % F.col("_n")
+            ).alias("_nrk"),
+        )
+    )
+    return shifted.join(
+        d.select(F.col("id").alias("_nrk"), F.col("value").alias("negative")),
+        "_nrk",
+    ).select("anchor", "j", "negative")

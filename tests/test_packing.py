@@ -319,3 +319,40 @@ def test_stratified_sample_validates_k(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "source"])
     with pytest.raises(ValueError):
         stratified_sample(df, k=0)
+
+
+def test_negative_sampling_contract(spark):
+    from servico_ocr_spark.operators import negative_sampling
+
+    # sparse, unordered id domain: dense-rank encoding must handle it
+    ids = [7, 100, 3, 42, 999, 12, 55]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    base = None
+    for parts in (1, 5):
+        got = sorted(
+            (r["anchor"], r["j"], r["negative"])
+            for r in negative_sampling(
+                df.repartition(parts), m=3
+            ).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base  # partitioning-independent
+    # m rows per anchor, negative never the anchor, negatives in-corpus
+    assert len(base) == len(ids) * 3
+    dom = {str(i) for i in ids}
+    per = {}
+    for a, j, neg in base:
+        assert a in dom and neg in dom and neg != a
+        per.setdefault(a, set()).add(j)
+    assert all(js == {1, 2, 3} for js in per.values())
+
+
+def test_negative_sampling_single_row_and_validation(spark):
+    from servico_ocr_spark.operators import negative_sampling
+
+    one = spark.createDataFrame([(1,)], ["doc_id"])
+    assert negative_sampling(one, m=2).count() == 0  # no valid negative
+    with pytest.raises(ValueError):
+        negative_sampling(one, m=0)
