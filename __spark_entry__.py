@@ -1894,11 +1894,11 @@ LIMIT 20
 """
 
 
-_BPE_MERGES = 3
+_BPE_MERGES = 8
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full sequential BPE merge-learning loop (3 steps), each step
+    """The full sequential BPE merge-learning loop (8 steps), each step
     re-counting pairs AFTER the previous merge applied — the iterative
     twin of the single-pass bpe_pairs (operators/textstats.bpe_learn).
     The oracle is the same greedy gaps-and-islands relational algebra,
@@ -1933,17 +1933,17 @@ sym0 AS (
     for i in range(1, _BPE_MERGES + 1):
         prev = f"sym{i - 1}"
         cte.append(f""",
-p{i} AS (
+p{i} AS MATERIALIZED (
     SELECT word, n, pos, s,
            lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
     FROM {prev}
 ),
-t{i} AS (
+t{i} AS MATERIALIZED (
     SELECT s AS a, nxt AS b, sum(n)::BIGINT AS weight
     FROM p{i} WHERE nxt IS NOT NULL
     GROUP BY s, nxt ORDER BY weight DESC, a, b LIMIT 1
 ),
-z{i} AS (
+z{i} AS MATERIALIZED (
     SELECT *, row_number() OVER (PARTITION BY word, match, isl
                                  ORDER BY pos) AS par
     FROM (
@@ -1955,7 +1955,7 @@ z{i} AS (
                     AND p.nxt = t.b) AS match
             FROM p{i} p CROSS JOIN t{i} t))
 ),
-m{i} AS (
+m{i} AS MATERIALIZED (
     SELECT word, n, pos, s, nxt,
            (match AND par % 2 = 1) AS m,
            coalesce(lag(match AND par % 2 = 1)
@@ -1963,7 +1963,7 @@ m{i} AS (
                     false) AS pm
     FROM z{i}
 ),
-sym{i} AS (
+sym{i} AS MATERIALIZED (
     SELECT word, n,
            (row_number() OVER (PARTITION BY word ORDER BY pos)
                 - 1)::BIGINT AS pos,

@@ -131,7 +131,7 @@ BENCH_FAMILIES = {
         # df-capped co-occurrence pair join + integer PMI surrogate
         # (overflow-safe division order)
         "word_pmi",
-        # full sequential BPE merge loop (3 steps, gaps-and-islands
+        # full sequential BPE merge loop (8 steps, gaps-and-islands
         # greedy application, per-step localCheckpoint)
         "bpe_merges",
         # tokenizer application: the merge loop's final symbol table
