@@ -2153,6 +2153,57 @@ FROM sc JOIN hb USING (lm_score_x1e6)
 """
 
 
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec skip-gram pair generation (operators/lm.skipgram_pairs):
+    windowed (center, context) counts over the compacted post-subsample
+    token stream, deterministic integer subsampling
+    r²·f_ppm ≤ t_ppm·10^12 replaying word2vec's p=sqrt(t/f) keep rate
+    bit-identically on both engines. t_ppm=10^4 BINDS at every sf: the
+    31-word corpus vocabulary sits at f_ppm ≈ 3·10^4 per word, so keep
+    rates are ~0.5-0.8 and both the kept and dropped branches are
+    live."""
+    from servico_ocr_spark.operators import skipgram_pairs
+
+    return skipgram_pairs(_read(spark, sf_dir, "documents"))
+
+
+def _o_skipgram_pairs(tbl: str = "documents") -> str:
+    r = _d_h48("'sg:' || doc_id::VARCHAR || ':' || pos::VARCHAR || ':' || w")
+    return f"""
+WITH base AS ({_d_words_cte(tbl)}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos,
+           unnest(words) AS w
+    FROM base
+),
+freq AS (SELECT w, count(*)::BIGINT AS f FROM tok GROUP BY w),
+tot AS (SELECT greatest(sum(f), 1)::BIGINT AS t FROM freq),
+fp AS (SELECT w, (f * 1000000) // (SELECT t FROM tot) AS f_ppm FROM freq),
+kept AS (
+    SELECT doc_id, pos, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS cpos
+    FROM (
+        SELECT tok.doc_id, tok.pos, tok.w, fp.f_ppm,
+               {r} % 1000000 AS r
+        FROM tok JOIN fp USING (w)
+    ) s
+    WHERE r * r * f_ppm <= 10000000000000000
+),
+fwd AS MATERIALIZED (
+    SELECT a.w AS center, b.w AS context, count(*)::BIGINT AS n
+    FROM kept a JOIN kept b
+      ON a.doc_id = b.doc_id
+     AND b.cpos > a.cpos AND b.cpos <= a.cpos + 3
+    GROUP BY a.w, b.w
+)
+SELECT center, context, sum(n)::BIGINT AS n_pairs
+FROM (SELECT center, context, n FROM fwd
+      UNION ALL
+      SELECT context AS center, center AS context, n FROM fwd) u
+GROUP BY center, context
+"""
+
+
 #: LM-quality mixing recipe: CCNet keeps the model-typical end of the
 #: corpus — head oversampled 6:3:1 over middle:tail
 _QMIX_WEIGHTS = {"head": 6, "middle": 3, "tail": 1}
@@ -4773,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "lm_quality": _q_lm_quality,
         "quality_mix": _q_quality_mix,
+        "skipgram_pairs": _q_skipgram_pairs,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
         "fingerprint": _q_fingerprint,
@@ -4872,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _o_bigram_lm(),
         "lm_quality": _o_lm_quality(),
         "quality_mix": _o_quality_mix(),
+        "skipgram_pairs": _o_skipgram_pairs(),
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
         "fingerprint": _o_fingerprint(),

@@ -146,6 +146,10 @@ BENCH_FAMILIES = {
         # the buckets' end use: LM-stratified token-budget mix,
         # head oversampled 6:3:1 (composition with token_budget_mix)
         "quality_mix",
+        # word2vec skip-gram pairs: deterministic integer subsampling
+        # (r²·f_ppm threshold), one doc window for all leads, |V|²-
+        # bounded symmetric pair agg
+        "skipgram_pairs",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

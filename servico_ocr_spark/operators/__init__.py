@@ -93,6 +93,7 @@ from .lm import (  # noqa: F401
     bigram_lm,
     lm_doc_scores,
     lm_quality_buckets,
+    skipgram_pairs,
 )
 from .stats import (  # noqa: F401
     distinct_count_telemetry,

@@ -146,3 +146,98 @@ def test_lm_partitioning_independence(spark):
     # and the python twin agrees end-to-end
     want = _py_buckets(_py_scores(docs))
     assert {d: (nb, s, b) for d, nb, s, b in base} == want
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pair generation
+# ---------------------------------------------------------------------------
+
+def _py_skipgrams(docs, window=3, t_ppm=10_000, salt="sg"):
+    """Independent pure-Python mirror of operators/lm.skipgram_pairs
+    (tokenize -> deterministic subsample -> compact -> window pairs)."""
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    toks = []
+    for did, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        toks += [(did, i, w) for i, w in enumerate(ws)]
+    f = Counter(w for _, _, w in toks)
+    tot = max(1, sum(f.values()))
+    fppm = {w: n * 1_000_000 // tot for w, n in f.items()}
+    kept = {}
+    for did, pos, w in toks:
+        r = h48(f"{salt}:{did}:{pos}:{w}") % 1_000_000
+        if r * r * fppm[w] <= t_ppm * 10**12:
+            kept.setdefault(did, []).append(w)
+    pairs = Counter()
+    for ws in kept.values():
+        for i, a in enumerate(ws):
+            for j in range(i + 1, min(i + 1 + window, len(ws))):
+                pairs[(a, ws[j])] += 1
+                pairs[(ws[j], a)] += 1
+    return dict(pairs)
+
+
+def test_skipgram_pairs_matches_python_reference(spark):
+    from servico_ocr_spark.operators import skipgram_pairs
+
+    docs = [
+        (i, " ".join(
+            ("the", "cat", "sat", "mat", "dog", "ran", "far", "red")
+            [(i * j + j) % 8]
+            for j in range((i % 9) + 1)
+        ))
+        for i in range(80)
+    ] + [(100, ""), (101, "one")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(df).collect()}
+    assert got == _py_skipgrams(docs)
+
+
+def test_skipgram_subsampling_binds_and_is_frequency_monotone(spark):
+    from servico_ocr_spark.operators import skipgram_pairs
+
+    # 'hot' dominates the corpus; 'rare' words are infrequent. With the
+    # default threshold both branches must be live, and the python twin
+    # (same arithmetic) is the witness that the keep RATE tracks
+    # sqrt(t/f): hot's survival fraction < rare's.
+    docs = [(i, " ".join(["hot"] * 18 + [f"rare{i % 5}"] * 2))
+            for i in range(40)]
+    want = _py_skipgrams(docs)
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(df).collect()}
+    assert got == want
+    # subsampling bound: some hot-hot adjacency survived, but far fewer
+    # pairs than the no-subsampling run produces
+    full = {(r["center"], r["context"]): r["n_pairs"]
+            for r in skipgram_pairs(df, subsample_ppm=1_000_000).collect()}
+    assert got[("hot", "hot")] > 0
+    assert got[("hot", "hot")] < full[("hot", "hot")]
+    assert full == _py_skipgrams(docs, t_ppm=1_000_000)
+
+
+def test_skipgram_compaction_bridges_dropped_tokens(spark):
+    from servico_ocr_spark.operators import skipgram_pairs
+
+    # Force a frequency profile where the middle word is dropped from
+    # every position (f_ppm so high that r^2*f_ppm > thr for ALL its
+    # occurrences would be probabilistic; instead compare against the
+    # python twin and assert at least one (a, b) pair whose ORIGINAL
+    # distance exceeds the window exists — proof the window runs over
+    # the COMPACTED sequence, word2vec's semantics).
+    docs = [(i, "alpha " + " ".join(["hot"] * 6) + " beta")
+            for i in range(30)]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(df, window=2).collect()}
+    assert got == _py_skipgrams(docs, window=2)
+    # alpha..beta are 7 apart raw (> window 2); any surviving pair
+    # between them can only come from post-drop compaction
+    assert got.get(("alpha", "beta"), 0) > 0
+    # and symmetry holds everywhere
+    assert all(got[(b, a)] == n for (a, b), n in got.items())
