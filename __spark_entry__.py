@@ -777,6 +777,127 @@ WHERE floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter)) >= 20
 """
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/dedup.
+    winnow_fingerprints — Schleimer et al. 2003), summarized per doc:
+    gram count, fingerprint count and a BIGINT-safe checksum
+    (sum(fp mod 1e9+7)) pinning the selected SET. Docs with < k tokens
+    restored with zeros (the zero-token rule). n_grams is derived
+    directly from the token count (max(n−k+1, 0)) so the summary costs
+    one extra projection, not a second gram pass."""
+    from servico_ocr_spark.operators import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    agg = fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum(F.pmod(F.col("fp_h48"), F.lit(1_000_000_007)))
+        .cast("long")
+        .alias("fp_checksum"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(words_array(F.col("text"))) - F.lit(2), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+        F.coalesce("fp_checksum", F.lit(0))
+        .cast("long")
+        .alias("fp_checksum"),
+    )
+
+
+#: winnow_pairs boilerplate cap — binding on the template corpus at
+#: every sf (the hotshingle/ngram cap-regime precedent)
+_WINNOW_MAX_DF = 5
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS's cross-document step (operators/dedup.winnow_pairs): doc
+    pairs sharing winnowing fingerprints, boilerplate fingerprints
+    dropped by the df cap BEFORE the pair join (fan-out bounded at
+    df²)."""
+    from servico_ocr_spark.operators import winnow_pairs
+
+    return winnow_pairs(
+        _read(spark, sf_dir, "documents"),
+        k=3,
+        window=4,
+        max_fp_df=_WINNOW_MAX_DF,
+    )
+
+
+def _o_winnow_cte() -> str:
+    """Shared fps CTE: winnowing selection as pure SQL — the rightmost-
+    min rule rides the same v = gh·16 + (15 − offset) encoding the Spark
+    operator uses, so both engines pick identical fingerprints."""
+    gram_hash = _d_h48("(w || ' ' || w1 || ' ' || w2)")
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos,
+           unnest(words) AS w
+    FROM base
+),
+led AS (
+    SELECT doc_id, pos, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+g AS (
+    SELECT doc_id, pos AS j, {gram_hash} AS gh,
+           count(*) OVER (PARTITION BY doc_id) AS gc
+    FROM led WHERE w2 IS NOT NULL
+),
+memb AS (
+    SELECT doc_id, j, gh,
+           unnest(range(greatest(j - 3, 0),
+                        least(j, greatest(gc - 4, 0)) + 1)) AS i
+    FROM g
+),
+sel AS (
+    SELECT doc_id, i, min(gh * 16 + (15 - (j - i))) AS v
+    FROM memb GROUP BY doc_id, i
+),
+fps AS (
+    SELECT DISTINCT doc_id, i + (15 - (v % 16)) AS fp_pos, v // 16 AS fp
+    FROM sel
+)"""
+
+
+def _o_winnow_fingerprints() -> str:
+    return _o_winnow_cte() + """,
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_fps,
+           sum(fp % 1000000007)::BIGINT AS fp_checksum
+    FROM fps GROUP BY doc_id
+)
+SELECT b.doc_id, greatest(len(words) - 2, 0)::BIGINT AS n_grams,
+       coalesce(n_fps, 0)::BIGINT AS n_fps,
+       coalesce(fp_checksum, 0)::BIGINT AS fp_checksum
+FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _o_winnow_pairs() -> str:
+    return _o_winnow_cte() + f""",
+fd AS (SELECT DISTINCT doc_id, fp FROM fps),
+fc AS (
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfp FROM fd
+    ) WHERE dfp <= {_WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 # ExactSubstr span removal window (tokens). 10 binds on this corpus at
 # every sf: the template near-dup families + injected chain sentences
 # carry duplicated runs >= 10 tokens (sf0.01: ~9% of tokens removed
@@ -4800,6 +4921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "title_linkage": _q_title_linkage,
         "chain_components": _q_chain_components,
         "neardup_keep_best": _q_neardup_keep_best,
@@ -4900,6 +5023,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
+        "winnow_fingerprints": _o_winnow_fingerprints(),
+        "winnow_pairs": _o_winnow_pairs(),
         "title_linkage": _O_TITLE_LINKAGE,
         "chain_components": _o_chain_components(),
         "neardup_keep_best": _o_neardup_keep_best(),

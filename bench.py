@@ -94,6 +94,10 @@ BENCH_FAMILIES = {
         "ngram_jaccard",
         # benchmark decontamination (broadcast probe, no corpus shuffle)
         "decontaminate",
+        # MOSS winnowing: selection is ONE combinable agg (rightmost-min
+        # encoded into gh*16+offset), membership explode <= w per gram
+        "winnow_fingerprints",
+        "winnow_pairs",
     ],
     "textstats": [
         "fingerprint",

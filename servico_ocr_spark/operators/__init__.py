@@ -20,6 +20,8 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_candidate_telemetry,
     simhash_near_duplicates,
+    winnow_fingerprints,
+    winnow_pairs,
 )
 from .multimodal import extract_media_features, synth_media_table  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -907,3 +907,127 @@ def remove_duplicate_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS local document fingerprinting algorithm; public method)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """``(doc_id, fp_pos, fp_h48)``: the winnowing fingerprint set — for
+    every ``window``-wide sliding window over the document's k-gram
+    hashes, the RIGHTMOST MINIMAL hash (robust winnowing's tie rule),
+    deduplicated. Guarantees of the paper hold: any shared run of
+    ≥ ``window + k − 1`` tokens between two documents shares at least
+    one fingerprint, and expected density is 2/(window+1).
+
+    Selection is ONE map-side-combinable aggregate, no join and no
+    second corpus pass: each gram row explodes into its ≤ ``window``
+    window memberships (i = the window start), and the rightmost-min
+    rule is encoded into a single BIGINT ``v = gh·16 + (15 − (j − i))``
+    — minimizing ``v`` per (doc, i) picks the smallest hash and, among
+    ties, the largest in-window offset, exactly the paper's pick.
+    Decode is integer arithmetic both engines reproduce. BIGINT-safe
+    unconditionally (gh < 2^48 → v < 2^52); ``window ≤ 16`` enforced by
+    the 4-bit offset field.
+
+    Documents with fewer than k tokens produce no grams and no rows
+    (callers restore them — the zero-token rule). Documents with fewer
+    grams than ``window`` are treated as one whole-document window
+    (i = 0), so every non-empty gram sequence yields ≥ 1 fingerprint.
+
+    Scale shape: one corpus scan; the doc-keyed lead window (gram
+    build), the per-doc gram count, and the membership explode all ride
+    one doc-hash partitioning; the selection aggregate's key space is
+    (doc, window-start) — combiner-friendly, never corpus-wide state.
+    Fingerprint identity is the 48-bit gram digest (the minhash/ngram
+    h48-key convention: cross-doc collisions are accepted and
+    documented, never used to MERGE counts).
+    """
+    if not 1 <= window <= 16:
+        raise ValueError("window must be in [1, 16] (4-bit offset field)")
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(dw) for i in range(1, k)]
+    grams = (
+        tokens.select(
+            "doc_id",
+            F.col("pos").alias("j"),
+            F.when(
+                parts[-1].isNotNull(), h48(F.concat_ws(" ", *parts))
+            ).alias("gh"),
+        )
+        .where(F.col("gh").isNotNull())
+        .withColumn(
+            "gc", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    )
+    i_lo = F.greatest(F.col("j") - (window - 1), F.lit(0))
+    i_hi = F.least(F.col("j"), F.greatest(F.col("gc") - window, F.lit(0)))
+    memb = grams.select(
+        "doc_id",
+        "j",
+        "gh",
+        F.explode(F.sequence(i_lo, i_hi)).alias("i"),
+    )
+    sel = memb.groupBy("doc_id", "i").agg(
+        F.min(
+            F.col("gh") * 16 + (F.lit(15) - (F.col("j") - F.col("i")))
+        ).alias("v")
+    )
+    return sel.select(
+        "doc_id",
+        (F.col("i") + (F.lit(15) - F.pmod(F.col("v"), F.lit(16))))
+        .cast("long")
+        .alias("fp_pos"),
+        F.expr("v div 16").cast("long").alias("fp_h48"),
+    ).distinct()
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """``(doc_a, doc_b, n_shared)``: document pairs sharing winnowing
+    fingerprints, with the shared-count as match evidence — MOSS's
+    cross-document step. ``max_fp_df`` drops fingerprints appearing in
+    more than that many documents BEFORE the pair join (the boilerplate
+    cap — same role and same window shape as minhash/ngram's
+    ``_cap_doc_freq``), bounding per-key join fan-out at df².
+
+    The doc-level fingerprint set is referenced twice by the self-join,
+    so it is lazily localCheckpointed (the double-reference lesson) —
+    the gram/selection pipeline executes once."""
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+        .select("doc_id", F.col("fp_h48").alias("fp"))
+        .distinct()
+    )
+    fps = _cap_doc_freq(fps, "fp", max_fp_df).localCheckpoint(eager=False)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

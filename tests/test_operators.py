@@ -1096,3 +1096,97 @@ def test_embedding_dim_stats_moments_and_ragged(spark):
         1: (2, 500, 625000, -250, 750),
         2: (1, 500, 250000, 500, 500),
     }
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(docs, k=3, w=4):
+    """Independent pure-Python robust winnowing: per window of w gram
+    hashes, the rightmost minimal hash; whole-doc window when G < w."""
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    out = set()
+    for did, text in docs:
+        ws = [x for x in text.split(" ") if x]
+        grams = [h48(" ".join(ws[i:i + k])) for i in range(len(ws) - k + 1)]
+        g = len(grams)
+        if g == 0:
+            continue
+        starts = range(max(g - w, 0) + 1)
+        for i in starts:
+            win = grams[i:i + w]
+            m = min(win)
+            j = i + max(o for o, v in enumerate(win) if v == m)
+            out.add((did, j, grams[j]))
+    return out
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    from servico_ocr_spark.operators import winnow_fingerprints
+
+    docs = [
+        (i, " ".join(
+            ("aa", "bb", "cc", "dd", "ee", "ff")[(i * j + j) % 6]
+            for j in range((i % 11) + 1)
+        ))
+        for i in range(60)
+    ] + [(100, ""), (101, "aa bb")]  # zero grams (n < k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["fp_pos"], r["fp_h48"])
+           for r in winnow_fingerprints(df, k=3, window=4).collect()}
+    assert got == _py_winnow(docs)
+    # short docs (< k tokens) produce no rows; short-gram docs (G < w)
+    # still produce >= 1 fingerprint (whole-doc window)
+    assert not any(d in (100, 101) for d, _, _ in got)
+    short = [d for d, t in docs if 0 < len(t.split()) - 2 < 4]
+    assert short and all(any(g[0] == d for g in got) for d in short)
+
+
+def test_winnow_rightmost_tie_rule(spark):
+    from servico_ocr_spark.operators import winnow_fingerprints
+
+    # 'x y z' repeats: equal gram hashes inside one window — robust
+    # winnowing must pick the RIGHTMOST minimal occurrence
+    docs = [(1, "x y z x y z x y z x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["fp_pos"], r["fp_h48"])
+           for r in winnow_fingerprints(df, k=3, window=4).collect()}
+    want = {(p, h) for _, p, h in _py_winnow(docs)}
+    assert got == want
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    from servico_ocr_spark.operators import winnow_fingerprints
+
+    # the paper's guarantee: a shared token run of length >= w + k - 1
+    # (= 6 here) forces at least one shared fingerprint
+    shared = "p q r s t u"  # 6 tokens
+    docs = [(1, "aa bb " + shared + " cc"), (2, "dd " + shared + " ee ff")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=3, window=4).collect()
+    f1 = {r["fp_h48"] for r in rows if r["doc_id"] == 1}
+    f2 = {r["fp_h48"] for r in rows if r["doc_id"] == 2}
+    assert f1 & f2
+
+
+def test_winnow_pairs_cap_binds(spark):
+    from servico_ocr_spark.operators import winnow_pairs
+
+    # 6 identical docs + 2 unrelated: uncapped all 15 identical pairs
+    # appear; cap 3 kills the 6-doc boilerplate family entirely
+    docs = [(i, "m n o p q r s t") for i in range(6)] + [
+        (10, "aa bb cc dd ee"), (11, "aa bb cc dd ff")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnow_pairs(df).collect()}
+    assert sum(1 for (a, b) in full if a < 6 and b < 6) == 15
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in winnow_pairs(df, max_fp_df=3).collect()}
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    # the dist-1 pair (10, 11) shares its prefix fingerprints either way
+    assert (10, 11) in full and (10, 11) in capped
