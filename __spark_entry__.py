@@ -777,6 +777,62 @@ WHERE floor(p.inter * 100 / (sa.n_grams + sb.n_grams - p.inter)) >= 20
 """
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (operators/dedup.
+    ngram_containment_pairs — Broder 1997): |A∩B|·100 div |A| per
+    DIRECTION, the quotation/subset detector a union-denominator
+    Jaccard pass misses. Same binding df cap as ngram_jaccard."""
+    from servico_ocr_spark.operators import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold_pct=50,
+        max_doc_freq=_NGRAM_MAX_DF,
+    )
+
+
+def _o_ngram_containment() -> str:
+    gram_hash = _d_h48("(w || ' ' || w1 || ' ' || w2)")
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id,
+           generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
+    FROM base
+),
+led AS (
+    SELECT doc_id, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+gx0 AS (
+    SELECT DISTINCT doc_id, {gram_hash} AS g
+    FROM led WHERE w2 IS NOT NULL
+),
+gx AS (SELECT doc_id, g FROM (
+           SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM gx0)
+       WHERE df <= {_NGRAM_MAX_DF}),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gx GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dirs AS (
+    SELECT id_a, id_b, inter FROM inter
+    UNION ALL
+    SELECT id_b AS id_a, id_a AS id_b, inter FROM inter
+)
+SELECT b.id_a, b.id_b, s.n_grams::BIGINT AS n_a, b.inter::BIGINT AS inter,
+       ((b.inter * 100) // s.n_grams)::BIGINT AS containment_pct
+FROM dirs b JOIN sizes s ON s.doc_id = b.id_a
+WHERE (b.inter * 100) // s.n_grams >= 50
+"""
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/dedup.
     winnow_fingerprints — Schleimer et al. 2003), summarized per doc:
@@ -4921,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "title_linkage": _q_title_linkage,
@@ -5023,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),
         "ngram_jaccard": _o_ngram_jaccard(),
+        "ngram_containment": _o_ngram_containment(),
         "winnow_fingerprints": _o_winnow_fingerprints(),
         "winnow_pairs": _o_winnow_pairs(),
         "title_linkage": _O_TITLE_LINKAGE,

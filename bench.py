@@ -92,6 +92,9 @@ BENCH_FAMILIES = {
         "zipf_neardups",
         "simhash",
         "ngram_jaccard",
+        # directional containment (quote/subset detector; per-side
+        # denominators, shares the shingle table + df cap)
+        "ngram_containment",
         # benchmark decontamination (broadcast probe, no corpus shuffle)
         "decontaminate",
         # MOSS winnowing: selection is ONE combinable agg (rightmost-min

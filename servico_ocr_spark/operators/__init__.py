@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     neardup_components,
     ngram_candidate_telemetry,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidate_telemetry,

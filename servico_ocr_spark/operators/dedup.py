@@ -1031,3 +1031,78 @@ def winnow_pairs(
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """``(id_a, id_b, n_a, inter, containment_pct)``: DIRECTIONAL
+    shingle containment — the fraction of a's distinct n-gram shingles
+    that also occur in b, ``containment_pct = |A∩B|·100 div |A|``
+    (Broder 1997's containment coefficient; public method). Asymmetric
+    by design: a short document quoted wholesale inside a long one
+    scores ~100 in the quote→host direction while Jaccard — divided by
+    the UNION — stays near zero, so this is the quotation/subset
+    detector Jaccard near-dup passes miss. Both directions of a pair
+    are emitted (each against its own denominator) and thresholded
+    independently.
+
+    Shares the shingle discipline and the ``max_doc_freq`` boilerplate
+    cap with :func:`ngram_jaccard_pairs` (cap before the join — fan-out
+    bounded at df²; containment is then over discriminative shingles,
+    numerator AND denominator). The capped shingle table is referenced
+    three times (sizes + both join sides) and the intersection
+    aggregate twice (the direction swap), so each is lazily
+    localCheckpointed. Docs with fewer than n surviving shingle words
+    produce no rows."""
+    gx = _cap_doc_freq(
+        _shingle_table(df, text_col, id_col, n), "g", max_doc_freq
+    ).localCheckpoint(eager=False)
+    sizes = gx.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    inter = (
+        gx.alias("a")
+        .join(
+            gx.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+        .localCheckpoint(eager=False)
+    )
+    both = inter.unionByName(
+        inter.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "inter",
+        )
+    )
+    return (
+        both.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("n_grams").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "inter",
+            F.expr("(inter * 100) div n_a")
+            .cast("long")
+            .alias("containment_pct"),
+        )
+        .where(F.col("containment_pct") >= threshold_pct)
+    )

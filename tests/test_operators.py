@@ -1190,3 +1190,68 @@ def test_winnow_pairs_cap_binds(spark):
     assert not any(a < 6 and b < 6 for a, b in capped)
     # the dist-1 pair (10, 11) shares its prefix fingerprints either way
     assert (10, 11) in full and (10, 11) in capped
+
+
+def test_ngram_containment_detects_quotation_asymmetrically(spark):
+    from servico_ocr_spark.operators import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    host = ("one two three four five six seven eight nine ten "
+            + quote +
+            " eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    docs = [(1, quote), (2, host), (3, "unrelated words only here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["n_a"], r["inter"],
+                                    r["containment_pct"])
+           for r in ngram_containment_pairs(df, threshold_pct=50).collect()}
+    # quote (3 shingles) fully inside host -> 100% in the 1->2 direction
+    assert got[(1, 2)] == (3, 3, 100)
+    # host direction: 3 of its 20 shingles -> 15%, below threshold
+    assert (2, 1) not in got
+    full = {(r["id_a"], r["id_b"]): r["containment_pct"]
+            for r in ngram_containment_pairs(df, threshold_pct=0).collect()}
+    assert full[(2, 1)] == 15
+    # and Jaccard misses the pair entirely at the same threshold:
+    # inter/union = 3/20 = 15%
+    jac = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(df, threshold_pct=50).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_ngram_containment_python_reference(spark):
+    from servico_ocr_spark.operators import ngram_containment_pairs
+
+    docs = [
+        (i, " ".join(
+            ("aa", "bb", "cc", "dd", "ee")[(i * j + 2 * j) % 5]
+            for j in range((i % 9) + 3)
+        ))
+        for i in range(40)
+    ]
+    n = 3
+
+    def shingles(t):
+        ws = [x for x in t.split(" ") if x]
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in docs}
+    # df cap 5: drop shingles in > 5 docs (both numerator + denominator)
+    from collections import Counter
+    dfreq = Counter(g for s in sets.values() for g in s)
+    sets = {d: {g for g in s if dfreq[g] <= 5} for d, s in sets.items()}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa:
+                pct = len(sa & sb) * 100 // len(sa)
+                if pct >= 40 and len(sa & sb):
+                    want[(a, b)] = (len(sa), len(sa & sb), pct)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["n_a"], r["inter"],
+                                    r["containment_pct"])
+           for r in ngram_containment_pairs(
+               df, threshold_pct=40, max_doc_freq=5).collect()}
+    assert got == want
