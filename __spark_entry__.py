@@ -4326,6 +4326,63 @@ GROUP BY dst
 """
 
 
+#: walk depth for the random-walk corpus (fixed, data-independent —
+#: what lets the unrolled oracle mirror the loop exactly)
+_RW_DEPTH = 3
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic walk corpus (operators/links.
+    random_walks): one depth-3 walk per node over the link graph, coin
+    flips replaced by h48(salt:start:step) mod outdeg — hub-proof
+    (two 1:1 equi-joins per step, never a deg-wide fan-out). Dead ends
+    truncate walks, so later steps have fewer rows — both branches
+    (continuation and truncation) are live on this graph (the mailto/
+    partner leaf urls have no out-edges)."""
+    from servico_ocr_spark.operators import random_walks
+
+    return random_walks(
+        link_edges(extract_links(_linked_pages(spark, sf_dir))),
+        depth=_RW_DEPTH,
+    )
+
+
+def _o_random_walks(
+    prelude: str = _O_LINKS_CTE, depth: int = _RW_DEPTH
+) -> str:
+    cte = [
+        f"WITH {prelude},",
+        """
+ranked AS MATERIALIZED (
+    SELECT src, dst,
+           (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT
+               AS idx
+    FROM edges
+),
+degs AS MATERIALIZED (
+    SELECT src, count(*)::BIGINT AS deg FROM ranked GROUP BY src
+),
+s0 AS MATERIALIZED (
+    SELECT node AS start, node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+)""",
+    ]
+    for t in range(1, depth + 1):
+        h = _d_h48(f"('rw:' || s.start || ':{t}')")
+        cte.append(f""",
+s{t} AS MATERIALIZED (
+    SELECT s.start, r.dst AS node
+    FROM s{t - 1} s
+    JOIN degs d ON d.src = s.node
+    JOIN ranked r ON r.src = s.node AND r.idx = {h} % d.deg
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT start, {t}::BIGINT AS step, node FROM s{t}"
+        for t in range(depth + 1)
+    )
+    return "".join(cte) + "\n" + selects
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         link_edges(extract_links(_linked_pages(spark, sf_dir))),
@@ -5019,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
+        "random_walks": _q_random_walks,
         "hits": _q_hits,
         "communities": _q_communities,
         "related_pages": _q_related_pages,
@@ -5122,6 +5180,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": _o_link_degrees(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
+        "random_walks": _o_random_walks(),
         "hits": _o_hits(),
         "communities": _o_communities(),
         "related_pages": _o_related_pages(),

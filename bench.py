@@ -189,6 +189,9 @@ BENCH_FAMILIES = {
         "link_degrees",
         "anchor_stats",
         "pagerank",
+        # DeepWalk-style deterministic walk corpus: two 1:1 equi-joins
+        # per step (hub-proof), coin flips = portable hash arithmetic
+        "random_walks",
         # degree-oriented triangle counting: wedge join bounded at
         # O(m^1.5) regardless of hub skew
         "triangles",

@@ -50,6 +50,7 @@ from .links import (  # noqa: F401
     link_degrees,
     link_edges,
     pagerank,
+    random_walks,
     resolve_href,
     triangle_counts,
 )

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
+from .common import h48
+
 #: flat anchor element: start tag, then text with no nested markup
 ANCHOR_TAG_RE = r"(?is)<a\s[^>]*>[^<]*</a>"
 #: one alternation for all three attr-value forms (group 1 keeps the
@@ -768,3 +770,89 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    depth: int = 3,
+    salt: str = "rw",
+) -> DataFrame:
+    """``(start, step, node)``: one DETERMINISTIC fixed-depth walk from
+    every graph node — the DeepWalk/node2vec walk-corpus generator
+    (Perozzi et al. 2014; public method) with the coin flips replaced
+    by portable hash arithmetic so the corpus replays bit-identically
+    on any engine and partitioning.
+
+    Step rule: from node ``v`` at step ``t`` of the walk started at
+    ``s``, move to out-neighbor ``idx = h48(salt:s:t) mod outdeg(v)``
+    under the deterministic neighbor order (rank by dst). Walks that
+    reach a node with no out-edges truncate there (the dead-end rule —
+    rows simply stop appearing for later steps).
+
+    Scale shape — hub-proof by construction: each step is TWO 1:1
+    equi-joins, never a fan-out: frontier ⋈ degree table (one row per
+    node) computes the wanted index, then (node, idx) ⋈ the ranked
+    neighbor table matches exactly one row — a 10⁶-out-link hub costs
+    the hash-join probe one lookup per visiting walk, not a deg-wide
+    expansion. The ranked/degree tables are built once and lazily
+    localCheckpointed (referenced ``depth`` times — the bfs edge-table
+    lesson), as is each step's frontier (referenced by the union AND
+    the next step). The neighbor-rank window is per-src (straggler
+    bounded by max outdegree, the asof trade).
+    """
+    if depth < 0:
+        raise ValueError("depth >= 0 required")
+    rw = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(rw) - 1).cast("long").alias("idx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    degs = ranked.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("node").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        "node",
+    ).localCheckpoint(eager=False)
+    out = cur
+    for t in range(1, depth + 1):
+        # fresh per-step aliases: the lazy checkpoints keep attribute
+        # ids, so re-joining `ranked` each round would otherwise make
+        # its columns ambiguous against the frontier they produced
+        c, d, r = cur.alias("c"), degs.alias("d"), ranked.alias("r")
+        wanted = c.join(d, F.col("c.node") == F.col("d.src")).select(
+            F.col("c.start").alias("start"),
+            F.col("c.node").alias("node"),
+            F.pmod(
+                h48(F.concat_ws(":", F.lit(salt), "c.start", F.lit(t))),
+                F.col("d.deg"),
+            ).alias("idx"),
+        )
+        cur = (
+            wanted.alias("w")
+            .join(
+                r,
+                (F.col("w.node") == F.col("r.src"))
+                & (F.col("w.idx") == F.col("r.idx")),
+            )
+            .select(
+                F.col("w.start").alias("start"),
+                F.lit(t).cast("long").alias("step"),
+                F.col("r.dst").alias("node"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(cur)
+    return out

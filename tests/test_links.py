@@ -637,3 +637,68 @@ def test_kcore_early_exit_equals_full_rounds(spark):
     a = sorted((r["node"], r["deg"]) for r in kcore(df, k=2, max_rounds=2).collect())
     b = sorted((r["node"], r["deg"]) for r in kcore(df, k=2, max_rounds=30).collect())
     assert a == b == [(f"n{i}", 2) for i in range(6)]
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (DeepWalk-style corpus generation)
+# ---------------------------------------------------------------------------
+
+def _py_walks(edges, depth=3, salt="rw"):
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, []).append(d)
+    for v in adj:
+        adj[v].sort()
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    rows = set()
+    for start in nodes:
+        cur = start
+        rows.add((start, 0, start))
+        for t in range(1, depth + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[h48(f"{salt}:{start}:{t}") % len(nbrs)]
+            rows.add((start, t, cur))
+    return rows
+
+
+def test_random_walks_matches_python_reference(spark):
+    from servico_ocr_spark.operators import random_walks
+
+    edges = [(f"n{i}", f"n{(i * j + 3) % 17}")
+             for i in range(17) for j in range(1 + i % 4)]
+    edges += [("n3", "leaf"), ("n5", "leaf")]  # dead end: no out-edges
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["start"], r["step"], r["node"])
+           for r in random_walks(df, depth=3).collect()}
+    want = _py_walks(edges, depth=3)
+    assert got == want
+    # dead-end truncation is live: the walk from 'leaf' has only step 0
+    assert {s for st, s, _ in got if st == "leaf"} == {0}
+    # each walk emits at most one node per step (1:1 joins, no fan-out)
+    from collections import Counter
+    c = Counter((st, s) for st, s, _ in got)
+    assert max(c.values()) == 1
+
+
+def test_random_walks_partitioning_independent(spark):
+    from servico_ocr_spark.operators import random_walks
+
+    edges = [(f"u{i}", f"u{(i * 5 + j) % 23}")
+             for i in range(23) for j in range(1 + i % 3)]
+    base = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src string, dst string").repartition(parts)
+        got = sorted((r["start"], r["step"], r["node"])
+                     for r in random_walks(df, depth=4).collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base
