@@ -2044,6 +2044,208 @@ ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 """
 
 
+#: more-like-this list length (sparse side and the fused output)
+_MLT_K = 10
+
+
+def _mlt_queries(docs: DataFrame) -> DataFrame:
+    """The 8 smallest-id documents containing the corpus's one rare
+    word ('dup', df = 5% of docs at every sf — the bm25_search
+    fixture's finding). Selected by CONTENT, not by id residue: the
+    carrier ids are md5-derived and differ per sf, so an id-based
+    query set silently degenerates to zero matches (measured — the
+    first draft returned 0 rows at sf0.01+)."""
+    return (
+        docs.where(
+            F.array_contains(words_array(F.col("text")), F.lit("dup"))
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_ANN_QUERIES)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _q_bm25_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example BM25 (operators/search.bm25_by_example): eight
+    'dup'-carrying documents each retrieve their 10 best corpus matches
+    using their own words, stopwords dropped by the derived df cap
+    n_docs div 2 — BINDING at every sf (the 31-word background
+    vocabulary sits at ~80% df, far above half), leaving 'dup' as the
+    discriminative term: 25+ matching docs per query, so the k=10
+    LIMIT boundary and the tf/dl score spread are both live."""
+    from servico_ocr_spark.operators import bm25_by_example
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_by_example(
+        docs,
+        _mlt_queries(docs),
+        k=_MLT_K,
+        max_term_df=docs.count() // 2,
+    )
+
+
+def _o_mlt_cte() -> str:
+    """Shared sparse more-like-this CTE chain ending in sp(query_id,
+    doc_id, n_terms, score, rank) — bm25_by_example's arithmetic."""
+    return f"""
+w AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+),
+tok AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS word FROM w),
+postings AS (
+    SELECT doc_id, word, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+    FROM tok GROUP BY doc_id, word
+),
+scal AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           greatest(1, sum(dl) // count(*))::BIGINT AS avgdl
+    FROM (SELECT doc_id, max(dl) AS dl FROM postings GROUP BY doc_id) t
+),
+dfreq AS (
+    SELECT word, count(*)::BIGINT AS df_t FROM postings GROUP BY word
+    HAVING count(*) <= (SELECT count(*) // 2 FROM documents)
+),
+qids AS (
+    SELECT doc_id FROM w WHERE list_contains(ws, 'dup')
+    ORDER BY doc_id LIMIT {_ANN_QUERIES}
+),
+qt AS (
+    SELECT p.doc_id AS query_id, p.word, d.df_t
+    FROM postings p JOIN dfreq d USING (word)
+    WHERE p.doc_id IN (SELECT doc_id FROM qids)
+),
+m AS (
+    SELECT qt.query_id, p.doc_id, p.tf, p.dl, qt.df_t
+    FROM postings p JOIN qt USING (word)
+    WHERE p.doc_id <> qt.query_id
+),
+pt AS (
+    SELECT query_id, doc_id,
+           ((n_docs - df_t + 1) * 100) // (df_t + 1) AS idf,
+           (tf * 220 * 100 * 1000) //
+           (tf * 10000 + 120 * ((100 - 75)
+                + (75 * ((dl * 100) // avgdl)) // 100)) AS tfc
+    FROM m, scal
+),
+sc AS (
+    SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+           sum(idf * tfc)::BIGINT AS score
+    FROM pt GROUP BY query_id, doc_id
+),
+sp AS (
+    SELECT query_id, doc_id, n_terms, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id)::BIGINT AS rank
+    FROM sc
+)"""
+
+
+def _o_bm25_related() -> str:
+    return (
+        "WITH " + _o_mlt_cte()
+        + f"\nSELECT query_id, doc_id, n_terms, score, rank FROM sp"
+          f" WHERE rank <= {_MLT_K}"
+    )
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.rrf_fuse — Cormack et al.
+    2009): reciprocal-rank fusion of the sparse more-like-this BM25
+    list with the dense brute-force cosine list over the SAME id space
+    (documents.doc_id ≡ embeddings.vec_id in the testdata). Documents
+    in only one list carry a −1 sentinel rank and one contribution —
+    both branches live at every sf (lexical and embedding neighbors
+    disagree on this corpus)."""
+    from servico_ocr_spark.operators import (
+        bm25_by_example,
+        rrf_fuse,
+    )
+    from servico_ocr_spark.operators.similarity import brute_force_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    qids = _mlt_queries(docs)
+    sparse = bm25_by_example(
+        docs,
+        qids,
+        k=_MLT_K,
+        max_term_df=docs.count() // 2,
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        emb,
+        emb.join(qids, emb["vec_id"] == qids["doc_id"]).select(
+            "vec_id", "embedding"
+        ),
+        k=_ANN_K,
+    )
+    return rrf_fuse(
+        sparse.select("query_id", "doc_id", "rank"),
+        dense.select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        ),
+        k=_MLT_K,
+    )
+
+
+def _o_rrf_fusion() -> str:
+    return (
+        "WITH " + _o_mlt_cte()
+        + f""",
+v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
+nn AS (
+    SELECT vec_id, iv,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+q AS (SELECT vec_id AS query_id, iv AS qv, nrm AS qnorm FROM nn
+      WHERE vec_id IN (SELECT doc_id FROM qids)),
+dp AS (
+    SELECT q.query_id, nn.vec_id AS doc_id,
+           CAST(list_sum(list_transform(
+               range(1, len(q.qv) + 1),
+               i -> q.qv[i] * nn.iv[i])) AS BIGINT) AS dot,
+           q.qnorm, nn.nrm
+    FROM q JOIN nn ON nn.vec_id <> q.query_id
+),
+dsc AS (
+    SELECT query_id, doc_id,
+           floor(dot * 1000000 /
+                 (sqrt(CAST(qnorm AS DOUBLE))
+                  * sqrt(CAST(nrm AS DOUBLE))))::BIGINT AS cos_sim_e6
+    FROM dp
+),
+de AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim_e6 DESC, doc_id)::BIGINT
+               AS rank
+    FROM dsc
+),
+dk AS (SELECT query_id, doc_id, rank FROM de WHERE rank <= {_ANN_K}),
+sk AS (SELECT query_id, doc_id, rank FROM sp WHERE rank <= {_MLT_K}),
+f AS (
+    SELECT coalesce(sk.query_id, dk.query_id) AS query_id,
+           coalesce(sk.doc_id, dk.doc_id) AS doc_id,
+           coalesce(sk.rank, -1)::BIGINT AS rank_a,
+           coalesce(dk.rank, -1)::BIGINT AS rank_b,
+           (coalesce(1000000 // (60 + sk.rank), 0)
+            + coalesce(1000000 // (60 + dk.rank), 0))::BIGINT AS rrf_x1e6
+    FROM sk FULL OUTER JOIN dk
+      ON sk.query_id = dk.query_id AND sk.doc_id = dk.doc_id
+)
+SELECT * FROM (
+    SELECT query_id, doc_id, rank_a, rank_b, rrf_x1e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_x1e6 DESC, doc_id)::BIGINT
+               AS rank
+    FROM f
+) z WHERE rank <= {_MLT_K}
+"""
+    )
+
+
 def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge candidates
     (operators/textstats.bpe_merge_candidates): top-20 adjacent char
@@ -5054,6 +5256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
         "bm25_search": _q_bm25_search,
+        "bm25_related": _q_bm25_related,
+        "rrf_fusion": _q_rrf_fusion,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -5158,6 +5362,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
         "bm25_search": _o_bm25_search(),
+        "bm25_related": _o_bm25_related(),
+        "rrf_fusion": _o_rrf_fusion(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),
         "bpe_encode": _o_bpe_encode(),

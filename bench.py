@@ -123,6 +123,10 @@ BENCH_FAMILIES = {
         # fixed-point BM25 top-k retrieval: corpus-scalar agg +
         # pre-shuffle term filter + broadcast df + TakeOrdered top-k
         "bm25_search",
+        # query-by-example BM25 (one-scan postings build, df-capped
+        # terms, broadcast query side) + hybrid sparse+dense RRF fusion
+        "bm25_related",
+        "rrf_fusion",
         # TextRank keywords: bigram word graph -> the link face's
         # integer pagerank -> top-k (one operator, two graph faces)
         "textrank_keywords",

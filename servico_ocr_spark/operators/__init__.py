@@ -55,7 +55,7 @@ from .links import (  # noqa: F401
     triangle_counts,
 )
 from .clustering import semantic_dedup  # noqa: F401
-from .search import bm25_topk  # noqa: F401
+from .search import bm25_by_example, bm25_topk, rrf_fuse  # noqa: F401
 from .textstats import (  # noqa: F401
     bpe_encode,
     bpe_learn,

@@ -32,11 +32,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .common import words_array
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_by_example", "bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -151,3 +151,162 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_by_example(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    idf_scale: int = 100,
+    tf_scale: int = 1000,
+    max_term_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(query_id, doc_id, n_terms, score, rank)``: query-by-example
+    ("more like this") BM25 — every document in ``queries`` retrieves
+    its ``k`` best corpus matches using its OWN distinct words as the
+    term set, self excluded. Same fixed-point arithmetic and division-
+    order contract as :func:`bm25_topk`.
+
+    ``max_term_df`` drops query terms whose corpus document frequency
+    exceeds the cap BEFORE matching — the stopword guard: an uncapped
+    80%-df term makes every query's candidate set Θ(corpus). With the
+    cap, per-query match volume is Σ_t df(t) ≤ |terms|·cap.
+
+    Scale shape: ONE corpus scan builds the postings table
+    ((doc, word) → tf, dl — the inverted-index shape retrieval systems
+    materialize anyway), lazily localCheckpointed because everything
+    downstream derives from it: corpus scalars (re-aggregated from
+    postings, no second scan), per-word df (vocab-sized, capped), the
+    query term sets (postings ⋈ broadcast query ids), and the match
+    probe (postings ⋈ broadcast capped query terms — the broadcast side
+    is Q docs × their distinct words). Ranking is a per-query window
+    under WindowGroupLimit (per-partition k-heap before the exchange).
+
+    Note: ``n_docs``/``avgdl`` are over documents WITH ≥ 1 token
+    (postings-derived); a fully-empty document neither matches nor
+    shifts the length norm.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words_array(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(words_array(F.col(text_col))).alias("word"),
+    )
+    postings = (
+        tok.groupBy("doc_id", "word")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scalars = (
+        postings.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "n_docs",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("total_tokens div n_docs").cast("long"),
+            ).alias("avgdl"),
+        )
+    )
+    dfreq = postings.groupBy("word").agg(
+        F.count("*").cast("long").alias("df_t")
+    )
+    if max_term_df is not None:
+        dfreq = dfreq.where(F.col("df_t") <= max_term_df)
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    qt = (
+        postings.join(
+            F.broadcast(qids),
+            postings["doc_id"] == qids["query_id"],
+        )
+        .join(dfreq, "word")
+        .select("query_id", "word", "df_t")
+    )
+    matched = postings.join(F.broadcast(qt), "word").where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    per_term = matched.crossJoin(F.broadcast(scalars)).select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            f"((n_docs - df_t + 1) * {int(idf_scale)}) div (df_t + 1)"
+        ).alias("idf"),
+        F.expr(
+            f"(tf * {int(k1_pct) + 100} * 100 * {int(tf_scale)})"
+            f" div (tf * 10000 + {int(k1_pct)} * "
+            f"((100 - {int(b_pct)})"
+            f" + ({int(b_pct)} * ((dl * 100) div avgdl)) div 100))"
+        ).alias("tfc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.col("idf") * F.col("tfc")).cast("long").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``(query_id, doc_id, rank_a, rank_b, rrf_x1e6, rank)``:
+    reciprocal-rank fusion of two ranked retrieval lists (Cormack,
+    Clarke & Büttcher, SIGIR 2009 — public method), the standard hybrid
+    sparse+dense combiner. Integer contract: each list contributes
+    ``scale div (k0 + rank)``; a document absent from a list
+    contributes 0 and reports rank −1 (the crawl_delta sentinel rule).
+    ``k0 = 60`` is the paper's constant.
+
+    Inputs are (query_id, doc_id, rank) relations — ALREADY truncated
+    top-k lists (fusing truncated lists is RRF's normal deployment).
+    Both sides are per-query-bounded, so the full-outer merge join and
+    the per-query rank window cost Θ(Q·k). The final rank breaks rrf
+    ties on doc_id ascending (deterministic LIMIT boundary)."""
+    ar = a.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank_a")
+    )
+    br = b.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank_b")
+    )
+    fused = ar.join(br, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("rank_a", F.lit(-1)).cast("long").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(-1)).cast("long").alias("rank_b"),
+        (
+            F.coalesce(
+                F.expr(f"{int(scale)} div ({int(k0)} + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{int(scale)} div ({int(k0)} + rank_b)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_x1e6"), F.asc("doc_id")
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)

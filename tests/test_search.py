@@ -213,3 +213,81 @@ def test_bfs_duplicate_seeds_and_cycle(spark):
         for r in bfs_depths(df, sdf, max_hops=4).collect()
     }
     assert got == {"a": 0, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# query-by-example BM25 + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def _mlt_reference(rows, query_ids, k, max_term_df=None):
+    """Pure-Python bm25_by_example: scalars over docs with >= 1 token,
+    terms = the query doc's distinct words under the df cap, self
+    excluded."""
+    docs = {i: [w for w in t.split(" ") if w] for i, t in rows}
+    nonempty = {i: ws for i, ws in docs.items() if ws}
+    n_docs = len(nonempty)
+    avgdl = max(1, sum(len(ws) for ws in nonempty.values()) // n_docs)
+    vocab = {w for ws in nonempty.values() for w in ws}
+    dfreq = {t: sum(1 for ws in nonempty.values() if t in ws)
+             for t in vocab}
+    out = {}
+    for q in query_ids:
+        terms = {t for t in set(docs.get(q, []))
+                 if max_term_df is None or dfreq[t] <= max_term_df}
+        scored = []
+        for i, ws in nonempty.items():
+            if i == q:
+                continue
+            dl, score, n_terms = len(ws), 0, 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                idf = ((n_docs - dfreq[t] + 1) * 100) // (dfreq[t] + 1)
+                inner = 25 + (75 * ((dl * 100) // avgdl)) // 100
+                tfc = (tf * 220 * 100 * 1000) // (tf * 10000 + 120 * inner)
+                score += idf * tfc
+            if n_terms:
+                scored.append((i, n_terms, score))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        for rank, (i, n_terms, score) in enumerate(scored[:k], 1):
+            out[(q, i)] = (n_terms, score, rank)
+    return out
+
+
+def test_bm25_by_example_matches_python_reference(spark):
+    from servico_ocr_spark.operators import bm25_by_example
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qids = spark.createDataFrame([(0,), (7,), (13,)], "doc_id long")
+    for cap in (None, 40):
+        got = {(r["query_id"], r["doc_id"]):
+               (r["n_terms"], r["score"], r["rank"])
+               for r in bm25_by_example(
+                   df, qids, k=6, max_term_df=cap).collect()}
+        assert got == _mlt_reference(rows, [0, 7, 13], 6, max_term_df=cap)
+        assert got  # non-vacuous at both cap settings
+    # self-exclusion: a query never retrieves itself
+    assert not any(q == d for q, d in got)
+
+
+def test_rrf_fuse_arithmetic_and_sentinels(spark):
+    from servico_ocr_spark.operators import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long")
+    got = {r["doc_id"]: (r["rank_a"], r["rank_b"], r["rrf_x1e6"], r["rank"])
+           for r in rrf_fuse(a, b, k=3).collect()}
+    # doc 11 is in both lists: 1e6//62 + 1e6//61 = 16129 + 16393
+    assert got[11] == (2, 1, 16129 + 16393, 1)
+    # singles carry the -1 sentinel and one contribution
+    assert got[10] == (1, -1, 1000000 // 61, 2)
+    assert got[13] == (-1, 2, 1000000 // 62, 3)
+    # k=3 cap drops doc 12 (1e6//63 = 15873, rank 4)
+    assert 12 not in got
