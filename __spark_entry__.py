@@ -3110,6 +3110,82 @@ FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
 """
 
 
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-rate anomaly flags (operators/events.rate_anomalies):
+    exact integer Poisson z-test per (event_type, day) over the
+    zero-filled span. The fixture injects both anomaly branches from
+    the data itself (the decontaminate injection rule): day-3 clicks
+    are TRIPLED (two extra copies per event) and day-5 views removed
+    entirely — so spike, drop AND normal statuses are live at every
+    sf. z=2, not the operator's z=3 default, because at sf0.001 the
+    view key averages ~6 events/day and even a zero day is only
+    ~2.3σ under Poisson — a measured small-scale bound, not a tuning
+    fudge; organic ~2σ boundary days flag identically on both engines
+    (exact integer test)."""
+    from servico_ocr_spark.operators import rate_anomalies
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    dropped = ev.where(
+        ~(
+            (F.col("event_type") == "view")
+            & (F.to_date("ts") == F.lit("2024-01-05").cast("date"))
+        )
+    )
+    extra = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & (F.to_date("ts") == F.lit("2024-01-03").cast("date"))
+        )
+        .crossJoin(spark.range(2).select(F.col("id").alias("_r")))
+        .select("event_id", "ts", "event_type")
+    )
+    return rate_anomalies(dropped.unionByName(extra), z=2)
+
+
+def _o_rate_anomalies() -> str:
+    return f"""
+WITH ev AS (
+    SELECT event_id, ts, event_type FROM events
+    WHERE NOT (event_type = 'view' AND ts::DATE = DATE '2024-01-05')
+    UNION ALL
+    SELECT e.event_id, e.ts, e.event_type
+    FROM events e CROSS JOIN (SELECT unnest([1, 2]) AS r) t
+    WHERE e.event_type = 'click' AND e.ts::DATE = DATE '2024-01-03'
+),
+daily AS (
+    SELECT event_type AS key, ts::DATE AS day, count(*)::BIGINT AS n
+    FROM ev GROUP BY 1, 2
+),
+base AS (
+    SELECT key, min(day) AS d0, max(day) AS d1,
+           sum(n)::BIGINT AS base_total,
+           (max(day) - min(day) + 1)::BIGINT AS base_days
+    FROM daily GROUP BY key
+),
+cal AS (
+    SELECT key, base_total, base_days,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM base
+),
+f AS (
+    SELECT c.key, c.day, coalesce(d.n, 0)::BIGINT AS n_events,
+           c.base_total, c.base_days
+    FROM cal c LEFT JOIN daily d ON d.key = c.key AND d.day = c.day
+)
+SELECT key, strftime(day, '%Y-%m-%d') AS day, n_events,
+       base_total, base_days,
+       CASE WHEN (n_events * base_days - base_total)
+                 * (n_events * base_days - base_total)
+                 > 4 * base_total * base_days
+            THEN CASE WHEN n_events * base_days > base_total
+                      THEN 'spike' ELSE 'drop' END
+            ELSE 'normal' END AS status
+FROM f
+"""
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition counts over the events table
     (operators/events.event_transitions): consecutive event-type pairs
@@ -5313,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "activity_gapfill": _q_activity_gapfill,
         "event_transitions": _q_event_transitions,
+        "rate_anomalies": _q_rate_anomalies,
         "asof_attribution": _q_asof_attribution,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
@@ -5419,6 +5496,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _O_COHORT_RETENTION,
         "activity_gapfill": _O_ACTIVITY_GAPFILL,
         "event_transitions": _O_EVENT_TRANSITIONS,
+        "rate_anomalies": _o_rate_anomalies(),
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,

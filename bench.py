@@ -254,6 +254,9 @@ BENCH_FAMILIES = {
         # calendar gap-fill: one (user, day) combinable count +
         # per-user span explode (state = users x calendar span)
         "activity_gapfill",
+        # exact integer Poisson z-test per (key, day) over the
+        # zero-filled span (dev^2 > z^2*s*nd, no float sqrt)
+        "rate_anomalies",
         # backward as-of join (union-and-window: one shuffle, no join
         # operator; oracle is DuckDB's native ASOF JOIN)
         "asof_attribution",

@@ -91,6 +91,7 @@ from .events import (  # noqa: F401
     cohort_retention,
     event_transitions,
     funnel_counts,
+    rate_anomalies,
 )
 from .linkage import edit1_linkage  # noqa: F401
 from .lm import (  # noqa: F401

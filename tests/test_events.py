@@ -256,3 +256,66 @@ def test_activity_gapfill_partitioning_independence(spark):
         assert days == sorted(days)
         assert (days[-1] - days[0]).days + 1 == len(days)
         assert pairs[0][1] > 0 and pairs[-1][1] > 0  # endpoints active
+
+
+# ---------------------------------------------------------------------------
+# daily-rate anomaly flags (integer Poisson z-test)
+# ---------------------------------------------------------------------------
+
+def _py_rate_anomalies(rows, z=3):
+    """rows: (key, 'yyyy-mm-dd'). Independent mirror of rate_anomalies:
+    zero-filled span, dev = n*nd - s, anomalous iff dev^2 > z^2*s*nd."""
+    from collections import Counter
+    from datetime import date, timedelta
+
+    daily = Counter(rows)
+    keys = {k for k, _ in rows}
+    out = {}
+    for k in keys:
+        days = sorted(d for kk, d in daily if kk == k)
+        d0 = date.fromisoformat(days[0])
+        d1 = date.fromisoformat(days[-1])
+        nd = (d1 - d0).days + 1
+        s = sum(n for (kk, _), n in daily.items() if kk == k)
+        for i in range(nd):
+            d = (d0 + timedelta(days=i)).isoformat()
+            n = daily.get((k, d), 0)
+            dev = n * nd - s
+            if dev * dev > z * z * s * nd:
+                status = "spike" if dev > 0 else "drop"
+            else:
+                status = "normal"
+            out[(k, d)] = (n, s, nd, status)
+    return out
+
+
+def test_rate_anomalies_matches_python_reference(spark):
+    from servico_ocr_spark.operators import rate_anomalies
+
+    # key 'a': steady 10/day over 9 days, except a 40-event day-3 spike
+    # and a zero day-6 (absent from input -> must be zero-FILLED and
+    # flagged); key 'b': a 2-day key (short span edge)
+    rows = []
+    for i in range(1, 10):
+        if i == 6:
+            continue
+        n = 40 if i == 3 else 10
+        rows += [("a", f"2024-02-0{i}")] * n
+    rows += [("b", "2024-02-01")] * 5 + [("b", "2024-02-03")] * 5
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(k, f"{d} 12:00:00") for k, d in rows],
+        "event_type string, ts string",
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["key"], r["day"]):
+           (r["n_events"], r["base_total"], r["base_days"], r["status"])
+           for r in rate_anomalies(ev, z=3).collect()}
+    want = _py_rate_anomalies(rows, z=3)
+    assert got == want
+    # the three branches are all live, incl. the zero-filled drop day
+    assert got[("a", "2024-02-03")][3] == "spike"
+    assert got[("a", "2024-02-06")] == (0, 110, 9, "drop")
+    assert got[("a", "2024-02-01")][3] == "normal"
+    # b's missing middle day exists as a zero-filled row
+    assert ("b", "2024-02-02") in got
