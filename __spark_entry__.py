@@ -554,6 +554,63 @@ WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
 """
 
 
+def _q_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.
+    incremental_near_duplicates): the doc_id % 3 == 0 third plays the
+    'new crawl batch', the rest the history — candidates restricted to
+    CROSS-side band collisions (old×old mass never generated). Same
+    signature/cap arithmetic as minhash_neardups, so pairs here are
+    exactly that query's pairs that cross the partition — the nesting
+    is the correctness story."""
+    docs = _read(spark, sf_dir, "documents")
+    from servico_ocr_spark.operators import incremental_near_duplicates
+
+    return incremental_near_duplicates(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+        max_word_df=_minhash_word_cap(spark, sf_dir),
+    )
+
+
+def _o_incremental_neardups() -> str:
+    mh = _d_h48("(i::VARCHAR || ':' || w)")
+    inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
+    return f"""
+WITH base AS ({_d_words_cte()}),
+wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+cap AS (SELECT ((9 * count(*) + 9) // 10)::BIGINT AS v FROM documents),
+wx AS (SELECT doc_id, w FROM (
+           SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+       WHERE df <= (SELECT v FROM cap)),
+dw AS (SELECT doc_id, list(w) AS ws FROM wx GROUP BY doc_id),
+sig AS (
+    SELECT wx.doc_id, t.i, min({mh}) AS mh
+    FROM wx CROSS JOIN range({_MINHASH_K}) t(i)
+    GROUP BY wx.doc_id, t.i
+),
+bands AS (
+    SELECT doc_id, i // {_MINHASH_K // _MINHASH_BANDS} AS band,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
+    FROM sig GROUP BY doc_id, i // {_MINHASH_K // _MINHASH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh
+     AND a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+)
+SELECT c.old_id, c.new_id,
+       floor({inter} * 100 /
+             (len(a.ws) + len(b.ws) - {inter}))::BIGINT AS jaccard_pct
+FROM cand c JOIN dw a ON a.doc_id = c.old_id JOIN dw b ON b.doc_id = c.new_id
+WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
+      >= {int(_MINHASH_THRESHOLD * 100)}
+"""
+
+
 def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup grouping over the minhash pair graph.
     Alternating large-star/small-star contraction (O(log D) rounds) is
@@ -5308,6 +5365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "minhash_neardups": _q_minhash_neardups,
+        "incremental_neardups": _q_incremental_neardups,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
@@ -5415,6 +5473,7 @@ def oracle_sql() -> dict[str, str]:
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,
         "minhash_neardups": _o_minhash_neardups(),
+        "incremental_neardups": _o_incremental_neardups(),
         "neardup_components": _o_neardup_components(),
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),

@@ -95,6 +95,10 @@ BENCH_FAMILIES = {
         # directional containment (quote/subset detector; per-side
         # denominators, shares the shingle table + df cap)
         "ngram_containment",
+        # incremental-ingest dedup: cross-side-only band candidates
+        # (old×old mass never generated); output is Θ(true cross
+        # pairs) on this template corpus — large like neardup_components
+        "incremental_neardups",
         # benchmark decontamination (broadcast probe, no corpus shuffle)
         "decontaminate",
         # MOSS winnowing: selection is ONE combinable agg (rightmost-min

@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
     component_representatives,
     decontaminate,
     exact_duplicates,
+    incremental_near_duplicates,
     minhash_candidate_telemetry,
     minhash_near_duplicates,
     minhash_signatures,

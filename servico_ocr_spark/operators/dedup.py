@@ -1106,3 +1106,128 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment_pct") >= threshold_pct)
     )
+
+
+def incremental_near_duplicates(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """``(old_id, new_id, jaccard_pct)``: near-duplicates of NEW
+    documents against an EXISTING corpus — the incremental-ingest twin
+    of :func:`minhash_near_duplicates` (crawl_delta handles exact url
+    identity; this catches a re-crawled page whose content drifted, or
+    the same article on a new url). Ids must be distinct across sides
+    (they are urls/content ids in production; the driver fixture carves
+    disjoint id subsets).
+
+    The point of the operator is what it does NOT compute: banding runs
+    over the union, but candidate pairs are restricted to CROSS-side
+    band collisions — the old×old pairs (the overwhelming mass: history
+    is 10²-10⁴× a daily batch) and new×new pairs are never generated,
+    never verified. Per-band fan-out is |old ∩ bucket| × |new ∩ bucket|
+    instead of the full bucket square. Word-df caps and signature
+    hashes are computed over the UNION so a doc's signature is
+    identical whichever side it lands on (in production the df stats
+    come from the history index; the union is the exact small-scale
+    stand-in). Verification is the standard two equi-join exact
+    Jaccard, old-side words against new-side words only — the shared
+    subplans reuse the minhash discipline so AQE's ReuseExchange
+    collapses the repeated word-table references (the r3 lesson, locked
+    for the minhash fixture)."""
+    tagged = old.select(
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).unionByName(
+        new.select(
+            F.lit(1).alias("side"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    wx = _cap_doc_freq(
+        tagged.select(
+            "side",
+            "doc_id",
+            F.explode(distinct_words(F.col("text"))).alias("w"),
+        ),
+        "w",
+        max_word_df,
+    )
+    sides = tagged.select("doc_id", "side")
+    sigs = _signatures_from_words(wx.select("doc_id", "w"), num_hashes)
+    rows = num_hashes // bands
+    band_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                .cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = (
+        sigs.join(sides, "doc_id")
+        .select("doc_id", "side", band_entries.alias("e"))
+        .select("doc_id", "side", "e.band", "e.band_hash")
+    )
+    cands = (
+        banded.where(F.col("side") == 0)
+        .alias("a")
+        .join(
+            banded.where(F.col("side") == 1).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("old_id"),
+            F.col("b.doc_id").alias("new_id"),
+        )
+        .distinct()
+    )
+    sizes = wx.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    inter = (
+        cands.join(
+            wx.select(F.col("doc_id").alias("old_id"), "w"), "old_id"
+        )
+        .join(
+            wx.select(F.col("doc_id").alias("new_id"), "w"),
+            ["new_id", "w"],
+        )
+        .groupBy("old_id", "new_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("old_id"),
+                     F.col("n_words").alias("na")),
+        "old_id",
+    ).join(
+        sizes.select(F.col("doc_id").alias("new_id"),
+                     F.col("n_words").alias("nb")),
+        "new_id",
+    )
+    jacc_pct = F.floor(
+        F.col("inter") * 100 / (F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    return joined.select(
+        "old_id",
+        "new_id",
+        jacc_pct.cast("long").alias("jaccard_pct"),
+    ).where(F.col("jaccard_pct") >= int(threshold * 100))

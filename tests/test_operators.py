@@ -1255,3 +1255,36 @@ def test_ngram_containment_python_reference(spark):
            for r in ngram_containment_pairs(
                df, threshold_pct=40, max_doc_freq=5).collect()}
     assert got == want
+
+
+def test_incremental_neardups_nest_in_full_minhash(spark):
+    from servico_ocr_spark.operators import (
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    # template families with drift so minhash finds pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, base + f" extra{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    old = df.where("doc_id % 3 != 0")
+    new = df.where("doc_id % 3 = 0")
+    inc = {(r["old_id"], r["new_id"]): r["jaccard_pct"]
+           for r in incremental_near_duplicates(
+               old, new, num_hashes=16, bands=8, threshold=0.5).collect()}
+    full = {}
+    for r in minhash_near_duplicates(
+            df, num_hashes=16, bands=8, threshold=0.5).collect():
+        full[(r["id_a"], r["id_b"])] = r["jaccard_pct"]
+    # exactly the full pairs that cross the partition, same scores
+    # (full emits a<b; incremental emits (old, new))
+    want = {}
+    for (a, b), j in full.items():
+        sa, sb = a % 3 != 0, b % 3 != 0
+        if sa and not sb:
+            want[(a, b)] = j
+        elif sb and not sa:
+            want[(b, a)] = j
+    assert inc == want and inc  # non-vacuous
+    # and no same-side pair leaks through
+    assert all(o % 3 != 0 and n % 3 == 0 for o, n in inc)
