@@ -3000,6 +3000,65 @@ LIMIT 10
 """
 
 
+def _q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local-supplier volume): six-table star join —
+    lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    customer-nation ≡ supplier-nation predicate — revenue per nation in
+    deterministic cents. Plan intent: region/nation are EXPLICIT
+    broadcasts (constant-size dims — no reason to let a statistics
+    misestimate shuffle them); the date filter lands on the orders scan
+    (PushedFilters) so the orders⋈lineitem shuffle carries only the
+    two-year window; customer/supplier joins are AQE's call (both
+    corpus-scaled — broadcastable at sf, shuffled at 100 TB, and the
+    declarative plan lets Catalyst flip per scale)."""
+    p = sf_dir
+    region = _read(spark, p, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, p, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    orders = _read(spark, p, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _read(spark, p, "lineitem")
+    cust = _read(spark, p, "customer")
+    sup = _read(spark, p, "supplier")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(revenue).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_O_REGIONAL_VOLUME = """
+SELECT n_name, count(*)::BIGINT AS n_items,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+           AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def _q_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -5442,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "first_orders": _q_first_orders,
+        "regional_volume": _q_regional_volume,
         "sessionize": _q_sessionize,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
@@ -5550,6 +5610,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
+        "regional_volume": _O_REGIONAL_VOLUME,
         "sessionize": _O_SESSIONIZE,
         "funnel_steps": _o_funnel_steps(),
         "cohort_retention": _O_COHORT_RETENTION,

@@ -245,6 +245,9 @@ BENCH_FAMILIES = {
         "pricing_summary",
         "top_revenue_orders",
         "first_orders",
+        # TPC-H Q5 analog: six-table star join, explicit dim broadcasts,
+        # date filter pushed to the orders scan
+        "regional_volume",
         "sessionize",
         # strictly-ordered first-touch funnel (|users|-bounded step
         # frames, per-step lazy checkpoint bounds rescans to K)
