@@ -1452,6 +1452,50 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise pruning (operators/similarity.
+    label_centroid_outliers): cosine of every vector to its own label's
+    centroid-direction (per-dim SUM — no pre-cosine division), outlier
+    iff cos < 0. Both branches live at every sf: the labels carry mild
+    real structure (measured within-label cos mean ≈ 0.15, range
+    −0.30..0.47 at sf0.01), so ~1/4 of vectors flag."""
+    from servico_ocr_spark.operators import label_centroid_outliers
+
+    return label_centroid_outliers(_read(spark, sf_dir, "embeddings"))
+
+
+_O_EMBEDDING_OUTLIERS = f"""
+WITH v AS (
+    SELECT vec_id, label, {_O_INT_VEC} AS iv FROM embeddings
+),
+ex AS (
+    SELECT vec_id, label, generate_subscripts(iv, 1) - 1 AS d,
+           unnest(iv) AS x
+    FROM v
+),
+cent AS (
+    SELECT label, d, sum(x)::BIGINT AS sx FROM ex GROUP BY label, d
+),
+cnorm AS (SELECT label, sum(sx * sx)::BIGINT AS cn FROM cent GROUP BY label),
+pv AS (
+    SELECT ex.vec_id, ex.label,
+           sum(ex.x * cent.sx)::BIGINT AS dot,
+           sum(ex.x * ex.x)::BIGINT AS vn
+    FROM ex JOIN cent ON cent.label = ex.label AND cent.d = ex.d
+    GROUP BY ex.vec_id, ex.label
+)
+SELECT pv.vec_id, pv.label,
+       floor(pv.dot * 1000000 /
+             (sqrt(CAST(pv.vn AS DOUBLE))
+              * sqrt(CAST(cnorm.cn AS DOUBLE))))::BIGINT AS cos_e6,
+       (CASE WHEN floor(pv.dot * 1000000 /
+                        (sqrt(CAST(pv.vn AS DOUBLE))
+                         * sqrt(CAST(cnorm.cn AS DOUBLE)))) < 0
+             THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+FROM pv JOIN cnorm ON cnorm.label = pv.label
+"""
+
+
 _EMB_NEARDUP_T = 400000  # sf embeddings are near-orthogonal random vectors; max pair ~0.49
 _EMB_NEARDUP_PLANES = 8  # = resolve_srp_planes(65536), i.e. the ~2^16-row
 #                          tier — pinned WIDER than the sf corpora resolve
@@ -5445,6 +5489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "kmeans_summary": _q_kmeans_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "embedding_outliers": _q_embedding_outliers,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
@@ -5554,6 +5599,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _o_kmeans(),
         "kmeans_summary": _o_kmeans_summary(),
         "embedding_dim_stats": _o_embedding_dim_stats(),
+        "embedding_outliers": _O_EMBEDDING_OUTLIERS,
         "lang_id": _o_lang_id(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,

@@ -239,6 +239,9 @@ BENCH_FAMILIES = {
         # per-dimension integer moments of the embedding column
         # (posexplode + ONE combinable agg on dim)
         "embedding_dim_stats",
+        # label-noise pruning: cos to per-label centroid-SUM direction
+        # (one (label,dim) agg + one equi-join, no array rebuild)
+        "embedding_outliers",
     ],
     "relational": [
         "events_json",

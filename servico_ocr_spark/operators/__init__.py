@@ -31,6 +31,7 @@ from .similarity import (  # noqa: F401
     embedding_candidate_telemetry,
     embedding_near_duplicates,
     ivf_ann_topk,
+    label_centroid_outliers,
     lsh_ann_topk,
 )
 from .webtext import (  # noqa: F401

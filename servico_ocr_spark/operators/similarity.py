@@ -393,3 +393,69 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
     )
+
+
+def label_centroid_outliers(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold_e6: int = 0,
+) -> DataFrame:
+    """``(vec_id, label, cos_e6, is_outlier)``: each vector's cosine to
+    its OWN label's centroid, flagged when below ``threshold_e6`` — the
+    label-noise pruning / dataset-filtering step (prune examples that
+    disagree with their class direction; the CLIP-filter shape for
+    labeled embedding corpora). Cosine to the per-dim SUM vector — the
+    same direction as the mean, so no division happens before the
+    final cosine (integer-exact until the one floor(·1e6/√·√) step,
+    the brute_force_topk precedent).
+
+    Fully relational — no array rebuild: vectors posexplode to
+    (id, label, dim, x); centroids are ONE (label, dim) sum aggregate
+    (state = labels × dims, tiny); the per-vector dot/norm is one
+    equi-join on (label, dim) + one combinable aggregate. The exploded
+    table feeds both sides — two column-pruned corpus scans rather
+    than materializing the Θ(n·dims) explosion (the bm25_by_example
+    trade, decided the other way because the explosion is larger than
+    the source here). Centroid norms ride the same (label, dim) state.
+
+    BIGINT bound: per-dim quantized |x| ≲ 3·10³, so x·Σx overflows
+    only past ~10¹² vectors per label — the embedding_dim_stats bound.
+    """
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(_int_vec(F.col(vec_col))).alias("d", "x"),
+    )
+    cent = ex.groupBy("label", "d").agg(
+        F.sum("x").cast("long").alias("sx")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("sx") * F.col("sx")).cast("long").alias("cn")
+    )
+    per_vec = (
+        ex.join(cent, ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("sx")).cast("long").alias("dot"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("vn"),
+        )
+    )
+    cos = F.floor(
+        F.col("dot")
+        * 1000000
+        / (
+            F.sqrt(F.col("vn").cast("double"))
+            * F.sqrt(F.col("cn").cast("double"))
+        )
+    ).cast("long")
+    return per_vec.join(cnorm, "label").select(
+        "vec_id",
+        "label",
+        cos.alias("cos_e6"),
+        F.when(cos < threshold_e6, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier"),
+    )

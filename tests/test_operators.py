@@ -1288,3 +1288,45 @@ def test_incremental_neardups_nest_in_full_minhash(spark):
     assert inc == want and inc  # non-vacuous
     # and no same-side pair leaks through
     assert all(o % 3 != 0 and n % 3 == 0 for o, n in inc)
+
+
+def test_label_centroid_outliers_matches_python_reference(spark):
+    import math
+
+    from servico_ocr_spark.operators import label_centroid_outliers
+
+    # two tight clusters + one vector pointing AWAY from its own label
+    rows = [
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [0.9, 0.0, 0.1], 0),
+        (3, [-1.0, -0.1, 0.0], 0),   # anti-aligned: the outlier
+        (4, [0.0, 1.0, 0.1], 1),
+        (5, [0.1, 0.9, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["vec_id"]: (r["label"], r["cos_e6"], r["is_outlier"])
+           for r in label_centroid_outliers(df).collect()}
+
+    # independent mirror with the exact quantize/floor contract
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    iv = {i: [math.floor(f32(x) * 1000) for x in v] for i, v, _ in rows}
+    cents = {}
+    for i, _, l in rows:
+        cents.setdefault(l, [0, 0, 0])
+        for d in range(3):
+            cents[l][d] += iv[i][d]
+    want = {}
+    for i, _, l in rows:
+        dot = sum(a * b for a, b in zip(iv[i], cents[l]))
+        vn = sum(a * a for a in iv[i])
+        cn = sum(c * c for c in cents[l])
+        cos = math.floor(dot * 1000000 / (math.sqrt(vn) * math.sqrt(cn)))
+        want[i] = (l, cos, 1 if cos < 0 else 0)
+    assert got == want
+    assert got[3][2] == 1 and got[1][2] == 0  # both branches live
