@@ -4880,6 +4880,52 @@ SELECT node, rank FROM {prev}
 """
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-level PageRank — the standard web-graph compression: the
+    page graph collapses onto its ~10⁴× smaller host graph (distinct
+    host→host edges) BEFORE the iteration, so every pagerank round
+    shuffles host-count state instead of page-count state. Composition:
+    canonicalize_urls (host extraction) → d2-lineage citation edges
+    (doc i's host links its doc-i÷2 parent's host — the url corpus's
+    deterministic cross-host structure) → links.pagerank unchanged.
+    Oracle: the SAME unrolled-CTE pagerank over the canon-CTE host
+    edges (the _o_pagerank prelude parameterization)."""
+    from servico_ocr_spark.operators import canonicalize_urls
+
+    canon = canonicalize_urls(_url_corpus(spark, sf_dir)).select(
+        "doc_id", "host"
+    )
+    parent = canon.select(
+        F.col("doc_id").alias("p_id"), F.col("host").alias("p_host")
+    )
+    edges = (
+        canon.join(parent, F.expr("doc_id div 2") == F.col("p_id"))
+        .where(
+            (F.col("host") != F.col("p_host"))
+            & (F.col("host") != "")
+            & (F.col("p_host") != "")
+        )
+        .select(F.col("host").alias("src"), F.col("p_host").alias("dst"))
+        .distinct()
+    )
+    return pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+    )
+
+
+def _o_host_pagerank() -> str:
+    prelude = _o_url_canon_cte() + """,
+edges AS (
+    SELECT DISTINCT a.host AS src, p.host AS dst
+    FROM canon a JOIN canon p ON p.doc_id = a.doc_id // 2
+    WHERE a.host <> p.host AND a.host <> '' AND p.host <> ''
+)"""
+    return _o_pagerank(prelude=prelude)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node undirected triangle counts over the link graph
     (operators/links.triangle_counts): DEGREE-ORIENTED wedge join —
@@ -5518,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
+        "host_pagerank": _q_host_pagerank,
         "random_walks": _q_random_walks,
         "hits": _q_hits,
         "communities": _q_communities,
@@ -5628,6 +5675,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": _o_link_degrees(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
+        "host_pagerank": _o_host_pagerank(),
         "random_walks": _o_random_walks(),
         "hits": _o_hits(),
         "communities": _o_communities(),

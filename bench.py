@@ -197,6 +197,9 @@ BENCH_FAMILIES = {
         "link_degrees",
         "anchor_stats",
         "pagerank",
+        # host-graph compression: distinct host→host edges BEFORE the
+        # iteration (rounds shuffle host-count state, not page-count)
+        "host_pagerank",
         # DeepWalk-style deterministic walk corpus: two 1:1 equi-joins
         # per step (hub-proof), coin flips = portable hash arithmetic
         "random_walks",
