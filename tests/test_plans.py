@@ -365,3 +365,68 @@ def test_crawl_schedule_single_input_pass(spark):
     assert final.count("Scan parquet") == 0, final[:4000]
     # the offsets side joins back broadcast — never a shuffled join
     assert "BroadcastHashJoin" in final or "BroadcastNestedLoop" not in final
+
+
+def test_regional_volume_pushdown_and_dim_broadcasts(spark):
+    """Q5 analog: the date range must reach the orders SCAN (shuffle
+    carries the two-year window only) and the star must broadcast —
+    no sort-merge join at fixture scale."""
+    df = entrymod.queries()["regional_volume"](spark, SF)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    orders_scan = next(
+        line for line in final.splitlines()
+        if "Scan parquet" in line and "orders" in line
+    )
+    assert "o_orderdate" in orders_scan and "1996-01-01" in orders_scan
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_bm25_by_example_single_postings_pass(spark):
+    """Everything derives from the lazily-checkpointed postings table —
+    the final plan must read ZERO parquet scans (one materialization,
+    no re-parse per consumer) and broadcast the query-term side."""
+    df = entrymod.queries()["bm25_related"](spark, SF)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0, final[:4000]
+    assert "BroadcastHashJoin" in final
+
+
+def test_skipgram_freq_checkpoint_bounds_scans(spark):
+    """The corpus token stream is scanned exactly twice (frequency pass
+    + kept-probe pass) pre-checkpoint — the vocab-sized freq table cut
+    keeps the token-count aggregation from running twice (measured 5
+    scans -> 2)."""
+    from pyspark.sql import Window
+    from servico_ocr_spark.operators.common import h48, words_array
+    from servico_ocr_spark.operators.lm import LM_SCALE
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    tokens = df.select(
+        F.col("doc_id"),
+        F.posexplode(words_array(F.col("text"))).alias("pos", "w"),
+    )
+    freq = (tokens.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+            .localCheckpoint(eager=False))
+    total = freq.agg(F.greatest(F.sum("f"), F.lit(1)).alias("t"))
+    fp = freq.crossJoin(F.broadcast(total)).select(
+        "w", F.expr(f"(f * {LM_SCALE}) div t").alias("f_ppm"))
+    kept = tokens.join(fp, "w").where(
+        F.pmod(h48(F.concat_ws(":", F.lit("sg"), "doc_id", "pos", "w")),
+               F.lit(LM_SCALE)) >= 0)
+    kept.collect()
+    final = _plan(kept).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 2, final[:4000]
+
+
+def test_random_walks_steps_are_equijoins_no_fanout(spark):
+    """Each step must be hash equi-joins (frontier x degs, (node,idx) x
+    ranked) — a theta/nested-loop join would be the deg-wide fan-out
+    the operator exists to avoid."""
+    df = entrymod.queries()["random_walks"](spark, SF)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
