@@ -1922,6 +1922,53 @@ SELECT doc_id, {guess} AS guessed_lang, {best} AS best_hits FROM h
 """
 
 
+def _q_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source majority language (operators/stats.majority_label ∘
+    language_id) — the CC-style per-domain language report. The mode
+    aggregate runs on the (source, lang) COUNT table (bounded by
+    sources × |langs|), never on raw docs; ties break to the
+    alphabetically first language (the lang_id tie rule, applied once
+    more at the vote level)."""
+    from servico_ocr_spark.operators import majority_label
+
+    docs = _read(spark, sf_dir, "documents")
+    langs = language_id(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return majority_label(
+        langs, "source", "guessed_lang"
+    ).withColumnsRenamed({"group": "source", "label": "majority_lang"})
+
+
+def _o_source_language() -> str:
+    return f"""
+WITH lang AS ({_o_lang_id()}),
+j AS (
+    SELECT d.source, l.guessed_lang
+    FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+),
+counts AS (
+    SELECT source, guessed_lang AS majority_lang,
+           count(*)::BIGINT AS n_label
+    FROM j GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n_label)::BIGINT AS n_group
+        FROM counts GROUP BY source),
+win AS (
+    SELECT * FROM (
+        SELECT counts.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_label DESC, majority_lang)
+                   AS rk
+        FROM counts
+    ) z WHERE rk = 1
+)
+SELECT w.source, w.majority_lang, w.n_label, t.n_group,
+       ((w.n_label * 10000) // t.n_group)::BIGINT AS share_pp10k
+FROM win w JOIN tot t USING (source)
+"""
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"))
 
@@ -5537,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_outliers": _q_embedding_outliers,
         "lang_id": _q_lang_id,
+        "source_language": _q_source_language,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
         "bm25_search": _q_bm25_search,
@@ -5648,6 +5696,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _o_embedding_dim_stats(),
         "embedding_outliers": _O_EMBEDDING_OUTLIERS,
         "lang_id": _o_lang_id(),
+        "source_language": _o_source_language(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
         "bm25_search": _o_bm25_search(),

@@ -109,6 +109,9 @@ BENCH_FAMILIES = {
     "textstats": [
         "fingerprint",
         "lang_id",
+        # per-source majority language: generic distributed MODE —
+        # argmax window over the (group,label) COUNT table, never docs
+        "source_language",
         "quality_score",
         "token_counts",
         # Gopher/MassiveText-style within-doc repetition metrics

@@ -106,6 +106,7 @@ from .stats import (  # noqa: F401
     distinct_count_telemetry,
     embedding_dim_stats,
     exact_group_quantiles,
+    majority_label,
 )
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401

@@ -135,3 +135,54 @@ def embedding_dim_stats(
         F.min("q").cast("long").alias("min_q"),
         F.max("q").cast("long").alias("max_q"),
     )
+
+
+def majority_label(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    id_count: str = "*",
+) -> DataFrame:
+    """``(group, label, n_label, n_group, share_pp10k)``: each group's
+    majority label (the distributed MODE aggregate), ties broken by
+    label ascending — deterministic on any engine. The per-domain
+    language vote of CommonCrawl-style curation reports, but generic
+    over any (group, label) pair.
+
+    Scale shape: ONE map-side-combinable (group, label) count collapses
+    the corpus; everything after runs on that bounded table (≤ groups ×
+    distinct labels): group totals re-aggregated from it (never a
+    second corpus scan — the bigram_lm discipline) and the argmax as a
+    per-group window over ≤ |labels| rows (a label-cardinality window,
+    not a data window — no hot-group straggler is possible because the
+    window input is the aggregate). The counts table feeds the totals
+    agg and the final join, so it is lazily localCheckpointed."""
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("group"),
+            F.col(label_col).alias("label"),
+        )
+        .agg(F.count(id_count).cast("long").alias("n_label"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("group").agg(
+        F.sum("n_label").cast("long").alias("n_group")
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc("n_label"), F.asc("label")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .join(totals, "group")
+        .select(
+            "group",
+            "label",
+            "n_label",
+            "n_group",
+            F.expr("(n_label * 10000) div n_group")
+            .cast("long")
+            .alias("share_pp10k"),
+        )
+    )

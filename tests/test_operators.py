@@ -1330,3 +1330,22 @@ def test_label_centroid_outliers_matches_python_reference(spark):
         want[i] = (l, cos, 1 if cos < 0 else 0)
     assert got == want
     assert got[3][2] == 1 and got[1][2] == 0  # both branches live
+
+
+def test_majority_label_mode_and_tie_rule(spark):
+    from servico_ocr_spark.operators import majority_label
+
+    rows = (
+        [("g1", "en")] * 3 + [("g1", "pt")] * 2
+        + [("g2", "pt")] * 2 + [("g2", "en")] * 2   # tie -> 'en'
+        + [("g3", "xx")]
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["group"]: (r["label"], r["n_label"], r["n_group"],
+                        r["share_pp10k"])
+           for r in majority_label(df, "source", "lang").collect()}
+    assert got == {
+        "g1": ("en", 3, 5, 6000),
+        "g2": ("en", 2, 4, 5000),  # tie broken alphabetically
+        "g3": ("xx", 1, 1, 10000),
+    }
