@@ -456,3 +456,89 @@ def test_kmeans_equals_pure_python_lloyd(spark):
         for r in kmeans_lite(df, k=k, iterations=iters).collect()
     }
     assert got == expected
+
+
+def test_winnow_guarantee_over_random_corpora(spark):
+    """Winnowing's paper guarantee, fuzzed: for ANY pair of docs sharing
+    a token run of length >= window + k - 1, the fingerprint sets
+    intersect; and per-doc fingerprints match the brute-force rightmost-
+    min selection exactly (md5-arithmetic corpora, 3 seeds)."""
+    import hashlib
+
+    from servico_ocr_spark.operators import winnow_fingerprints
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    K, W = 3, 4
+    for seed in range(3):
+        vocab = [f"w{v}" for v in range(12)]
+        shared = " ".join(vocab[h(f"{seed}s{j}") % 12] for j in range(W + K - 1))
+        docs = []
+        for i in range(30):
+            n = h(f"{seed}.{i}") % 14 + 2
+            toks = [vocab[h(f"{seed}.{i}.{j}") % 12] for j in range(n)]
+            text = " ".join(toks)
+            if i % 5 == 0:  # embed the shared run at a varying offset
+                cut = h(f"{seed}c{i}") % (len(toks) + 1)
+                text = " ".join(toks[:cut] + [shared] + toks[cut:])
+            docs.append((i, text))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = winnow_fingerprints(df, k=K, window=W).collect()
+        got = {(r["doc_id"], r["fp_pos"], r["fp_h48"]) for r in rows}
+
+        # brute-force reference
+        def h48(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+        want = set()
+        for did, text in docs:
+            ws = [x for x in text.split(" ") if x]
+            grams = [h48(" ".join(ws[i:i + K]))
+                     for i in range(len(ws) - K + 1)]
+            g = len(grams)
+            for i in range(max(g - W, 0) + 1):
+                win = grams[i:i + W]
+                if not win:
+                    continue
+                m = min(win)
+                j = i + max(o for o, v in enumerate(win) if v == m)
+                want.add((did, j, grams[j]))
+        assert got == want
+        # guarantee: every carrier pair shares >= 1 fingerprint
+        carriers = [d for d, t in docs if d % 5 == 0]
+        fsets = {d: {fp for dd, _, fp in got if dd == d} for d in carriers}
+        for a in carriers:
+            for b in carriers:
+                if a < b:
+                    assert fsets[a] & fsets[b], (seed, a, b)
+
+
+def test_skipgram_pairs_symmetric_and_nested_subsampling(spark):
+    """For ANY corpus: (1) pair counts are symmetric; (2) raising the
+    subsample threshold only ADDS kept occurrences (nesting in the
+    hash-threshold sense does not hold for pairs — dropping a middle
+    word can CREATE bridged pairs — but total pair mass grows)."""
+    import hashlib
+
+    from servico_ocr_spark.operators import skipgram_pairs
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for seed in range(2):
+        docs = [
+            (i, " ".join(
+                f"t{h(f'{seed}.{i}.{j}') % 9}"
+                for j in range(h(f"{seed}.{i}") % 12)
+            ))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        lo = {(r["center"], r["context"]): r["n_pairs"]
+              for r in skipgram_pairs(df, subsample_ppm=30_000).collect()}
+        hi = {(r["center"], r["context"]): r["n_pairs"]
+              for r in skipgram_pairs(df, subsample_ppm=1_000_000).collect()}
+        for (a, b), n in lo.items():
+            assert lo[(b, a)] == n
+        assert sum(hi.values()) >= sum(lo.values())
