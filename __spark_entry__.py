@@ -4325,6 +4325,44 @@ _MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
 _MIX_DENOM = 10_000
 
 
+def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication mixing (operators/packing.epoch_upsample): src0 at
+    2.5 epochs (every doc twice, a hash-selected half a third time),
+    src1 at exactly 1.0, everything else at 0.4 — the three regimes
+    (multi-copy, identity, fractional-drop) all live at every sf.
+    Zero-shuffle: CASE rates + hash projection + bounded explode."""
+    from servico_ocr_spark.operators import epoch_upsample
+
+    return epoch_upsample(
+        _read(spark, sf_dir, "documents"),
+        rates_pp10k={"src0": 25_000, "src1": 10_000},
+        default_pp10k=4_000,
+    )
+
+
+def _o_epoch_mix() -> str:
+    h = _d_h48("('ep:' || doc_id::VARCHAR)")
+    return f"""
+WITH r AS (
+    SELECT doc_id, source AS stratum,
+           CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+                ELSE 4000 END AS rate,
+           {h} % 10000 AS frac
+    FROM documents
+),
+c AS (
+    SELECT doc_id, stratum,
+           (rate // 10000
+            + CASE WHEN frac < rate % 10000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_copies
+    FROM r
+)
+SELECT doc_id, stratum, n_copies,
+       unnest(range(1, n_copies + 1))::BIGINT AS epoch_ix
+FROM c WHERE n_copies >= 1
+"""
+
+
 def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import token_budget_mix
 
@@ -5635,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking_pipeline": _q_chunking_pipeline,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
+        "epoch_mix": _q_epoch_mix,
         "stratified_sample": _q_stratified_sample,
         "contrastive_negatives": _q_contrastive_negatives,
         "dup_span_removal": _q_dup_span_removal,
@@ -5747,6 +5786,7 @@ def oracle_sql() -> dict[str, str]:
         "chunking_pipeline": _o_chunking_pipeline(),
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
+        "epoch_mix": _o_epoch_mix(),
         "stratified_sample": _o_stratified_sample(),
         "contrastive_negatives": _o_contrastive_negatives(),
         "dup_span_removal": _o_dup_span_removal(),

@@ -287,6 +287,9 @@ BENCH_FAMILIES = {
         "chunk_documents",
         "pack_sequences",
         "token_budget_mix",
+        # replication mixing (rates > 1 epoch): zero-shuffle CASE rates
+        # + hash projection + bounded explode
+        "epoch_mix",
         # deterministic per-stratum eval sample: hash-ordered top-k
         # per source under WindowGroupLimit (nested samples free)
         "stratified_sample",

@@ -77,6 +77,7 @@ from .textstats import (  # noqa: F401
 from .packing import (  # noqa: F401
     assign_split,
     chunk_documents,
+    epoch_upsample,
     negative_sampling,
     pack_sequences,
     stratified_sample,

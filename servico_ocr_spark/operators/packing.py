@@ -409,3 +409,65 @@ def negative_sampling(
         d.select(F.col("id").alias("_nrk"), F.col("value").alias("negative")),
         "_nrk",
     ).select("anchor", "j", "negative")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    rates_pp10k: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_pp10k: int = 10_000,
+    salt: str = "ep",
+) -> DataFrame:
+    """``(doc_id, stratum, n_copies, epoch_ix)``: deterministic
+    REPLICATION mixing — the complement of :func:`token_budget_mix`'s
+    down-sampler for the rates > 1 regime (train small high-quality
+    sources for multiple epochs: the published data-mix practice —
+    e.g. Wikipedia at 2-3 epochs in GPT-3's appendix mix — done
+    exactly). A rate of 25 000 pp10k means every doc appears twice and
+    a deterministic hash-selected 50% appear a third time:
+    ``n_copies = rate div 10⁴ + (1 if h48(salt:id) mod 10⁴ < rate mod
+    10⁴)``, so expected copies = rate/10⁴ exactly, the fractional
+    subset is the SAME subset on any engine/partitioning, and the
+    kept-set at a lower rate nests inside a higher one (same hash
+    threshold shape as the samplers).
+
+    One projection + one bounded explode: ``sequence(1, n_copies)``
+    per row AFTER filtering n_copies ≥ 1 (an unfiltered
+    sequence(1, 0) would generate a DESCENDING range — Spark
+    sequence's documented footgun). ``epoch_ix`` numbers the copies
+    1..n so downstream shuffles can salt on it. Zero-shuffle: rates
+    are a literal CASE, the hash is a projection."""
+    if not rates_pp10k:
+        raise ValueError("rates_pp10k must not be empty")
+    rate = F.lit(int(default_pp10k))
+    for k, v in sorted(rates_pp10k.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(
+            rate
+        )
+    frac = F.pmod(
+        h48(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(10_000),
+    )
+    n_copies = (
+        F.expr("_rate div 10000")
+        + F.when(frac < F.pmod(F.col("_rate"), F.lit(10_000)), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            rate.alias("_rate"),
+        )
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "stratum",
+            "n_copies",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), "n_copies")
+            ).alias("epoch_ix"),
+        )
+    )

@@ -356,3 +356,47 @@ def test_negative_sampling_single_row_and_validation(spark):
     assert negative_sampling(one, m=2).count() == 0  # no valid negative
     with pytest.raises(ValueError):
         negative_sampling(one, m=0)
+
+
+def test_epoch_upsample_regimes_and_nesting(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from servico_ocr_spark.operators import epoch_upsample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)],
+        "doc_id long, source string",
+    )
+    rates = {"s0": 25_000, "s1": 10_000, "s2": 4_000}
+    got = epoch_upsample(docs, rates).collect()
+    rows = {(r["doc_id"], r["epoch_ix"]): (r["stratum"], r["n_copies"])
+            for r in got}
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    # independent mirror
+    want = {}
+    for i in range(300):
+        s = f"s{i % 3}"
+        rate = rates[s]
+        n = rate // 10_000 + (1 if h48(f"ep:{i}") % 10_000 < rate % 10_000
+                              else 0)
+        for e in range(1, n + 1):
+            want[(i, e)] = (s, n)
+    assert rows == want
+    # regimes: s0 docs appear 2 or 3 times; s1 exactly once; s2 0/1
+    per_doc = {}
+    for (i, _), (s, n) in rows.items():
+        per_doc[i] = (s, n)
+    counts = {s: set() for s in rates}
+    for i in range(300):
+        s = f"s{i % 3}"
+        counts[s].add(per_doc.get(i, (s, 0))[1])
+    assert counts["s0"] == {2, 3}
+    assert counts["s1"] == {1}
+    assert counts["s2"] == {0, 1}
+    # expected mass ~ rate: s0 mean copies in [2,3]
+    s0 = [n for i, (s, n) in per_doc.items() if s == "s0"]
+    assert 2 < sum(s0) / len(s0) < 3
