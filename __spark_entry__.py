@@ -4363,6 +4363,70 @@ FROM c WHERE n_copies >= 1
 """
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising pair generation (operators/packing.span_corruption):
+    15% deterministic token masking, consecutive masks merged to
+    sentinel spans (gaps-and-islands), input/target in T5's
+    <extra_id_k> format. Single-token and multi-token spans, unmasked
+    docs, and fully-streamed sentinel numbering are all live at every
+    sf (15% i.i.d. over 20-60-token docs)."""
+    from servico_ocr_spark.operators import span_corruption
+
+    return span_corruption(_read(spark, sf_dir, "documents"))
+
+
+def _o_span_corruption() -> str:
+    h = _d_h48("('t5:' || doc_id::VARCHAR || ':' || pos::VARCHAR)")
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos,
+           unnest(words) AS w
+    FROM base
+),
+f AS (
+    SELECT doc_id, pos, w, ({h} % 100) < 15 AS m
+    FROM tok
+),
+g AS (
+    SELECT doc_id, pos, w, m,
+           (m AND NOT coalesce(
+               lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+               false)) AS st
+    FROM f
+),
+hh AS (
+    SELECT doc_id, pos, w, m, st,
+           (sum(CASE WHEN st THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - 1)::BIGINT AS k
+    FROM g
+),
+a AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+           sum(CASE WHEN st THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+           string_agg(CASE WHEN NOT m THEN w
+                           WHEN st THEN '<extra_id_' || k::VARCHAR || '>'
+                      END, ' ' ORDER BY pos) AS input_text,
+           string_agg(CASE WHEN m AND st
+                           THEN '<extra_id_' || k::VARCHAR || '> ' || w
+                           WHEN m THEN w
+                      END, ' ' ORDER BY pos) AS target_text
+    FROM hh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_masked, 0)::BIGINT AS n_masked,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.input_text, '') AS input_text,
+       coalesce(a.target_text, '') AS target_text
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import token_budget_mix
 
@@ -5674,6 +5738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "epoch_mix": _q_epoch_mix,
+        "span_corruption": _q_span_corruption,
         "stratified_sample": _q_stratified_sample,
         "contrastive_negatives": _q_contrastive_negatives,
         "dup_span_removal": _q_dup_span_removal,
@@ -5787,6 +5852,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _o_pack_sequences(),
         "token_budget_mix": _o_token_budget_mix(),
         "epoch_mix": _o_epoch_mix(),
+        "span_corruption": _o_span_corruption(),
         "stratified_sample": _o_stratified_sample(),
         "contrastive_negatives": _o_contrastive_negatives(),
         "dup_span_removal": _o_dup_span_removal(),

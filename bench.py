@@ -290,6 +290,9 @@ BENCH_FAMILIES = {
         # replication mixing (rates > 1 epoch): zero-shuffle CASE rates
         # + hash projection + bounded explode
         "epoch_mix",
+        # T5 span-corruption pair generation: one (doc,pos) window pass
+        # (lag + running span index), per-doc string assembly
+        "span_corruption",
         # deterministic per-stratum eval sample: hash-ordered top-k
         # per source under WindowGroupLimit (nested samples free)
         "stratified_sample",

@@ -80,6 +80,7 @@ from .packing import (  # noqa: F401
     epoch_upsample,
     negative_sampling,
     pack_sequences,
+    span_corruption,
     stratified_sample,
     token_budget_mix,
 )

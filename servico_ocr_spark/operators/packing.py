@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import h48, norm_text
+from .common import h48, norm_text, words_array
 
 
 def assign_split(
@@ -470,4 +470,121 @@ def epoch_upsample(
                 F.sequence(F.lit(1).cast("long"), "n_copies")
             ).alias("epoch_ix"),
         )
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_pct: int = 15,
+    salt: str = "t5",
+) -> DataFrame:
+    """``(doc_id, n_tokens, n_masked, n_spans, input_text,
+    target_text)``: T5-style span-corruption training pairs (Raffel et
+    al. 2020 — public method), the denoising-objective data generator.
+    Each token is masked iff ``h48(salt:doc:pos) mod 100 < mask_pct``
+    (deterministic — the corpus replays bit-identically), consecutive
+    masked tokens merge into ONE span (gaps-and-islands, the bpe_merges
+    discipline), span ``k`` becomes ``<extra_id_k>`` in the input and
+    prefixes its tokens in the target — exactly T5's sentinel format,
+    with i.i.d.-token masking + run-merging standing in for T5's
+    sampled span lengths (the merged-run length distribution is
+    geometric-ish; rate is the knob that matters for the data volume).
+
+    Scale shape: one doc-keyed window pass computes the run-start flag
+    (lag) and the per-doc span index (conditional running count) —
+    both ride ONE (doc, pos) sort; the pair assembly is a per-doc
+    sort_array + transform + array_join over the collected token
+    structs (per-doc bounded arrays; string assembly is inherently
+    per-row work, and the HOF runs once per output string, not per
+    corpus join — the accepted slow-path shape for string building).
+    Docs with zero tokens are restored with empty strings (the
+    zero-token rule)."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    masked = F.pmod(
+        h48(F.concat_ws(":", F.lit(salt), "doc_id", "pos")), F.lit(100)
+    ) < mask_pct
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tokens.select(
+        "doc_id",
+        "pos",
+        "w",
+        masked.alias("m"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        "m",
+        (
+            F.col("m")
+            & ~F.coalesce(F.lag("m").over(win), F.lit(False))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        "m",
+        "start",
+        (
+            F.sum(F.when(F.col("start"), 1).otherwise(0)).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).cast("long").alias("k"),
+    )
+    sent = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"),
+                    F.lit(">"))
+    in_tok = F.when(~F.col("m"), F.col("w")).when(F.col("start"), sent)
+    tgt_tok = F.when(
+        F.col("m") & F.col("start"), F.concat(sent, F.lit(" "), F.col("w"))
+    ).when(F.col("m"), F.col("w"))
+    assembled = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("start"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            in_tok.isNotNull(),
+                            F.struct(F.col("pos"), in_tok.alias("t")),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            tgt_tok.isNotNull(),
+                            F.struct(F.col("pos"), tgt_tok.alias("t")),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("target_text"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("target_text", F.lit("")).alias("target_text"),
     )

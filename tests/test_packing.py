@@ -400,3 +400,44 @@ def test_epoch_upsample_regimes_and_nesting(spark):
     # expected mass ~ rate: s0 mean copies in [2,3]
     s0 = [n for i, (s, n) in per_doc.items() if s == "s0"]
     assert 2 < sum(s0) / len(s0) < 3
+
+
+def test_span_corruption_matches_python_and_reconstructs(spark):
+    import hashlib
+    import re
+
+    from servico_ocr_spark.operators import span_corruption
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    docs = [(i, " ".join(f"w{(i * j + j) % 7}" for j in range((i % 15))))
+            for i in range(60)]  # includes zero-token docs (i % 15 == 0)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in span_corruption(df).collect()}
+
+    for did, text in docs:
+        ws = [x for x in text.split(" ") if x]
+        m = [h48(f"t5:{did}:{p}") % 100 < 15 for p in range(len(ws))]
+        r = got[did]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_masked"] == sum(m)
+        spans = sum(1 for p in range(len(ws))
+                    if m[p] and (p == 0 or not m[p - 1]))
+        assert r["n_spans"] == spans
+        # reconstruction: substituting each <extra_id_k> in the input
+        # with target span k yields the original text
+        tgt_spans = {}
+        if r["target_text"]:
+            parts = re.split(r"<extra_id_(\d+)> ", r["target_text"])
+            # parts = ['', k0, span0, k1, span1, ...]
+            for j in range(1, len(parts), 2):
+                tgt_spans[int(parts[j])] = parts[j + 1].rstrip()
+        out = r["input_text"]
+        for k in sorted(tgt_spans, reverse=True):
+            out = out.replace(f"<extra_id_{k}>", tgt_spans[k])
+        assert out == " ".join(ws), (did, r)
+    # corpus exercises multi-token spans and clean docs
+    assert any(r["n_spans"] < r["n_masked"] for r in got.values())
+    assert any(r["n_masked"] == 0 and r["n_tokens"] > 0
+               for r in got.values())
