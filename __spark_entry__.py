@@ -4693,6 +4693,64 @@ QUALIFY row_number() OVER (PARTITION BY registered_domain
 """
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Disallow gate (operators/urls.robots_disallow):
+    prefix rules broadcast, one host equi-join, per-page match agg.
+    Fixture rules derive from the corpus's own hosts (every host
+    disallows '/a/1'; .com hosts also '/a/9') so multi-rule hosts,
+    blocked (~15%) and clean pages are all live at every sf."""
+    from servico_ocr_spark.operators import (
+        canonicalize_urls,
+        robots_disallow,
+    )
+
+    pages = _url_corpus(spark, sf_dir)
+    hosts = (
+        canonicalize_urls(pages)
+        .select("host")
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    rules = hosts.select(
+        "host", F.lit("/a/1").alias("prefix")
+    ).unionByName(
+        hosts.where(F.col("host").endswith(".com")).select(
+            "host", F.lit("/a/9").alias("prefix")
+        )
+    )
+    return robots_disallow(pages, rules)
+
+
+def _o_robots_filter() -> str:
+    return f"""
+WITH {_o_url_canon_cte()},
+cp AS (
+    SELECT doc_id, host,
+           regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?]*)', 1)
+               AS path
+    FROM canon
+),
+hosts AS (SELECT DISTINCT host FROM canon WHERE host <> ''),
+rules AS (
+    SELECT host, '/a/1' AS prefix FROM hosts
+    UNION ALL
+    SELECT host, '/a/9' AS prefix FROM hosts WHERE host LIKE '%.com'
+),
+m AS (
+    SELECT cp.doc_id, cp.host, cp.path,
+           sum(CASE WHEN r.prefix IS NOT NULL
+                     AND starts_with(cp.path, r.prefix)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_rules_matched
+    FROM cp LEFT JOIN rules r ON r.host = cp.host
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, host, path, n_rules_matched,
+       (CASE WHEN n_rules_matched > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS blocked
+FROM m
+"""
+
+
 _SCHED_RATE = 4
 
 
@@ -5727,6 +5785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
+        "robots_filter": _q_robots_filter,
         "latest_crawl": _q_latest_crawl,
         "crawl_delta": _q_crawl_delta,
         "url_dictionary": _q_url_dictionary,
@@ -5841,6 +5900,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "crawl_schedule": _o_crawl_schedule(),
+        "robots_filter": _o_robots_filter(),
         "latest_crawl": _o_latest_crawl(),
         "crawl_delta": _o_crawl_delta(),
         "url_dictionary": _o_url_dictionary(),

@@ -182,6 +182,9 @@ BENCH_FAMILIES = {
         # per-host politeness schedule: two-stage bucket-offset
         # enumeration (no whole-host single-task sort)
         "crawl_schedule",
+        # robots.txt Disallow gate: broadcast rule table, one host
+        # equi-join (fan-out = rules-per-host), per-page match agg
+        "robots_filter",
         # recrawl collapse: freshest warc_ts wins (one max_by agg)
         "latest_crawl",
         # incremental-ingest snapshot diff: one agg per side + one

@@ -120,6 +120,8 @@ from .urls import (  # noqa: F401
     domain_stats,
     latest_crawl,
     registered_domain,
+    robots_disallow,
     url_dedup,
     url_host,
+    url_path,
 )

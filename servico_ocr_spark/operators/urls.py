@@ -386,3 +386,66 @@ def crawl_schedule(
         "slot",
         F.expr(f"slot div {int(rate_per_wave)}L").cast("long").alias("wave"),
     )
+
+
+def url_path(canonical: Column) -> Column:
+    """Canonical path (incl. leading '/', query stripped) of a
+    ``canonical_url``; '' for scheme-less ids. Java/RE2 common-subset
+    regex (the pii dialect rule)."""
+    return F.regexp_extract(canonical, "^[a-z]+://[^/]+(/[^?]*)", 1)
+
+
+def robots_disallow(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, host, path, n_rules_matched, blocked)``: robots.txt
+    Disallow filtering — every page checked against its host's disallow
+    PREFIX rules (``rules``: one (host, prefix) row per directive),
+    ``blocked = 1`` iff any rule prefix-matches the canonical path.
+    The crawl-pipeline gate that runs before fetch/ingest; prefix-only
+    Disallow semantics (the original 1994 REP; Allow/longest-match
+    layering composes on top by the same shape with a priority agg).
+
+    Scale shape: canonicalization is a pure projection; the rule check
+    is one equi-join ON HOST with the rule table BROADCAST (robots
+    corpora are ~10⁶ rows — dwarfed by any crawl frontier), LEFT so
+    rule-less hosts pass through unblocked; per-key fan-out is bounded
+    by rules-per-host (a site's directive count, dozens not millions);
+    one map-side-combinable per-page aggregate collapses the matches.
+    Pages without a parseable host (no scheme) are never blocked —
+    robots applies to hosts."""
+    canon = canonicalize_urls(pages, url_col).select(
+        F.col(id_col).alias("doc_id"),
+        "host",
+        url_path(F.col("canonical_url")).alias("path"),
+    )
+    r = rules.select(
+        F.col("host").alias("r_host"), F.col("prefix").alias("prefix")
+    )
+    hit = F.when(
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+        1,
+    ).otherwise(0)
+    return (
+        canon.join(
+            F.broadcast(r), canon["host"] == r["r_host"], "left"
+        )
+        .groupBy("doc_id", "host", "path")
+        .agg(
+            F.sum(hit).cast("long").alias("n_rules_matched"),
+        )
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            "n_rules_matched",
+            F.when(F.col("n_rules_matched") > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("blocked"),
+        )
+    )

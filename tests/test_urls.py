@@ -350,3 +350,41 @@ def test_crawl_schedule_validates_params(spark):
         crawl_schedule(df, rate_per_wave=0)
     with pytest.raises(ValueError):
         crawl_schedule(df, buckets=3)
+
+
+def test_robots_disallow_prefix_semantics(spark):
+    from servico_ocr_spark.operators import robots_disallow
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x"),
+            (2, "https://a.com/privateer"),   # prefix match: blocked
+            (3, "https://a.com/pub/x"),
+            (4, "https://b.org/private/x"),   # no rule for b.org
+            (5, "https://a.com/private/x?q=1#f"),  # canonical: blocked
+            (6, "urn:doc:6"),                 # no host: never blocked
+            (7, "https://a.com/tmp/y"),       # second rule host
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private"), ("a.com", "/tmp")],
+        "host string, prefix string",
+    )
+    got = {r["doc_id"]: (r["blocked"], r["n_rules_matched"])
+           for r in robots_disallow(pages, rules).collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (0, 0), 4: (0, 0),
+                   5: (1, 1), 6: (0, 0), 7: (1, 1)}
+
+
+def test_robots_disallow_broadcasts_rules(spark):
+    from servico_ocr_spark.operators import robots_disallow
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.com", "/x")], "host string, prefix string")
+    df = robots_disallow(pages, rules)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
