@@ -1983,6 +1983,54 @@ SELECT doc_id,
 FROM """ + tbl
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy quality signal
+    (operators/textstats.char_entropy): exact integer floor-log2
+    surrogate of per-document Shannon entropy over normalized non-space
+    characters — the gibberish / binary-blob / key-mash detector the
+    heuristic quality filters (Gopher, C4) lack. ``floor(log2 x)`` is
+    ``length(bin(x)) − 1`` on BOTH engines, so the whole statistic is
+    engine-portable with zero floats. Plan: explode chars → ONE
+    combinable (doc, char) count (≤ 36 rows/doc survive) → charset-
+    bounded per-doc window → one doc agg; zero-char docs restored."""
+    from servico_ocr_spark.operators import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
+def _o_char_entropy(tbl: str = "documents") -> str:
+    return f"""
+WITH ch AS (
+    SELECT doc_id, c AS ch
+    FROM (SELECT doc_id, unnest(string_split({_D_NORM}, '')) AS c
+          FROM {tbl})
+    WHERE c <> '' AND c <> ' '
+),
+cnt AS (
+    SELECT doc_id, ch, count(*)::BIGINT AS k FROM ch GROUP BY 1, 2
+),
+win AS (
+    SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id)::BIGINT AS n
+    FROM cnt
+),
+agg AS (
+    SELECT doc_id,
+           max(n)::BIGINT AS n_chars,
+           count(*)::BIGINT AS n_distinct_chars,
+           sum(k * (length(bin((n * 1024) // k)) - 1))::BIGINT
+               AS ent_flog2_sum,
+           max((k * 1000000) // n)::BIGINT AS top_share_ppm
+    FROM win GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(a.n_distinct_chars, 0)::BIGINT AS n_distinct_chars,
+       coalesce(a.ent_flog2_sum, 0)::BIGINT AS ent_flog2_sum,
+       coalesce(a.top_share_ppm, 0)::BIGINT AS top_share_ppm
+FROM {tbl} d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_read(spark, sf_dir, "documents"))
 
@@ -5747,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_language": _q_source_language,
         "token_counts": _q_token_counts,
         "token_rarity": _q_token_rarity,
+        "char_entropy": _q_char_entropy,
         "bm25_search": _q_bm25_search,
         "bm25_related": _q_bm25_related,
         "rrf_fusion": _q_rrf_fusion,
@@ -5862,6 +5911,7 @@ def oracle_sql() -> dict[str, str]:
         "source_language": _o_source_language(),
         "token_counts": _o_token_counts(),
         "token_rarity": _O_TOKEN_RARITY,
+        "char_entropy": _o_char_entropy(),
         "bm25_search": _o_bm25_search(),
         "bm25_related": _o_bm25_related(),
         "rrf_fusion": _o_rrf_fusion(),

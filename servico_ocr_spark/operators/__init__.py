@@ -63,6 +63,7 @@ from .textstats import (  # noqa: F401
     bpe_learn,
     bpe_merge_candidates,
     c4_page_clean,
+    char_entropy,
     gopher_filter,
     inverted_index,
     language_id,

@@ -841,3 +841,66 @@ def word_adjacency_edges(
         )
         .distinct()
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", scale: int = 1024) -> DataFrame:
+    """``(doc_id, n_chars, n_distinct_chars, ent_flog2_sum,
+    top_share_ppm)``: per-document character-distribution entropy as an
+    EXACT integer surrogate — the classic gibberish / binary-blob /
+    key-mash detector (low entropy = one character dominates, e.g.
+    "aaaa…"; a natural-language page sits in a stable band). Fixed
+    point: each character ``c`` with count ``k`` out of ``n`` non-space
+    normalized characters contributes ``k · floor(log2((n·scale) div
+    k))``, so ``ent_flog2_sum / n − log2(scale)`` approximates the
+    Shannon entropy in bits within 1 bit (floor-log2 staircase).
+    ``floor(log2 x)`` is ``length(bin(x)) − 1`` — portable verbatim to
+    DuckDB (same ``bin`` semantics), no floats anywhere.
+    ``top_share_ppm`` (max count · 10⁶ div n) is the companion
+    dominant-character signal the repetition filters use.
+
+    BIGINT audit: ``n·scale ≤ len·2^10`` and the per-doc sum is
+    ``≤ n·63`` — safe to multi-GB documents.
+
+    Scale shape: explode normalized non-space chars → ONE map-side-
+    combinable (doc, char) count (a 10^12-char corpus collapses to
+    ≤ 36 rows/doc before any wide op) → per-doc window over ≤ 36 rows
+    (charset-bounded, the majority_label discipline — no hot-doc
+    straggler possible) → ONE doc aggregation reusing the window's
+    partitioning. Zero-char docs restored by a left join (explode
+    emits nothing for them)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(norm_text(F.col(text_col)), "")).alias("ch"),
+    ).where((F.col("ch") != "") & (F.col("ch") != " "))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    n = F.sum("k").over(Window.partitionBy("doc_id"))
+    scored = counts.select("doc_id", "k", n.alias("n")).groupBy(
+        "doc_id"
+    ).agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum(
+            F.expr(
+                f"k * (length(bin((n * {int(scale)}) div k)) - 1)"
+            )
+        ).cast("long").alias("ent_flog2_sum"),
+        F.max(F.expr("(k * 1000000) div n")).cast("long")
+        .alias("top_share_ppm"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0)).cast("long")
+            .alias("n_distinct_chars"),
+            F.coalesce("ent_flog2_sum", F.lit(0)).cast("long")
+            .alias("ent_flog2_sum"),
+            F.coalesce("top_share_ppm", F.lit(0)).cast("long")
+            .alias("top_share_ppm"),
+        )
+    )

@@ -1349,3 +1349,43 @@ def test_majority_label_mode_and_tie_rule(spark):
         "g2": ("en", 2, 4, 5000),  # tie broken alphabetically
         "g3": ("xx", 1, 1, 10000),
     }
+
+
+def test_char_entropy_semantics(spark):
+    import math
+
+    from servico_ocr_spark.operators import char_entropy
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aaaaaaaa"),            # degenerate: one symbol
+            (2, "abababab"),            # two symbols, uniform
+            (3, ""),                    # zero chars after normalization
+            (4, "!!! ??? ..."),         # symbols normalize to spaces only
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    # one repeated char: each contributes flog2(n*1024/n) = 10
+    assert out[1]["n_chars"] == 8
+    assert out[1]["n_distinct_chars"] == 1
+    assert out[1]["ent_flog2_sum"] == 8 * 10
+    assert out[1]["top_share_ppm"] == 1_000_000
+    # two uniform chars: flog2(2*1024) = 11 per char
+    assert out[2]["ent_flog2_sum"] == 8 * 11
+    assert out[2]["top_share_ppm"] == 500_000
+    # explode emits nothing for 3 and 4; rows restored with zeros
+    for d in (3, 4):
+        assert out[d]["n_chars"] == 0
+        assert out[d]["ent_flog2_sum"] == 0
+        assert out[d]["top_share_ppm"] == 0
+    # natural text: surrogate within 1 bit of true Shannon entropy
+    r = out[5]
+    n = r["n_chars"]
+    text = "the quick brown fox jumps over the lazy dog".replace(" ", "")
+    counts = {c: text.count(c) for c in set(text)}
+    assert n == len(text) and r["n_distinct_chars"] == len(counts)
+    h_true = sum(k * math.log2(n / k) for k in counts.values())
+    h_est = r["ent_flog2_sum"] - 10 * n  # remove the log2(1024) offset
+    assert h_est <= h_true < h_est + n  # floor staircase: within 1 bit/char
