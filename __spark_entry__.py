@@ -1641,6 +1641,56 @@ GROUP BY dim
 """
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (operators/encode.quantize_embeddings): per-dim min/max calibration
+    → affine codes in [0,255] → order-free code checksum + total
+    reconstruction error per vector — the FAISS-SQ8-style 4× ANN
+    compression step with its go/no-go telemetry, exact integers end to
+    end. Plan: ONE bounded per-dim calibration agg broadcast onto a
+    pruned re-scan, ONE per-vector agg; empty vectors restored."""
+    from servico_ocr_spark.operators import quantize_embeddings
+
+    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
+def _o_embedding_quantize() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
+pts AS (
+    SELECT vec_id,
+           unnest(range(len(iv)))::BIGINT AS dim,
+           unnest(iv)::BIGINT AS q
+    FROM v
+),
+st AS (
+    SELECT dim, min(q)::BIGINT AS mn,
+           greatest(max(q) - min(q), 1)::BIGINT AS span
+    FROM pts GROUP BY dim
+),
+coded AS (
+    SELECT vec_id, dim, q, mn, span,
+           ((q - mn) * 255) // span AS code
+    FROM pts JOIN st USING (dim)
+),
+agg AS (
+    SELECT vec_id,
+           count(*)::BIGINT AS n_dims,
+           sum(code)::BIGINT AS code_sum,
+           sum(code * (dim + 1))::BIGINT AS code_checksum,
+           sum(abs(q - (mn + (code * span) // 255)))::BIGINT
+               AS err_abs_sum
+    FROM coded GROUP BY vec_id
+)
+SELECT e.vec_id,
+       coalesce(a.n_dims, 0)::BIGINT AS n_dims,
+       coalesce(a.code_sum, 0)::BIGINT AS code_sum,
+       coalesce(a.code_checksum, 0)::BIGINT AS code_checksum,
+       coalesce(a.err_abs_sum, 0)::BIGINT AS err_abs_sum
+FROM embeddings e LEFT JOIN agg a USING (vec_id)
+"""
+
+
 _SEMDEDUP_K = 8  # the SemDeDup scale knob: k ~ n/target_cluster_size
 _SEMDEDUP_T = 400_000  # binds at every sf (same regime as _EMB_NEARDUP_T)
 
@@ -5790,6 +5840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "kmeans_summary": _q_kmeans_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "embedding_quantize": _q_embedding_quantize,
         "embedding_outliers": _q_embedding_outliers,
         "lang_id": _q_lang_id,
         "source_language": _q_source_language,
@@ -5906,6 +5957,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _o_kmeans(),
         "kmeans_summary": _o_kmeans_summary(),
         "embedding_dim_stats": _o_embedding_dim_stats(),
+        "embedding_quantize": _o_embedding_quantize(),
         "embedding_outliers": _O_EMBEDDING_OUTLIERS,
         "lang_id": _o_lang_id(),
         "source_language": _o_source_language(),

@@ -86,7 +86,7 @@ from .packing import (  # noqa: F401
     token_budget_mix,
 )
 from .clustering import kmeans_lite  # noqa: F401
-from .encode import dictionary_encode  # noqa: F401
+from .encode import dictionary_encode, quantize_embeddings  # noqa: F401
 from .temporal import (  # noqa: F401
     asof_join,
     asof_join_broadcast,

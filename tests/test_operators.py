@@ -1389,3 +1389,32 @@ def test_char_entropy_semantics(spark):
     h_true = sum(k * math.log2(n / k) for k in counts.values())
     h_est = r["ent_flog2_sum"] - 10 * n  # remove the log2(1024) offset
     assert h_est <= h_true < h_est + n  # floor staircase: within 1 bit/char
+
+
+def test_quantize_embeddings_error_bound_and_determinism(spark):
+    from servico_ocr_spark.operators import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 1.0, -1.0]),
+        (2, [0.5, -0.5, 0.25]),
+        (3, [0.123, 0.456, -0.789]),
+        (4, [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # per-dim spans on the floor(x*1000) grid: d0 1000, d1 1500, d2 1789
+    # error bound: sum over dims of (span div 255 + 1)
+    bound = sum(s // 255 + 1 for s in (1000, 1500, 1789))
+    for r in out.values():
+        assert r["n_dims"] == 3
+        assert 0 <= r["err_abs_sum"] <= bound
+    # codes hit the extremes: vec covering min and max of a dim
+    # (vec 1 has the d0 max 1000 -> code 255 contributes to code_sum)
+    assert out[1]["code_sum"] >= 255
+    # deterministic under repartitioning
+    again = {
+        r["vec_id"]: tuple(r)
+        for r in quantize_embeddings(df.repartition(7)).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == again
