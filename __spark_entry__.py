@@ -3415,6 +3415,34 @@ FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
 """
 
 
+def _q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling event counts per event type
+    (operators/events.rolling_daily_counts): the traffic-trend
+    primitive, computed with a RANGE frame over the integer epoch-day
+    so calendar gaps are bridged correctly (a ROWS frame would reach
+    across missing days — the classic moving-average bug). Plan: ONE
+    combinable (key, day) count, then a window over the bounded
+    aggregate."""
+    from servico_ocr_spark.operators import rolling_daily_counts
+
+    return rolling_daily_counts(_read(spark, sf_dir, "events"))
+
+
+_O_ROLLING_ACTIVITY = """
+WITH daily AS (
+    SELECT event_type AS key, ts::DATE AS d, count(*)::BIGINT AS n_day
+    FROM events GROUP BY 1, 2
+)
+SELECT key, strftime(d, '%Y-%m-%d') AS day, n_day,
+       sum(n_day) OVER (
+           PARTITION BY key
+           ORDER BY (d - DATE '1970-01-01')
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_roll
+FROM daily
+"""
+
+
 def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-rate anomaly flags (operators/events.rate_anomalies):
     exact integer Poisson z-test per (event_type, day) over the
@@ -5909,6 +5937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
         "activity_gapfill": _q_activity_gapfill,
+        "rolling_activity": _q_rolling_activity,
         "event_transitions": _q_event_transitions,
         "rate_anomalies": _q_rate_anomalies,
         "asof_attribution": _q_asof_attribution,
@@ -6026,6 +6055,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _o_funnel_steps(),
         "cohort_retention": _O_COHORT_RETENTION,
         "activity_gapfill": _O_ACTIVITY_GAPFILL,
+        "rolling_activity": _O_ROLLING_ACTIVITY,
         "event_transitions": _O_EVENT_TRANSITIONS,
         "rate_anomalies": _o_rate_anomalies(),
         "asof_attribution": _O_ASOF_ATTRIBUTION,

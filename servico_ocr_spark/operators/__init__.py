@@ -97,6 +97,7 @@ from .events import (  # noqa: F401
     event_transitions,
     funnel_counts,
     rate_anomalies,
+    rolling_daily_counts,
 )
 from .linkage import edit1_linkage  # noqa: F401
 from .lm import (  # noqa: F401

@@ -317,3 +317,53 @@ def rate_anomalies(
             .alias("status"),
         )
     )
+
+
+def rolling_daily_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """``(key, day, n_day, n_roll)``: per-key daily event counts with a
+    trailing ``window_days``-day rolling sum — the moving-average /
+    trend primitive of ingest and traffic monitoring. The frame is a
+    RANGE frame over the integer epoch-day (``RANGE BETWEEN
+    window_days−1 PRECEDING AND CURRENT ROW``), NOT a ROWS frame: a
+    key silent for a week must contribute nothing to the window after
+    the gap, and a ROWS frame would wrongly reach across missing days.
+    Days with zero events emit no row (their absence is exactly what
+    the RANGE frame handles); compose with ``activity_gapfill`` when
+    the zeros themselves are wanted. ``day`` is the yyyy-MM-dd string
+    convention.
+
+    Scale shape: ONE map-side-combinable (key, day) count collapses
+    the corpus to keys × calendar-span rows; the window then runs over
+    that bounded table, partitioned by key — ≤ span rows per
+    partition, no hot-key straggler possible because the window input
+    is the aggregate (the majority_label discipline)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("_day"),
+        )
+        .groupBy("key", "_day")
+        .agg(F.count("*").cast("long").alias("n_day"))
+        .withColumn(
+            "_ed",
+            F.datediff("_day", F.to_date(F.lit("1970-01-01"))).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_ed")
+        .rangeBetween(-(int(window_days) - 1), 0)
+    )
+    return daily.select(
+        "key",
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        "n_day",
+        F.sum("n_day").over(w).cast("long").alias("n_roll"),
+    )

@@ -319,3 +319,33 @@ def test_rate_anomalies_matches_python_reference(spark):
     assert got[("a", "2024-02-01")][3] == "normal"
     # b's missing middle day exists as a zero-filled row
     assert ("b", "2024-02-02") in got
+
+
+def test_rolling_daily_counts_range_frame_bridges_gaps(spark):
+    from datetime import datetime
+
+    from servico_ocr_spark.operators import rolling_daily_counts
+
+    rows = [
+        # key "a": days 1, 2, then a 6-day gap to day 9
+        (1, datetime(2024, 1, 1, 10), "a"),
+        (2, datetime(2024, 1, 1, 11), "a"),
+        (3, datetime(2024, 1, 2, 10), "a"),
+        (4, datetime(2024, 1, 9, 10), "a"),
+        # key "b": single day
+        (5, datetime(2024, 1, 5, 10), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["key"], r["day"]): (r["n_day"], r["n_roll"])
+        for r in rolling_daily_counts(df, window_days=7).collect()
+    }
+    assert out[("a", "2024-01-01")] == (2, 2)
+    assert out[("a", "2024-01-02")] == (1, 3)
+    # day 9 is 7 days after day 2: a ROWS frame would read 4 here;
+    # the RANGE frame correctly sees only day 9 itself (days 3-8 empty)
+    assert out[("a", "2024-01-09")] == (1, 1)
+    assert out[("b", "2024-01-05")] == (1, 1)
+    assert len(out) == 4
