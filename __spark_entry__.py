@@ -3637,6 +3637,62 @@ FROM p JOIN c ON p.user_id = c.user_id
 """
 
 
+def _q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog register sketch of distinct users per event
+    type (operators/stats.hll_register_sketch), PLUS the merged 'ALL'
+    sketch computed by elementwise max over the per-type register
+    tables — the query itself exercises the sketch's defining merge
+    property (rolling per-group state up to the global sketch without
+    re-touching the data). Every bit derives from the portable h48, so
+    the register table hash-matches DuckDB exactly — unlike engine HLL
+    built-ins whose state is implementation-defined. Plan: projection →
+    ONE combinable max/count agg (≤ types·64 rows), then a 64-row
+    rollup."""
+    from servico_ocr_spark.operators import hll_register_sketch
+
+    per = hll_register_sketch(
+        _read(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), "user_id"
+        ),
+        value_col="user_id",
+        group_col="key",
+        p=6,
+    ).withColumnRenamed("group", "key")
+    merged = per.groupBy("bucket").agg(
+        F.max("register").cast("long").alias("register"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    ).select(F.lit("ALL").alias("key"), "bucket", "register", "n_rows")
+    return per.unionByName(merged)
+
+
+_O_DISTINCT_SKETCH = f"""
+WITH h AS (
+    SELECT event_type AS key,
+           {_d_h48("user_id::VARCHAR")} AS hv
+    FROM events
+),
+r AS (
+    SELECT key,
+           (hv // {1 << 42})::BIGINT AS bucket,
+           CASE WHEN hv % {1 << 42} > 0
+                THEN 42 - (length(bin(hv % {1 << 42})) - 1)
+                ELSE 43 END AS rho
+    FROM h
+),
+per AS (
+    SELECT key, bucket, max(rho)::BIGINT AS register,
+           count(*)::BIGINT AS n_rows
+    FROM r GROUP BY key, bucket
+),
+allr AS (
+    SELECT 'ALL' AS key, bucket, max(register)::BIGINT AS register,
+           sum(n_rows)::BIGINT AS n_rows
+    FROM per GROUP BY bucket
+)
+SELECT * FROM per UNION ALL SELECT * FROM allr
+"""
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles by rank arithmetic
     (operators/stats.exact_group_quantiles): discrete value at
@@ -5943,6 +5999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
+        "distinct_sketch": _q_distinct_sketch,
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
@@ -6061,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,
+        "distinct_sketch": _O_DISTINCT_SKETCH,
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,

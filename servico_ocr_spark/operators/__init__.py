@@ -110,6 +110,7 @@ from .stats import (  # noqa: F401
     distinct_count_telemetry,
     embedding_dim_stats,
     exact_group_quantiles,
+    hll_register_sketch,
     majority_label,
 )
 from .pii import scrub_pii  # noqa: F401

@@ -30,6 +30,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .common import h48
+
 
 def exact_group_quantiles(
     df: DataFrame,
@@ -185,4 +187,59 @@ def majority_label(
             .cast("long")
             .alias("share_pp10k"),
         )
+    )
+
+
+def hll_register_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """``([group,] bucket, register, n_rows)``: the register table of a
+    HyperLogLog-style distinct sketch (Flajolet et al. 2007) over
+    ``value_col`` — ``2^p`` buckets from the top ``p`` bits of the
+    portable 48-bit md5 hash, each register the max leading-zero rank
+    ``rho`` of the remaining ``48−p`` bits. This is the MERGEABLE
+    fixed-size state that replaces exact ``COUNT(DISTINCT)``'s full
+    shuffle of the distinct values at 10^12 rows: registers combine by
+    elementwise max, so per-partition partials collapse map-side and
+    per-group sketches roll up to any coarser grouping without
+    re-touching the data (``register_all(b) = max over groups``). The
+    float harmonic-mean ESTIMATE is deliberately NOT computed here —
+    the register table is the exact, engine-portable, hash-checkable
+    artifact; estimation is a driver-side O(2^p) afterthought (see the
+    unit test). Unlike ``distinct_count_telemetry`` (whose JVM HLL++
+    internals are implementation-defined), every bit of this sketch is
+    reproducible on any engine that has md5.
+
+    ``rho`` convention: 1 + leading zeros of the ``48−p``-bit suffix =
+    ``(48−p) − floor(log2(rem))`` for ``rem ≥ 1`` and ``(48−p)+1`` for
+    the all-zero suffix; ``floor(log2 x) = length(bin(x)) − 1`` on both
+    engines. Scale shape: pure projection → ONE map-side-combinable
+    max/count agg with ≤ groups·2^p output rows. Empty buckets emit no
+    row (an estimator reads absent as register 0)."""
+    if not (2 <= int(p) <= 16):
+        raise ValueError("p must be in [2, 16]")
+    bits = 48 - int(p)
+    pow_bits = 1 << bits
+    cols = []
+    keys = []
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("group"))
+        keys.append("group")
+    h = h48(F.col(value_col).cast("string"))
+    cols += [
+        F.expr(f"_h div {pow_bits}").cast("long").alias("bucket"),
+        F.expr(
+            f"CASE WHEN _h % {pow_bits} > 0 "
+            f"THEN {bits} - (length(bin(_h % {pow_bits})) - 1) "
+            f"ELSE {bits + 1} END"
+        ).cast("long").alias("rho"),
+    ]
+    keys.append("bucket")
+    rows = df.select(h.alias("_h"), "*").select(*cols)
+    return rows.groupBy(*keys).agg(
+        F.max("rho").cast("long").alias("register"),
+        F.count("*").cast("long").alias("n_rows"),
     )

@@ -1418,3 +1418,38 @@ def test_quantize_embeddings_error_bound_and_determinism(spark):
         for r in quantize_embeddings(df.repartition(7)).collect()
     }
     assert {k: tuple(v) for k, v in out.items()} == again
+
+
+def test_hll_register_sketch_merge_and_estimate(spark):
+    import math
+
+    from servico_ocr_spark.operators import hll_register_sketch
+
+    n = 5000
+    rows = [(f"val-{i}", "g%d" % (i % 3)) for i in range(n)]
+    # duplicates must not move any register
+    rows += rows[:1000]
+    df = spark.createDataFrame(rows, "v string, g string")
+
+    per = hll_register_sketch(df, "v", group_col="g", p=6).collect()
+    direct = {
+        r["bucket"]: r["register"]
+        for r in hll_register_sketch(df.repartition(13), "v", p=6).collect()
+    }
+    # merge property: elementwise max over per-group sketches == the
+    # sketch computed directly over the union (any partitioning)
+    merged = {}
+    for r in per:
+        merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["register"])
+    assert merged == direct
+
+    # driver-side estimate from the 64 registers lands in the expected
+    # error band (rse ~ 1.04/sqrt(64) = 13%; assert 3 sigma)
+    m = 64
+    regs = [direct.get(b, 0) for b in range(m)]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    assert abs(est - n) / n < 0.40, est
+
+    # rho bounds: 1..43 for p=6 over a 48-bit hash
+    assert all(1 <= r["register"] <= 43 for r in per)
