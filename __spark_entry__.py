@@ -3189,6 +3189,55 @@ LIMIT 10
 """
 
 
+def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customer): orders whose total
+    lineitem quantity exceeds 300, joined back to order and customer
+    detail — the group→HAVING→join-back shape. Plan intent at 100 TB:
+    ONE map-side-combinable quantity agg on l_orderkey; the HAVING
+    filter collapses it to ~0.3% of orders, so the REDUCED aggregate is
+    the broadcast side of both detail joins (orders and customer scans
+    are never shuffled — an orderkey-partitioned shuffle join of two
+    corpus-scale tables would dwarf the query). Threshold 300 is
+    TPC-H's own and binds at every sf (p99.5 of the per-order sum)."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = _read(spark, sf_dir, "orders")
+    detail = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    )
+    cust = _read(spark, sf_dir, "customer")
+    return cust.join(
+        F.broadcast(detail), detail.o_custkey == cust.c_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        F.col("total_qty").cast("long").alias("total_qty"),
+    )
+
+
+_O_BIG_ORDERS = """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity::BIGINT) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       floor(o_totalprice * 100 + 0.5)::BIGINT AS totalprice_cents,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def _q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 analog (local-supplier volume): six-table star join —
     lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
@@ -5987,6 +6036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": _q_dup_span_removal,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
+        "big_orders": _q_big_orders,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
         "sessionize": _q_sessionize,
@@ -6106,6 +6156,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _o_dup_span_removal(),
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
+        "big_orders": _O_BIG_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,
         "sessionize": _O_SESSIONIZE,

@@ -430,3 +430,14 @@ def test_random_walks_steps_are_equijoins_no_fanout(spark):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_big_orders_broadcasts_reduced_aggregate(spark):
+    """Q18 shape: after the HAVING filter the quantity aggregate is tiny
+    and must be the BUILD side of both detail joins — orders and
+    customer are never shuffle-joined (at 100 TB that shuffle would
+    dwarf the query)."""
+    plan = _plan(entrymod._q_big_orders(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
