@@ -4804,6 +4804,44 @@ SELECT stratum, doc_id, rk FROM r WHERE rk <= {_STRAT_K}
 """
 
 
+_WSAMP_K = 16
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased per-source sample
+    (operators/packing.weighted_sample): priority = h48(salt:id) div
+    weight, k smallest win — longer documents (weight = n_chars) are
+    monotonically more likely to be drawn, and the draw replays
+    bit-identically on any engine/partitioning (documented trade vs
+    exact Efraimidis–Spirakis in the operator docstring). Same
+    WindowGroupLimit top-k shape as stratified_sample."""
+    from servico_ocr_spark.operators import weighted_sample
+
+    return weighted_sample(
+        _read(spark, sf_dir, "documents"),
+        k=_WSAMP_K,
+        weight_col="n_chars",
+    )
+
+
+def _o_weighted_sample() -> str:
+    h = _d_h48("('wsamp:' || doc_id::VARCHAR)")
+    return f"""
+WITH t AS (
+    SELECT source::VARCHAR AS stratum, doc_id,
+           greatest(n_chars, 1)::BIGINT AS weight, {h} AS h
+    FROM documents
+),
+r AS (
+    SELECT stratum, doc_id, weight,
+           row_number() OVER (PARTITION BY stratum
+                              ORDER BY h // weight, doc_id)::BIGINT AS rk
+    FROM t
+)
+SELECT stratum, doc_id, weight, rk FROM r WHERE rk <= {_WSAMP_K}
+"""
+
+
 def _o_url_canon_cte() -> str:
     """Shared CTE chain: fixture urls -> canonical parts (independent SQL
     re-implementation of operators/urls' documented canonical form)."""
@@ -6032,6 +6070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": _q_epoch_mix,
         "span_corruption": _q_span_corruption,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "contrastive_negatives": _q_contrastive_negatives,
         "dup_span_removal": _q_dup_span_removal,
         "pricing_summary": _q_pricing_summary,
@@ -6152,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_mix": _o_epoch_mix(),
         "span_corruption": _o_span_corruption(),
         "stratified_sample": _o_stratified_sample(),
+        "weighted_sample": _o_weighted_sample(),
         "contrastive_negatives": _o_contrastive_negatives(),
         "dup_span_removal": _o_dup_span_removal(),
         "pricing_summary": _O_PRICING_SUMMARY,

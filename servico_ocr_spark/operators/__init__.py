@@ -84,6 +84,7 @@ from .packing import (  # noqa: F401
     span_corruption,
     stratified_sample,
     token_budget_mix,
+    weighted_sample,
 )
 from .clustering import kmeans_lite  # noqa: F401
 from .encode import dictionary_encode, quantize_embeddings  # noqa: F401

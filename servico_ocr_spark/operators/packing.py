@@ -588,3 +588,50 @@ def span_corruption(
         F.coalesce("input_text", F.lit("")).alias("input_text"),
         F.coalesce("target_text", F.lit("")).alias("target_text"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """``(stratum, doc_id, weight, rk)``: ``min(k, |stratum|)`` rows per
+    stratum chosen by a DETERMINISTIC weight-biased race — each row's
+    priority is ``h48(salt:id) div weight`` and the ``k`` smallest
+    priorities win, so heavier rows (more tokens, higher quality score)
+    are monotonically more likely to be picked while the whole draw
+    replays bit-identically on any engine and any partitioning. This is
+    the integer uniform-over-weight race, NOT exact Efraimidis–Spirakis
+    (whose ``u^(1/w)`` key needs float pow and would not hash-match
+    across engines): pairwise, a row of weight ``w_a`` beats ``w_b ≤
+    w_a`` with probability ``1 − w_b/(2·w_a)`` instead of
+    ``w_a/(w_a+w_b)`` — the bias direction and determinism are the
+    contract, the exact distribution is the documented trade. Weights
+    clamp to ≥ 1 (a zero/negative weight means "least preferred", not
+    divide-by-zero). Like ``stratified_sample``, ``rk`` makes smaller
+    samples nested prefixes of larger ones.
+
+    Scale shape: pure projection → per-stratum ``row_number`` top-k
+    under WindowGroupLimit (per-partition k-heap before the single
+    stratum-keyed exchange — a 10^12-row stratum ships ~k rows per
+    input partition)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = h48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("stratum").orderBy("_pri", "doc_id")
+    return (
+        df.select(
+            F.col(stratum_col).cast("string").alias("stratum"),
+            F.col(id_col).alias("doc_id"),
+            F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+            .alias("weight"),
+            h.alias("_h"),
+        )
+        .withColumn("_pri", F.expr("_h div weight"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= int(k))
+        .select("stratum", "doc_id", "weight", "rk")
+    )

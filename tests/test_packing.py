@@ -441,3 +441,34 @@ def test_span_corruption_matches_python_and_reconstructs(spark):
     assert any(r["n_spans"] < r["n_masked"] for r in got.values())
     assert any(r["n_masked"] == 0 and r["n_tokens"] > 0
                for r in got.values())
+
+
+def test_weighted_sample_bias_nesting_and_clamp(spark):
+    from servico_ocr_spark.operators import weighted_sample
+
+    # one stratum, 200 rows: even ids carry weight 1000, odd ids 1
+    rows = [(i, "s", 1000 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    picked = weighted_sample(
+        df, k=40, weight_col="w", salt="bias-test"
+    ).collect()
+    assert len(picked) == 40
+    heavy = sum(1 for r in picked if r["doc_id"] % 2 == 0)
+    # heavy rows are half the population but must dominate the sample
+    # (pairwise win prob 1 - 1/2000 against light rows)
+    assert heavy >= 35, heavy
+    # nesting: the k=10 sample is exactly the rk<=10 prefix of k=40
+    small = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df, k=10, weight_col="w", salt="bias-test"
+        ).collect()
+    }
+    assert small == {r["doc_id"] for r in picked if r["rk"] <= 10}
+    # zero/negative weights clamp to 1, never crash
+    df2 = spark.createDataFrame(
+        [(1, "s", 0), (2, "s", -5), (3, "s", 7)],
+        "doc_id long, source string, w long",
+    )
+    out = weighted_sample(df2, k=3, weight_col="w").collect()
+    assert {r["weight"] for r in out} == {1, 7}
