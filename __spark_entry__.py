@@ -3657,6 +3657,82 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+def _q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency, p50/p90/p95 per purchase day —
+    the composition of the as-of attribution lags
+    (operators/temporal.asof_join) with exact rank-arithmetic quantiles
+    (operators/stats.exact_group_quantiles): the funnel-health dashboard
+    statistic, integer microseconds end to end (no percentile
+    interpolation, so both engines agree bit-for-bit). Unattributed
+    purchases are excluded (latency of a conversion that never started
+    is undefined, not zero). Plan: the asof union-window (one shuffle)
+    → day-keyed quantile window over the bounded attributed set."""
+    from servico_ocr_spark.operators import (
+        asof_join,
+        exact_group_quantiles,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="ts",
+        value_cols=["event_id", "ts"],
+        tie_break="event_id",
+        prefix="click_",
+    )
+    lat = j.where(F.col("click_ts").isNotNull()).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+        .cast("long")
+        .alias("lag_us"),
+    )
+    return exact_group_quantiles(
+        lat, group_col="day", value_col="lag_us", qs=(50, 90, 95)
+    ).withColumnRenamed("group", "day")
+
+
+_O_CONVERSION_LATENCY = """
+WITH clicks AS (
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+att AS (
+    SELECT p.ts AS pts,
+           (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+    FROM p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+r AS (
+    SELECT strftime(pts::DATE, '%Y-%m-%d') AS day, lag_us,
+           row_number() OVER (PARTITION BY pts::DATE
+                              ORDER BY lag_us) AS rn,
+           count(*) OVER (PARTITION BY pts::DATE) AS n
+    FROM att
+)
+SELECT day,
+       max(n)::BIGINT AS n,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lag_us END)::BIGINT
+           AS p50,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lag_us END)::BIGINT
+           AS p90,
+       max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_us END)::BIGINT
+           AS p95
+FROM r GROUP BY day
+"""
+
+
 def _q_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution: ALL clicks within 30 minutes before
     each purchase (streaming/joins.interval_attribution run in batch
@@ -6086,6 +6162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "rate_anomalies": _q_rate_anomalies,
         "asof_attribution": _q_asof_attribution,
+        "conversion_latency": _q_conversion_latency,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
         "distinct_sketch": _q_distinct_sketch,
@@ -6207,6 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _O_EVENT_TRANSITIONS,
         "rate_anomalies": _o_rate_anomalies(),
         "asof_attribution": _O_ASOF_ATTRIBUTION,
+        "conversion_latency": _O_CONVERSION_LATENCY,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,
         "distinct_sketch": _O_DISTINCT_SKETCH,
