@@ -2019,6 +2019,82 @@ FROM win w JOIN tot t USING (source)
 """
 
 
+_WARC_BLOB_DOCS = 8  # documents concatenated per synthetic WARC blob
+
+
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC-blob fixture: every document becomes one
+    spec-framed WARC record (CRLF headers, Content-Length framing,
+    CRLFCRLF separator) and consecutive groups of ``_WARC_BLOB_DOCS``
+    records concatenate into one binary blob — the html-face fixture
+    discipline: the bytes are built HERE with exact arithmetic, so the
+    oracle can predict the parser's output from ``documents`` alone
+    without ever parsing. The in-group concat order is pinned by
+    sort_array over (doc_id, record) structs (collect_list order is
+    partition-dependent); the HOFs are fine here — a bounded 8-element
+    fixture array, not a corpus-length hot path."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit("https://warc.test/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit("Z\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.expr(f"doc_id div {_WARC_BLOB_DOCS}").alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.expr(
+                "cast(array_join(transform(sort_array(collect_list(s)),"
+                " x -> x.rec), '') as binary)"
+            ).alias("warc")
+        )
+    )
+
+
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container parsing (sources/warc.read_warc_records):
+    Content-Length-framed record splitting of concatenated WARC blobs
+    inside one Arrow-batched mapInPandas — the Common-Crawl ingest
+    step. The oracle never parses: the fixture's bytes are exact
+    arithmetic over ``documents`` (html-face discipline), so the hash
+    check proves the parser inverts the framing bit-for-bit (urls,
+    timestamps, Content-Length, payload bytes)."""
+    from servico_ocr_spark.sources.warc import read_warc_records
+
+    recs = read_warc_records(_warc_blobs(spark, sf_dir))
+    return recs.where(F.col("error").isNull()).select(
+        "blob_id",
+        "rec_index",
+        "url",
+        "warc_ts",
+        "n_bytes",
+        h48(F.col("payload").cast("string")).alias("payload_h48"),
+    )
+
+
+_O_WARC_EXTRACT = f"""
+SELECT (doc_id // {_WARC_BLOB_DOCS})::BIGINT AS blob_id,
+       (row_number() OVER (PARTITION BY doc_id // {_WARC_BLOB_DOCS}
+                           ORDER BY doc_id) - 1)::BIGINT AS rec_index,
+       'https://warc.test/' || doc_id::VARCHAR AS url,
+       '2024-01-01T00:00:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z'
+           AS warc_ts,
+       strlen(text)::BIGINT AS n_bytes,
+       {_d_h48("text")} AS payload_h48
+FROM documents
+"""
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"))
 
@@ -6169,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
+        "warc_extract": _q_warc_extract,
         "token_boxes": _q_token_boxes,
         "repeat_pairs": _q_repeat_pairs,
         "media_features": _q_media_features,
@@ -6291,6 +6368,7 @@ def oracle_sql() -> dict[str, str]:
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,
+        "warc_extract": _O_WARC_EXTRACT,
         "token_boxes": _o_token_boxes(),
         "repeat_pairs": _o_repeat_pairs(),
         "media_features": _O_MEDIA_FEATURES,

@@ -4,11 +4,15 @@
   behind an import gate; the reference's subprocess boundaries at
   app/util_ocr.py:102 and app/util_pdf_ocr.py:26-31).
 - :func:`read_pages` / :func:`read_binary_files` — input scans.
+- :mod:`.warc` — WARC (ISO 28500) record splitting, Common Crawl's
+  container format (:func:`.warc.read_warc_records`).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .warc import read_warc_records  # noqa: F401
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
