@@ -3894,6 +3894,52 @@ SELECT * FROM per UNION ALL SELECT * FROM allr
 """
 
 
+def _q_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p99 winsorization telemetry
+    (operators/stats.winsorize_summary): event values in deterministic
+    cents, clipped at the exact discrete 99th percentile (rank
+    arithmetic, no interpolation), reporting the mass the clip moved —
+    the outlier-robust cleaning step before any money/latency mean.
+    One window sort computes rank, count AND the cap; one combinable
+    agg after."""
+    from servico_ocr_spark.operators import winsorize_summary
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    return winsorize_summary(
+        ev, group_col="event_type", value_col="cents", q=99
+    ).withColumnRenamed("group", "event_type")
+
+
+_O_VALUE_WINSORIZE = """
+WITH v AS (
+    SELECT event_type AS grp,
+           floor(value * 100 + 0.5)::BIGINT AS value
+    FROM events
+),
+r AS (
+    SELECT grp, value,
+           row_number() OVER (PARTITION BY grp ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM v
+),
+c AS (
+    SELECT grp, value, n,
+           max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END)
+               OVER (PARTITION BY grp) AS cap
+    FROM r
+)
+SELECT grp AS event_type,
+       max(n)::BIGINT AS n,
+       max(cap)::BIGINT AS cap,
+       sum(value)::BIGINT AS sum_raw,
+       sum(least(value, cap))::BIGINT AS sum_win,
+       sum(CASE WHEN value > cap THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+FROM c GROUP BY grp
+"""
+
+
 def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles by rank arithmetic
     (operators/stats.exact_group_quantiles): discrete value at
@@ -6241,6 +6287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": _q_conversion_latency,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
+        "value_winsorize": _q_value_winsorize,
         "distinct_sketch": _q_distinct_sketch,
         "source_rollup": _q_source_rollup,
         "windowed_events": _q_windowed_events,
@@ -6364,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_latency": _O_CONVERSION_LATENCY,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,
+        "value_winsorize": _O_VALUE_WINSORIZE,
         "distinct_sketch": _O_DISTINCT_SKETCH,
         "source_rollup": _O_SOURCE_ROLLUP,
         "windowed_events": _O_WINDOWED_EVENTS,

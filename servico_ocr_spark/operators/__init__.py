@@ -113,6 +113,7 @@ from .stats import (  # noqa: F401
     exact_group_quantiles,
     hll_register_sketch,
     majority_label,
+    winsorize_summary,
 )
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401

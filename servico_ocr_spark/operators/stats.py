@@ -243,3 +243,53 @@ def hll_register_sketch(
         F.max("rho").cast("long").alias("register"),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: int = 99,
+) -> DataFrame:
+    """``(group, n, cap, sum_raw, sum_win, n_clipped)``: per-group
+    winsorization telemetry — values above the group's exact discrete
+    ``q``-th percentile (the ``exact_group_quantiles`` rank rule: value
+    at 1-based rank ``ceil(q·n/100)``) are clipped to it, and the
+    summary reports how much mass the clip moved. The standard
+    outlier-robust cleaning step before aggregating money/latency
+    columns (one bot click with a 10^9 value otherwise owns the mean).
+    Callers pass an integer ``value_col`` (cents, micros) — the
+    no-float-aggregates contract.
+
+    Scale shape: ONE per-group window sort computes rank, count, and
+    the cap in the same pass (the cap is a whole-partition conditional
+    max over the already-sorted rows — no second shuffle), then ONE
+    map-side-combinable aggregation. Same mega-group trade as
+    exact_group_quantiles: exact percentiles need the group's order
+    statistics; switch to a sketch when groups can be 10^10 rows."""
+    if not (0 < int(q) <= 100):
+        raise ValueError(f"q out of (0,100]: {q}")
+    wsort = Window.partitionBy("group").orderBy("value")
+    wall = Window.partitionBy("group")
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("value"),
+    ).select(
+        "group",
+        "value",
+        F.row_number().over(wsort).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    target = F.expr(f"(n * {int(q)} + 99) div 100")
+    capped = ranked.withColumn(
+        "cap",
+        F.max(F.when(F.col("rn") == target, F.col("value"))).over(wall),
+    )
+    return capped.groupBy("group").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("cap").cast("long").alias("cap"),
+        F.sum("value").cast("long").alias("sum_raw"),
+        F.sum(F.least("value", "cap")).cast("long").alias("sum_win"),
+        F.sum(F.when(F.col("value") > F.col("cap"), 1).otherwise(0))
+        .cast("long").alias("n_clipped"),
+    )

@@ -1453,3 +1453,22 @@ def test_hll_register_sketch_merge_and_estimate(spark):
 
     # rho bounds: 1..43 for p=6 over a 48-bit hash
     assert all(1 <= r["register"] <= 43 for r in per)
+
+
+def test_winsorize_summary_semantics(spark):
+    from servico_ocr_spark.operators import winsorize_summary
+
+    # 10 values, one extreme outlier; p90 cap = value at rank 9 = 90
+    vals = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100000]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v long"
+    )
+    r = winsorize_summary(df, "grp", "v", q=90).collect()[0]
+    assert r["n"] == 10
+    assert r["cap"] == 90
+    assert r["sum_raw"] == sum(vals)
+    assert r["sum_win"] == sum(min(v, 90) for v in vals)
+    assert r["n_clipped"] == 1
+    # q=100 clips nothing (cap = max)
+    r100 = winsorize_summary(df, "grp", "v", q=100).collect()[0]
+    assert r100["n_clipped"] == 0 and r100["sum_win"] == r100["sum_raw"]
