@@ -554,6 +554,70 @@ WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
 """
 
 
+def _q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement telemetry: FULL OUTER join of the minhash
+    pair set (word-set Jaccard) against the simhash pair set (bit
+    hamming) → per-status counts and score mass ('both' /
+    'minhash_only' / 'simhash_only') — the crawl_delta diff pattern
+    applied to dedup observability. Word-Jaccard and hamming disagree
+    by DESIGN on real corpora (simhash weights repeats, minhash
+    ignores them); this query is how a production pipeline measures
+    that disagreement before trusting either alone. Output is the
+    bounded 3-row rollup; the join itself runs at full pair volume on
+    the two operators' genuine outputs."""
+    mh = _q_minhash_neardups(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard_pct"
+    )
+    sh = _q_simhash_neardups(spark, sf_dir).select(
+        "id_a", "id_b", "hamming"
+    )
+    j = mh.join(sh, ["id_a", "id_b"], "full_outer")
+    status = (
+        F.when(
+            F.col("jaccard_pct").isNotNull()
+            & F.col("hamming").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("jaccard_pct").isNotNull(), F.lit("minhash_only"))
+        .otherwise(F.lit("simhash_only"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("jaccard_pct", F.lit(0)).alias("j"),
+            F.coalesce("hamming", F.lit(0)).alias("h"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("j").cast("long").alias("sum_jaccard_pct"),
+            F.sum("h").cast("long").alias("sum_hamming"),
+        )
+    )
+
+
+def _o_dedup_agreement() -> str:
+    return f"""
+WITH mh AS ({_o_minhash_neardups()}),
+sh AS ({_o_simhash_neardups()}),
+j AS (
+    SELECT coalesce(mh.id_a, sh.id_a) AS id_a,
+           mh.jaccard_pct, sh.hamming
+    FROM mh FULL OUTER JOIN sh
+      ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b
+)
+SELECT CASE
+         WHEN jaccard_pct IS NOT NULL AND hamming IS NOT NULL THEN 'both'
+         WHEN jaccard_pct IS NOT NULL THEN 'minhash_only'
+         ELSE 'simhash_only'
+       END AS status,
+       count(*)::BIGINT AS n_pairs,
+       sum(coalesce(jaccard_pct, 0))::BIGINT AS sum_jaccard_pct,
+       sum(coalesce(hamming, 0))::BIGINT AS sum_hamming
+FROM j GROUP BY 1
+"""
+
+
 def _q_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.
     incremental_near_duplicates): the doc_id % 3 == 0 third plays the
@@ -6192,6 +6256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
+        "dedup_agreement": _q_dedup_agreement,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -6316,6 +6381,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components": _o_neardup_components(),
         "simhash": _o_simhash(),
         "simhash_neardups": _o_simhash_neardups(),
+        "dedup_agreement": _o_dedup_agreement(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ngram_containment": _o_ngram_containment(),
         "winnow_fingerprints": _o_winnow_fingerprints(),
