@@ -4456,6 +4456,84 @@ def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_delta(old, new)
 
 
+def _q_crawl_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 recrawl history (operators/urls.scd2_intervals): gaps-and-
+    islands collapse of consecutive same-content snapshots into
+    validity intervals with valid_to = next change (open intervals get
+    the '9999-12-31' sentinel string). Fixture: 5 snapshots per url on
+    consecutive days, content version steps at slots 2 and 4 (islands
+    [0,1],[2,3],[4]), so every url carries exactly 3 intervals — and
+    both the multi-snap collapse and the open-interval branch are live
+    at every sf. Content is reported as its h48 (the lineage digest a
+    production history table would store)."""
+    from servico_ocr_spark.operators import scd2_intervals
+
+    snaps = _read(spark, sf_dir, "documents").select(
+        F.expr("concat('https://hist.test/', cast(doc_id div 5 as string))")
+        .alias("url"),
+        F.expr(
+            "timestampadd(DAY, cast(doc_id % 5 as int), "
+            "timestamp'2024-03-01 06:00:00')"
+        ).alias("ts"),
+        F.expr(
+            "concat(cast(doc_id div 5 as string), ':v', "
+            "CASE WHEN doc_id % 5 < 2 THEN '0' "
+            "WHEN doc_id % 5 < 4 THEN '1' ELSE '2' END)"
+        ).alias("content"),
+    )
+    out = scd2_intervals(snaps)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "url",
+        h48(F.col("content")).alias("content_h48"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", fmt), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        "n_snaps",
+    )
+
+
+_O_CRAWL_HISTORY = f"""
+WITH snaps AS (
+    SELECT 'https://hist.test/' || (doc_id // 5)::VARCHAR AS url,
+           TIMESTAMP '2024-03-01 06:00:00'
+               + (doc_id % 5) * INTERVAL 1 DAY AS ts,
+           (doc_id // 5)::VARCHAR || ':v' ||
+               (CASE WHEN doc_id % 5 < 2 THEN '0'
+                     WHEN doc_id % 5 < 4 THEN '1' ELSE '2' END)
+               AS content
+    FROM documents
+),
+m AS (
+    SELECT url, ts, content,
+           CASE WHEN lag(content) OVER (PARTITION BY url ORDER BY ts)
+                     IS DISTINCT FROM content THEN 1 ELSE 0 END AS chg
+    FROM snaps
+),
+isl AS (
+    SELECT url, ts, content,
+           sum(chg) OVER (PARTITION BY url ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS isl
+    FROM m
+),
+grp AS (
+    SELECT url, isl, min(content) AS content,
+           min(ts) AS valid_from, count(*)::BIGINT AS n_snaps
+    FROM isl GROUP BY url, isl
+)
+SELECT url,
+       {_d_h48("content")} AS content_h48,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(
+           strftime(lead(valid_from) OVER (PARTITION BY url ORDER BY isl),
+                    '%Y-%m-%d %H:%M:%S'),
+           '9999-12-31 00:00:00') AS valid_to,
+       n_snaps
+FROM grp
+"""
+
+
 _DICT_BUCKETS = 16
 
 
@@ -6322,6 +6400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "latest_crawl": _q_latest_crawl,
         "crawl_delta": _q_crawl_delta,
+        "crawl_history": _q_crawl_history,
         "url_dictionary": _q_url_dictionary,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -6447,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _o_robots_filter(),
         "latest_crawl": _o_latest_crawl(),
         "crawl_delta": _o_crawl_delta(),
+        "crawl_history": _O_CRAWL_HISTORY,
         "url_dictionary": _o_url_dictionary(),
         "pii_scrub": _o_pii_scrub(),
         "decontaminate": _o_decontaminate(),

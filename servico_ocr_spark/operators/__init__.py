@@ -126,6 +126,7 @@ from .urls import (  # noqa: F401
     latest_crawl,
     registered_domain,
     robots_disallow,
+    scd2_intervals,
     url_dedup,
     url_host,
     url_path,

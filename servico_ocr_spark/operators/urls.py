@@ -449,3 +449,70 @@ def robots_disallow(
             .alias("blocked"),
         )
     )
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "content",
+) -> DataFrame:
+    """``(url, content, valid_from, valid_to, n_snaps)``: slowly-
+    changing-dimension (SCD type 2) history from recrawl snapshots —
+    consecutive same-content snapshots of a url collapse into one
+    validity interval (gaps-and-islands), ``valid_to`` = the next
+    interval's start timestamp, NULL for the currently-open interval.
+    The lineage primitive behind "what did this page say when we
+    trained on it": ``latest_crawl`` keeps only the winner,
+    ``crawl_delta`` diffs two snapshots — this keeps the whole change
+    history in bounded form (one row per CHANGE, not per crawl).
+
+    Scale shape: ONE url-keyed window sort detects changes (lag) and
+    numbers islands (running conditional sum) in the same pass; ONE
+    combinable (url, island) agg collapses crawl volume to change
+    volume; the valid_to lookup is a lead() window over the already-
+    collapsed islands (≤ changes per url, not crawls). A 10^6-recrawl
+    hot url pays one window sort — the inherent cost of ordered change
+    detection (the latest_crawl max_by shape exists when only the
+    winner matters); timestamps must be unique per (url, ts) upstream
+    (dedupe recrawl ties first, e.g. via latest_crawl's ordering
+    struct)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("ts")
+    marked = snapshots.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(content_col).alias("content"),
+    ).select(
+        "url",
+        "ts",
+        "content",
+        F.when(
+            F.lag("content").over(w).isNull()
+            | (F.lag("content").over(w) != F.col("content")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    islands = marked.withColumn(
+        "_isl",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).groupBy("url", "_isl").agg(
+        # every row in an island carries the SAME content by
+        # construction; min() keeps the agg order-free/deterministic
+        F.min("content").alias("content"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_snaps"),
+    )
+    w_isl = Window.partitionBy("url").orderBy("_isl")
+    return islands.select(
+        "url",
+        "content",
+        "valid_from",
+        F.lead("valid_from").over(w_isl).alias("valid_to"),
+        "n_snaps",
+    )

@@ -388,3 +388,35 @@ def test_robots_disallow_broadcasts_rules(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_scd2_intervals_islands_and_open_interval(spark):
+    from datetime import datetime
+
+    from servico_ocr_spark.operators import scd2_intervals
+
+    rows = [
+        # url A: v1 v1 v2 v1 — note v1 RETURNS (a new island, not a
+        # merge with the first one: SCD2 is consecutive-run semantics)
+        ("A", datetime(2024, 1, 1), "v1"),
+        ("A", datetime(2024, 1, 2), "v1"),
+        ("A", datetime(2024, 1, 3), "v2"),
+        ("A", datetime(2024, 1, 4), "v1"),
+        # url B: never changes
+        ("B", datetime(2024, 1, 1), "x"),
+        ("B", datetime(2024, 1, 9), "x"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, content string")
+    out = sorted(
+        scd2_intervals(df.repartition(5)).collect(),
+        key=lambda r: (r["url"], r["valid_from"]),
+    )
+    a = [r for r in out if r["url"] == "A"]
+    assert [(r["content"], r["n_snaps"]) for r in a] == [
+        ("v1", 2), ("v2", 1), ("v1", 1)
+    ]
+    assert a[0]["valid_to"] == a[1]["valid_from"] == datetime(2024, 1, 3)
+    assert a[1]["valid_to"] == datetime(2024, 1, 4)
+    assert a[2]["valid_to"] is None  # open interval
+    b = [r for r in out if r["url"] == "B"]
+    assert len(b) == 1 and b[0]["n_snaps"] == 2 and b[0]["valid_to"] is None
