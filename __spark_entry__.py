@@ -2918,6 +2918,41 @@ FROM sc JOIN hb USING (lm_score_x1e6)
 """
 
 
+def _q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter confusion matrix: the CCNet LM buckets
+    (lm_quality) crossed with the Gopher rule verdict (gopher_filter),
+    one row per (bucket, keep) cell with document count and token
+    mass — the curation dashboard that decides whether a cheap
+    heuristic filter can replace the LM one (or must complement it).
+    Both inputs are this contract's own graded queries, joined on
+    doc_id; the rollup is bounded at 3×2 rows while the join runs at
+    corpus volume."""
+    lm = _q_lm_quality(spark, sf_dir).select("doc_id", "bucket")
+    gf = _q_gopher_filter(spark, sf_dir).select(
+        "doc_id", "keep", "n_words"
+    )
+    return (
+        lm.join(gf, "doc_id")
+        .groupBy("bucket", "keep")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def _o_filter_agreement() -> str:
+    return f"""
+WITH lmq AS ({_o_lm_quality()}),
+gf AS ({_o_gopher_filter()})
+SELECT lmq.bucket, gf.keep,
+       count(*)::BIGINT AS n_docs,
+       sum(gf.n_words)::BIGINT AS n_words
+FROM lmq JOIN gf USING (doc_id)
+GROUP BY lmq.bucket, gf.keep
+"""
+
+
 def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec skip-gram pair generation (operators/lm.skipgram_pairs):
     windowed (center, context) counts over the compacted post-subsample
@@ -6369,6 +6404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "lm_quality": _q_lm_quality,
         "quality_mix": _q_quality_mix,
+        "filter_agreement": _q_filter_agreement,
         "skipgram_pairs": _q_skipgram_pairs,
         "quality_score": _q_quality,
         "gopher_filter": _q_gopher_filter,
@@ -6495,6 +6531,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _o_bigram_lm(),
         "lm_quality": _o_lm_quality(),
         "quality_mix": _o_quality_mix(),
+        "filter_agreement": _o_filter_agreement(),
         "skipgram_pairs": _o_skipgram_pairs(),
         "quality_score": _o_quality(),
         "gopher_filter": _o_gopher_filter(),
