@@ -4071,6 +4071,42 @@ FROM r GROUP BY grp
 """
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT archetype: the source × language character-mass matrix —
+    one row per source, one column per language (the corpus-mix report
+    every multilingual curation pipeline prints). Spark's
+    ``pivot(values=...)`` with explicit values keeps the plan a single
+    map-side-combinable aggregation (no distinct-value pre-scan, fixed
+    output schema); the DuckDB twin is the equivalent conditional-sum
+    spread. Unknown languages are deliberately absent from the matrix
+    (explicit-values contract) — add a column, not a scan, to widen."""
+    docs = _read(spark, sf_dir, "documents")
+    agg = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.sum("n_chars"))
+    )
+    return agg.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0))
+            .cast("long")
+            .alias(f"chars_{lang}")
+            for lang in _PIVOT_LANGS
+        ],
+    )
+
+
+_O_LANG_MATRIX = "SELECT source, " + ", ".join(
+    f"coalesce(sum(CASE WHEN lang = '{lang}' THEN n_chars END), 0)::BIGINT"
+    f" AS chars_{lang}"
+    for lang in _PIVOT_LANGS
+) + " FROM documents GROUP BY source"
+
+
 def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY §2.4 notes the reference has none —
     this is engine surface beyond it): per-(source, lang) corpus counts
@@ -6470,6 +6506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_winsorize": _q_value_winsorize,
         "distinct_sketch": _q_distinct_sketch,
         "source_rollup": _q_source_rollup,
+        "lang_matrix": _q_lang_matrix,
         "windowed_events": _q_windowed_events,
         "events_json": _q_events_json,
         "warc_extract": _q_warc_extract,
@@ -6597,6 +6634,7 @@ def oracle_sql() -> dict[str, str]:
         "value_winsorize": _O_VALUE_WINSORIZE,
         "distinct_sketch": _O_DISTINCT_SKETCH,
         "source_rollup": _O_SOURCE_ROLLUP,
+        "lang_matrix": _O_LANG_MATRIX,
         "windowed_events": _O_WINDOWED_EVENTS,
         "events_json": _O_EVENTS_JSON,
         "warc_extract": _O_WARC_EXTRACT,
