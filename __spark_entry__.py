@@ -3993,6 +3993,63 @@ SELECT * FROM per UNION ALL SELECT * FROM allr
 """
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation over the corpus word
+    stream (operators/stats.cms_sketch + cms_estimate): a 4×16 sketch —
+    deliberately narrower than the vocabulary, so hash collisions bind
+    and the one-sided overestimate branch is live at every sf — probed
+    for every distinct word against its exact count. The sketch is the
+    fixed-size mergeable frequency state that replaces a vocabulary-
+    sized exact table at 10^12 tokens; every cell derives from the
+    portable h48, so the estimates hash-match DuckDB bit-for-bit.
+    Plan: one token scan feeds BOTH the ×4 bounded fan-out into ONE
+    combinable 64-row sum agg and the exact word agg; the probe
+    broadcasts the 64-row sketch — the original data is never
+    re-shuffled."""
+    from servico_ocr_spark.operators import cms_estimate, cms_sketch
+    from servico_ocr_spark.operators.common import words_array
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(words_array(F.col("text"))).alias("word")
+    )
+    sk = cms_sketch(toks, "word", depth=4, width=16)
+    exact = toks.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    est = cms_estimate(sk, exact, "word", depth=4, width=16)
+    return exact.join(est, exact["word"] == est["value"]).select(
+        "word",
+        "n_exact",
+        F.col("est").cast("long").alias("n_est"),
+        (F.col("est") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+def _o_cms_heavy_hitters() -> str:
+    cell_tok = _d_h48("('cms' || d.d::VARCHAR || ':' || word)") + " % 16"
+    cell_probe = _d_h48("('cms' || d.d::VARCHAR || ':' || e.word)") + " % 16"
+    return f"""
+WITH w AS ({_d_words_cte()}),
+tok AS (SELECT unnest(words) AS word FROM w),
+dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+    SELECT d.d, {cell_tok} AS col, count(*)::BIGINT AS cms
+    FROM tok CROSS JOIN dd d
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT word, count(*)::BIGINT AS n_exact FROM tok GROUP BY word
+)
+SELECT e.word AS word, e.n_exact AS n_exact,
+       min(coalesce(c.cms, 0))::BIGINT AS n_est,
+       (min(coalesce(c.cms, 0)) - e.n_exact)::BIGINT AS overcount
+FROM exact e
+CROSS JOIN dd d
+LEFT JOIN cells c ON c.d = d.d AND c.col = {cell_probe}
+GROUP BY e.word, e.n_exact
+"""
+
+
 def _q_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type p99 winsorization telemetry
     (operators/stats.winsorize_summary): event values in deterministic
@@ -6505,6 +6562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "value_winsorize": _q_value_winsorize,
         "distinct_sketch": _q_distinct_sketch,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "source_rollup": _q_source_rollup,
         "lang_matrix": _q_lang_matrix,
         "windowed_events": _q_windowed_events,
@@ -6633,6 +6691,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _O_LENGTH_QUANTILES,
         "value_winsorize": _O_VALUE_WINSORIZE,
         "distinct_sketch": _O_DISTINCT_SKETCH,
+        "cms_heavy_hitters": _o_cms_heavy_hitters(),
         "source_rollup": _O_SOURCE_ROLLUP,
         "lang_matrix": _O_LANG_MATRIX,
         "windowed_events": _O_WINDOWED_EVENTS,

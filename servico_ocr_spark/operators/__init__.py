@@ -108,6 +108,8 @@ from .lm import (  # noqa: F401
     skipgram_pairs,
 )
 from .stats import (  # noqa: F401
+    cms_estimate,
+    cms_sketch,
     distinct_count_telemetry,
     embedding_dim_stats,
     exact_group_quantiles,

@@ -293,3 +293,103 @@ def winsorize_summary(
         F.sum(F.when(F.col("value") > F.col("cap"), 1).otherwise(0))
         .cast("long").alias("n_clipped"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(d, col, cms)``: a count-min sketch (Cormode & Muthukrishnan
+    2005) over ``value_col`` — ``depth`` independent hash rows of
+    ``width`` counters, cell ``(d, col)`` holding the total weight of
+    values whose ``d``-th hash lands on ``col``. This is the
+    fixed-size MERGEABLE frequency state that answers "how often does
+    X occur" at 10^12 rows without a vocabulary-sized exact table:
+    sketches of disjoint batches combine by cellwise SUM (additivity —
+    unit-tested), and a point estimate reads min over the value's
+    ``depth`` cells, an overestimate by at most the collision mass
+    (never an underestimate — the one-sided error the paper proves).
+
+    Hashing is the portable h48 over ``'cms<d>:' || value``, so every
+    cell is bit-reproducible in DuckDB — the sketch itself is a
+    hash-checkable artifact, like ``hll_register_sketch`` and unlike
+    any engine-internal sketch state.
+
+    Scale shape: bounded ×``depth`` row fan-out (explode of a literal
+    sequence) → ONE map-side-combinable sum agg; partials collapse to
+    ≤ ``depth·width`` rows per partition before the shuffle, and the
+    output is ``depth·width`` rows regardless of input size. Empty
+    cells emit no row (readers treat absent as 0)."""
+    if not (1 <= int(depth) <= 16):
+        raise ValueError("depth must be in [1, 16]")
+    if int(width) < 2:
+        raise ValueError("width must be >= 2")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.col(value_col).cast("string").alias("_v"), w.alias("_w")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(int(depth) - 1).cast("long")
+            )
+        ).alias("d"),
+        "_v",
+        "_w",
+    )
+    cell = (
+        h48(F.concat(F.lit("cms"), F.col("d").cast("string"),
+                     F.lit(":"), F.col("_v"))) % int(width)
+    ).cast("long")
+    return rows.select("d", cell.alias("col"), "_w").groupBy(
+        "d", "col"
+    ).agg(F.sum("_w").cast("long").alias("cms"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """``(value, est)``: count-min point estimates for each candidate
+    value — min over the value's ``depth`` cells of a ``cms_sketch``
+    built with the SAME (depth, width). Absent cells read as 0 (left
+    join), so out-of-sketch values estimate 0 exactly.
+
+    Scale shape: candidates fan out ×``depth``, the ≤ ``depth·width``
+    -row sketch is broadcast, and the min collapses in one combinable
+    agg — the probe never shuffles the sketch side and never touches
+    the original data, which is the entire point of carrying a sketch
+    instead of the exact frequency table."""
+    probe = candidates.select(
+        F.col(value_col).cast("string").alias("value")
+    ).distinct().select(
+        "value",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(int(depth) - 1).cast("long")
+            )
+        ).alias("d"),
+    )
+    cell = (
+        h48(F.concat(F.lit("cms"), F.col("d").cast("string"),
+                     F.lit(":"), F.col("value"))) % int(width)
+    ).cast("long")
+    return (
+        probe.select("value", "d", cell.alias("col"))
+        .join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy("value")
+        .agg(
+            F.min(F.coalesce(F.col("cms"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -1455,6 +1455,63 @@ def test_hll_register_sketch_merge_and_estimate(spark):
     assert all(1 <= r["register"] <= 43 for r in per)
 
 
+def test_cms_sketch_one_sided_error_additivity_and_mass(spark):
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import cms_estimate, cms_sketch
+
+    # Zipf-ish frequencies over 40 values into a 4x16 sketch: collisions
+    # are guaranteed (40 > 16), so the overestimate branch is live.
+    rows = [(f"w{i}",) for i in range(40) for _ in range(1 + (40 - i) ** 2 // 40)]
+    df = spark.createDataFrame(rows, "v string")
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(
+        F.count("*").alias("n")).collect()}
+
+    sk = cms_sketch(df, "v", depth=4, width=16)
+    cells = sk.collect()
+    # mass conservation: every hash row sums to the total weight
+    total = sum(exact.values())
+    by_d = {}
+    for c in cells:
+        by_d[c["d"]] = by_d.get(c["d"], 0) + c["cms"]
+    assert by_d == {d: total for d in range(4)}
+
+    est = {r["value"]: r["est"] for r in cms_estimate(
+        sk, df, "v", depth=4, width=16).collect()}
+    # one-sided error: never an underestimate, and collisions overcount
+    assert all(est[v] >= n for v, n in exact.items())
+    assert any(est[v] > n for v, n in exact.items())
+    # a wide sketch (no collisions among 40 values is not guaranteed,
+    # but min-over-depth makes est exact for the hot head here)
+    wide = cms_sketch(df, "v", depth=4, width=4096)
+    est_wide = {r["value"]: r["est"] for r in cms_estimate(
+        wide, df, "v", depth=4, width=4096).collect()}
+    assert sum(1 for v, n in exact.items() if est_wide[v] == n) >= 38
+
+    # additivity: sketch(a) + sketch(b) cellwise == sketch(a union b)
+    a = df.where(F.crc32(F.col("v")) % 2 == 0)
+    b = df.where(F.crc32(F.col("v")) % 2 == 1)
+    summed = {}
+    for part in (a, b):
+        for c in cms_sketch(part, "v", depth=4, width=16).collect():
+            summed[(c["d"], c["col"])] = (
+                summed.get((c["d"], c["col"]), 0) + c["cms"]
+            )
+    assert summed == {(c["d"], c["col"]): c["cms"] for c in cells}
+
+    # out-of-sketch probe estimates 0 (absent cells read as 0)
+    ghost = spark.createDataFrame([("never-seen-xyzzy",)], "v string")
+    wide_g = {r["value"]: r["est"] for r in cms_estimate(
+        wide, ghost, "v", depth=4, width=4096).collect()}
+    assert wide_g["never-seen-xyzzy"] == 0
+
+    # partitioning independence
+    sk13 = {(c["d"], c["col"]): c["cms"]
+            for c in cms_sketch(df.repartition(13), "v", depth=4,
+                                width=16).collect()}
+    assert sk13 == {(c["d"], c["col"]): c["cms"] for c in cells}
+
+
 def test_winsorize_summary_semantics(spark):
     from servico_ocr_spark.operators import winsorize_summary
 
