@@ -5708,6 +5708,56 @@ GROUP BY dst
 """
 
 
+def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyad reciprocity over the link graph
+    (operators/links.digraph_reciprocity): per unordered page pair, the
+    edge mass in each direction and the integer reciprocity ratio. The
+    parsed link fixture is a pure DAG (div-parent edges — zero mutual
+    pairs, measured at every sf), so the query blends in a
+    deterministic BACKLINK subset — edges whose h48('rcp:'src>'dst)
+    lands ≡ 0 mod 5 are reflected — making both branches (mutual ≈ 20%
+    and one-way) live at every sf. The reflection is derived from the
+    PARSED edges on the Spark side and from the arithmetic edge CTE on
+    the oracle side, so the hash check still proves the whole
+    parse→resolve path. Plan: the canonical (least,greatest) fold turns
+    reciprocity into ONE combinable agg — no reversed-key self-join, no
+    second edge shuffle."""
+    from servico_ocr_spark.operators import digraph_reciprocity
+    from servico_ocr_spark.operators.common import h48
+
+    e = link_edges(extract_links(_linked_pages(spark, sf_dir)))
+    pick = h48(
+        F.concat(F.lit("rcp:"), F.col("src"), F.lit(">"), F.col("dst"))
+    ) % 5 == 0
+    rev = e.where(pick).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return digraph_reciprocity(e.unionByName(rev))
+
+
+def _o_link_reciprocity() -> str:
+    h = _d_h48("('rcp:' || src || '>' || dst)")
+    return f"""
+WITH {_O_LINKS_CTE},
+rev AS (
+    SELECT dst AS src, src AS dst FROM edges WHERE {h} % 5 = 0
+),
+u AS (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM rev
+),
+folded AS (
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+           CASE WHEN src < dst THEN 1 ELSE 0 END AS fwd,
+           CASE WHEN src > dst THEN 1 ELSE 0 END AS rv
+    FROM u WHERE src <> dst
+)
+SELECT a, b, sum(fwd)::BIGINT AS w_ab, sum(rv)::BIGINT AS w_ba,
+       ((2 * least(sum(fwd), sum(rv)) * 10000)
+            // (sum(fwd) + sum(rv)))::BIGINT AS recip_pp10k
+FROM folded GROUP BY a, b
+"""
+
+
 #: walk depth for the random-walk corpus (fixed, data-independent —
 #: what lets the unrolled oracle mirror the loop exactly)
 _RW_DEPTH = 3
@@ -6511,6 +6561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
+        "link_reciprocity": _q_link_reciprocity,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
         "host_pagerank": _q_host_pagerank,
@@ -6640,6 +6691,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": _o_link_extract(),
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),
+        "link_reciprocity": _o_link_reciprocity(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
         "host_pagerank": _o_host_pagerank(),

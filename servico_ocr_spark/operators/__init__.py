@@ -45,6 +45,7 @@ from .links import (  # noqa: F401
     anchor_text_agg,
     bfs_depths,
     cocitation_pairs,
+    digraph_reciprocity,
     extract_links,
     hits_scores,
     kcore,

@@ -194,6 +194,56 @@ def link_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def digraph_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(a, b, w_ab, w_ba, recip_pp10k)`` per unordered node pair of a
+    weighted digraph — the link-reciprocity statistic ("is this pair of
+    pages/hosts linked both ways, and how balanced is the two-way
+    mass"). ``a < b`` bytewise; ``w_ab``/``w_ba`` are the total edge
+    weight in each direction (0 when absent — one-way pairs ARE rows);
+    ``recip_pp10k = 2·min(w_ab,w_ba)·10^4 div (w_ab+w_ba)`` is the
+    standard dyad-reciprocity ratio in integer parts-per-10^4 (10^4 ⇔
+    perfectly balanced mutual mass, 0 ⇔ one-way). Self-loops are
+    excluded — reciprocity is about dyads.
+
+    Scale shape: NO self-join on the reversed key (the naive shape — a
+    second scan plus a shuffle of the whole edge table). Folding each
+    edge onto its canonical ``(least, greatest)`` pair turns reciprocity
+    into ONE map-side-combinable conditional-sum aggregation: one
+    shuffle of (pair, partial sums), hub pairs collapse in the
+    combiner. Node ids must order consistently across engines — keep
+    them ASCII (the linkage-key rule)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    src, dst = F.col(src_col), F.col(dst_col)
+    folded = edges.where(src != dst).select(
+        F.least(src, dst).alias("a"),
+        F.greatest(src, dst).alias("b"),
+        F.when(src < dst, w).otherwise(F.lit(0)).alias("_fwd"),
+        F.when(src > dst, w).otherwise(F.lit(0)).alias("_rev"),
+    )
+    agg = folded.groupBy("a", "b").agg(
+        F.sum("_fwd").cast("long").alias("w_ab"),
+        F.sum("_rev").cast("long").alias("w_ba"),
+    )
+    return agg.select(
+        "a",
+        "b",
+        "w_ab",
+        "w_ba",
+        F.expr("(2 * least(w_ab, w_ba) * 10000) div (w_ab + w_ba)")
+        .cast("long")
+        .alias("recip_pp10k"),
+    )
+
+
 def anchor_text_agg(
     links: DataFrame, max_anchors: int | None = None
 ) -> DataFrame:

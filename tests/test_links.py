@@ -702,3 +702,48 @@ def test_random_walks_partitioning_independent(spark):
             base = got
         else:
             assert got == base
+
+
+def test_digraph_reciprocity_semantics_and_no_join(spark):
+    from servico_ocr_spark.operators import digraph_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            # balanced mutual pair (weight 3 each way)
+            ("a", "b", 3), ("b", "a", 3),
+            # unbalanced mutual pair: 4 forward, 1 back
+            ("a", "c", 4), ("c", "a", 1),
+            # one-way pair
+            ("b", "c", 7),
+            # self-loop: excluded entirely
+            ("c", "c", 9),
+        ],
+        "src string, dst string, w long",
+    )
+    rows = {(r["a"], r["b"]): r for r in digraph_reciprocity(
+        edges, weight_col="w").collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab["w_ab"], ab["w_ba"], ab["recip_pp10k"]) == (3, 3, 10000)
+    ac = rows[("a", "c")]
+    assert (ac["w_ab"], ac["w_ba"], ac["recip_pp10k"]) == (4, 1, 4000)
+    bc = rows[("b", "c")]
+    assert (bc["w_ab"], bc["w_ba"], bc["recip_pp10k"]) == (7, 0, 0)
+
+    # unweighted: each edge counts 1
+    un = {(r["a"], r["b"]): r for r in digraph_reciprocity(
+        edges).collect()}
+    assert un[("a", "c")]["w_ab"] == 1 and un[("a", "c")]["w_ba"] == 1
+    assert un[("a", "c")]["recip_pp10k"] == 10000
+
+    # the canonical-fold shape has NO join node — reciprocity is one agg
+    plan = digraph_reciprocity(edges, weight_col="w")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+    # partitioning independence
+    r13 = {(r["a"], r["b"]): (r["w_ab"], r["w_ba"], r["recip_pp10k"])
+           for r in digraph_reciprocity(
+               edges.repartition(13), weight_col="w").collect()}
+    assert r13 == {k: (v["w_ab"], v["w_ba"], v["recip_pp10k"])
+                   for k, v in rows.items()}
