@@ -4549,6 +4549,51 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_url_corpus(spark, sf_dir))
 
 
+def _q_url_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host path-prefix subtree rollup
+    (operators/urls.path_prefix_rollup): page and distinct-url mass for
+    every directory prefix up to depth 2 — the crawl-analytics "which
+    site sections carry the corpus" view. The fixture's /a/<n>/Mixed
+    paths (~14% of urls) are DEEPER than the cap, so the fold-into-
+    ancestor branch binds at every sf; root-only (d2 % 19 = 0) and
+    urn: pathless ids exercise the no-segment exclusion. Plan: pure
+    projection → bounded ×2 fan-out (explode after the size ≥ 1
+    filter) → ONE combinable agg keyed by prefix text."""
+    from servico_ocr_spark.operators import (
+        canonicalize_urls,
+        path_prefix_rollup,
+    )
+
+    return path_prefix_rollup(
+        canonicalize_urls(_url_corpus(spark, sf_dir)), max_depth=2
+    )
+
+
+def _o_url_tree() -> str:
+    return f"""
+WITH {_o_url_canon_cte()},
+pp AS (
+    SELECT host, canonical_url,
+           list_filter(string_split(
+               regexp_extract(canonical_url,
+                              '^[a-z]+://[^/]+(/[^?]*)', 1), '/'),
+               x -> x <> '') AS segs
+    FROM canon
+),
+e AS (
+    SELECT host, canonical_url, t.k AS depth,
+           '/' || array_to_string(list_slice(segs, 1, t.k), '/') AS prefix
+    FROM pp CROSS JOIN
+         unnest(generate_series(1, least(len(segs), 2))) AS t(k)
+    WHERE len(segs) >= 1
+)
+SELECT host, prefix, depth::BIGINT AS depth,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT canonical_url)::BIGINT AS n_urls
+FROM e GROUP BY host, prefix, depth
+"""
+
+
 def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import latest_crawl
 
@@ -6558,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
+        "url_tree": _q_url_tree,
         "link_extract": _q_link_extract,
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
@@ -6688,6 +6734,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),
+        "url_tree": _o_url_tree(),
         "link_extract": _o_link_extract(),
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),

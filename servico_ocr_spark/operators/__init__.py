@@ -127,6 +127,7 @@ from .urls import (  # noqa: F401
     domain_cap,
     domain_stats,
     latest_crawl,
+    path_prefix_rollup,
     registered_domain,
     robots_disallow,
     scd2_intervals,

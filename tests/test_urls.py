@@ -420,3 +420,33 @@ def test_scd2_intervals_islands_and_open_interval(spark):
     assert a[2]["valid_to"] is None  # open interval
     b = [r for r in out if r["url"] == "B"]
     assert len(b) == 1 and b[0]["n_snaps"] == 2 and b[0]["valid_to"] is None
+
+
+def test_path_prefix_rollup_semantics(spark):
+    from servico_ocr_spark.operators import path_prefix_rollup
+
+    rows = [
+        ("h1", "https://h1/a/b/c"),    # 3 segs: folds into /a and /a/b
+        ("h1", "https://h1/a/b"),      # 2 segs
+        ("h1", "https://h1/a/b"),      # duplicate url: n_pages 2, n_urls 1
+        ("h1", "https://h1/a/x"),
+        ("h1", "https://h1/"),         # root: no row
+        ("h2", "urn:doc:7"),           # pathless: no row
+        ("h2", "https://h2/solo"),
+    ]
+    df = spark.createDataFrame(rows, "host string, canonical_url string")
+    out = {(r["host"], r["prefix"], r["depth"]): (r["n_pages"], r["n_urls"])
+           for r in path_prefix_rollup(df, max_depth=2).collect()}
+    assert out == {
+        ("h1", "/a", 1): (4, 3),
+        ("h1", "/a/b", 2): (3, 2),
+        ("h1", "/a/x", 2): (1, 1),
+        ("h2", "/solo", 1): (1, 1),
+    }
+    # depth cap binds: /a/b/c never appears as its own prefix
+    assert not any(p == "/a/b/c" for (_, p, _) in out)
+    # partitioning independence
+    out13 = {(r["host"], r["prefix"], r["depth"]): (r["n_pages"], r["n_urls"])
+             for r in path_prefix_rollup(
+                 df.repartition(13), max_depth=2).collect()}
+    assert out13 == out
