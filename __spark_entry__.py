@@ -4594,6 +4594,72 @@ FROM e GROUP BY host, prefix, depth
 """
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of a crawl
+    budget over hosts (operators/urls.apportion_budget): budget =
+    total pages div 3, derived from the data in integer arithmetic so
+    the floors AND the remainder-ranked extra slots both bind at every
+    sf (a budget divisible by the host masses would kill the remainder
+    branch). Σ quota = budget exactly — the property float shares
+    cannot give. The budget scalar is an eager 1-row count at plan
+    construction (the embedding_neardups precedent, documented there);
+    hostless urn: ids are excluded. Plan: ONE host agg (bounded by
+    host cardinality) + two 1-row broadcasts + one window over host
+    rows."""
+    from servico_ocr_spark.operators import (
+        apportion_budget,
+        canonicalize_urls,
+    )
+
+    c = canonicalize_urls(_url_corpus(spark, sf_dir)).where(
+        F.col("host") != ""
+    )
+    masses = c.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    budget = c.count() // 3
+    return apportion_budget(
+        masses, budget, group_col="host", mass_col="n_pages"
+    ).select(
+        F.col("group").alias("host"),
+        F.col("mass").alias("n_pages"),
+        "floor_q",
+        "quota",
+    )
+
+
+def _o_crawl_budget() -> str:
+    return f"""
+WITH {_o_url_canon_cte()},
+m AS (
+    SELECT host, count(*)::BIGINT AS mass
+    FROM canon WHERE host <> '' GROUP BY host
+),
+tot AS (
+    SELECT sum(mass)::BIGINT AS total,
+           (sum(mass) // 3)::BIGINT AS b
+    FROM m
+),
+q AS (
+    SELECT host, mass,
+           ((t.b * mass) // t.total)::BIGINT AS floor_q,
+           ((t.b * mass) % t.total)::BIGINT AS rem,
+           t.b AS b
+    FROM m, tot t
+),
+s AS (SELECT sum(floor_q)::BIGINT AS spent FROM q),
+r AS (
+    SELECT host, mass, floor_q, b,
+           row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+    FROM q
+)
+SELECT host, mass AS n_pages, floor_q,
+       (floor_q + CASE WHEN rk <= b - s.spent THEN 1 ELSE 0 END)::BIGINT
+           AS quota
+FROM r, s
+"""
+
+
 def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import latest_crawl
 
@@ -6604,6 +6670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
         "url_tree": _q_url_tree,
+        "crawl_budget": _q_crawl_budget,
         "link_extract": _q_link_extract,
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
@@ -6735,6 +6802,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _o_url_dedup(),
         "domain_stats": _o_domain_stats(),
         "url_tree": _o_url_tree(),
+        "crawl_budget": _o_crawl_budget(),
         "link_extract": _o_link_extract(),
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),

@@ -120,6 +120,7 @@ from .stats import (  # noqa: F401
 )
 from .pii import scrub_pii  # noqa: F401
 from .urls import (  # noqa: F401
+    apportion_budget,
     canonical_url,
     canonicalize_urls,
     crawl_delta,

@@ -42,7 +42,7 @@ the cheapest possible distributed shape, no joins, no windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.column import Column
 
 #: query parameters that never contribute to page identity
@@ -574,4 +574,67 @@ def scd2_intervals(
         "valid_from",
         F.lead("valid_from").over(w_isl).alias("valid_to"),
         "n_snaps",
+    )
+
+
+def apportion_budget(
+    masses: DataFrame,
+    budget: int,
+    group_col: str = "host",
+    mass_col: str = "n_pages",
+) -> DataFrame:
+    """``(group, mass, floor_q, quota)``: exact largest-remainder
+    (Hamilton) apportionment of an integer ``budget`` over groups
+    proportional to ``mass`` — the per-host crawl-budget / fetch-slot
+    allocation that politeness scheduling consumes. Every group gets
+    ``floor(budget·mass / total)``; the ``budget − Σfloor`` leftover
+    slots go to the largest division remainders (ties broken by group
+    ascending), so ``Σ quota = budget`` EXACTLY — no float shares, no
+    rounding drift, bit-identical on any engine.
+
+    Input is the already-aggregated per-group mass table (bounded by
+    group cardinality — hosts, not pages). Scale shape: two 1-row
+    broadcasts (total, Σfloor) + ONE window over group-cardinality rows
+    for the remainder rank — the same host-table trade as
+    ``crawl_schedule``; at 10^9 groups switch the rank to the two-stage
+    bucket-offset enumeration documented there (bucket = top bits of
+    the remainder preserves (rem, group) order). BIGINT bound:
+    ``budget·mass`` must stay under 2^63 — at budget 10^10 that allows
+    ~10^8-page hosts; pre-scale masses when both are larger."""
+    if int(budget) < 0:
+        raise ValueError("budget must be >= 0")
+    b = int(budget)
+    m = masses.select(
+        F.col(group_col).alias("group"),
+        F.col(mass_col).cast("long").alias("mass"),
+    ).where(F.col("mass") > 0)
+    total = m.agg(F.sum("mass").cast("long").alias("_total"))
+    q = m.crossJoin(F.broadcast(total)).select(
+        "group",
+        "mass",
+        F.expr(f"({b}L * mass) div _total").cast("long").alias("floor_q"),
+        F.expr(f"({b}L * mass) % _total").cast("long").alias("_rem"),
+    )
+    spent = q.agg(F.sum("floor_q").cast("long").alias("_spent"))
+    w = Window.orderBy(F.col("_rem").desc(), F.col("group").asc())
+    return (
+        q.crossJoin(F.broadcast(spent))
+        .select(
+            "group",
+            "mass",
+            "floor_q",
+            "_spent",
+            F.row_number().over(w).alias("_rk"),
+        )
+        .select(
+            "group",
+            "mass",
+            "floor_q",
+            (
+                F.col("floor_q")
+                + F.when(
+                    F.col("_rk") <= F.lit(b) - F.col("_spent"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("quota"),
+        )
     )

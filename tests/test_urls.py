@@ -450,3 +450,44 @@ def test_path_prefix_rollup_semantics(spark):
              for r in path_prefix_rollup(
                  df.repartition(13), max_depth=2).collect()}
     assert out13 == out
+
+
+def test_apportion_budget_hamilton_exact(spark):
+    from servico_ocr_spark.operators import apportion_budget
+
+    m = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("z", 0)],
+        "host string, n_pages long",
+    )
+    # budget 7 over masses 5:3:2 (total 10): floors 3,2,1 (sum 6),
+    # remainders 5,1,4 -> the 1 leftover slot goes to 'a' (rem 5)
+    out = {r["group"]: r for r in apportion_budget(m, 7).collect()}
+    assert set(out) == {"a", "b", "c"}  # zero-mass group excluded
+    assert [out[g]["floor_q"] for g in "abc"] == [3, 2, 1]
+    assert [out[g]["quota"] for g in "abc"] == [4, 2, 1]
+    assert sum(r["quota"] for r in out.values()) == 7
+
+    # tie remainders break by group ascending: masses 1,1,1 budget 4 ->
+    # floors 1,1,1, remainders all equal -> extra to 'a'
+    m2 = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "host string, n_pages long"
+    )
+    out2 = {r["group"]: r["quota"] for r in apportion_budget(m2, 4).collect()}
+    assert out2 == {"a": 2, "b": 1, "c": 1}
+
+    # exactness property on a bigger random-ish table
+    m3 = spark.createDataFrame(
+        [(f"h{i}", 1 + (i * 37) % 101) for i in range(50)],
+        "host string, n_pages long",
+    )
+    for budget in (0, 1, 97, 1000):
+        rows = apportion_budget(m3, budget).collect()
+        assert sum(r["quota"] for r in rows) == budget
+        assert all(r["quota"] - r["floor_q"] in (0, 1) for r in rows)
+
+    # partitioning independence
+    a = sorted((r["group"], r["quota"])
+               for r in apportion_budget(m3, 97).collect())
+    b = sorted((r["group"], r["quota"])
+               for r in apportion_budget(m3.repartition(13), 97).collect())
+    assert a == b
