@@ -4935,6 +4935,92 @@ _DECON_N = 5  # word-shingle width
 # word SETS, not word ORDER, so raw docs produce no cross hits.)
 _DECON_EVAL = "the quick brown fox jumps over the lazy sleeping dog"
 
+#: shared token run for the CDC dedup fixture (doc_id % 17 == 3 docs) —
+#: long enough (24 tokens, expected boundary every 8) that several cut
+#: points fall INSIDE the run, so the re-synchronized chunks between
+#: them are identical across every carrier document regardless of the
+#: differing prefixes (the CDC shift-invariance property)
+_CDC_RUN = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+)
+
+
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage-dedup ledger
+    (operators/dedup.cdc_chunks → cdc_dedup_stats): boundaries are a
+    function of token content (h48 of the 2-gram, expected chunk = 8
+    tokens), so identical runs chunk identically no matter what
+    precedes them — the property fixed windows lack. The natural
+    corpus has exact-dup texts only at sf0.1 (measured), so the
+    ``_CDC_RUN`` token run is injected into doc_id % 17 == 3 docs (the
+    decontaminate fixture rule): its interior chunks re-synchronize
+    across every carrier and form cross-document families at every sf.
+    Only n_occ ≥ 2 families are emitted (the ledger — distinct chunks
+    are corpus-sized and belong in a sink, not a result set). Plan:
+    posexplode → one doc window pass (lag boundary + running sum) →
+    one (doc,chunk) agg with chunk-length-bounded buffers → ONE
+    combinable family agg keyed by chunk text."""
+    from servico_ocr_spark.operators import cdc_chunks, cdc_dedup_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 3,
+            F.concat("text", F.lit(" " + _CDC_RUN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_dedup_stats(cdc_chunks(docs, modulus=8)).where(
+        F.col("n_occ") >= 2
+    )
+
+
+def _o_cdc_dedup() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    bnd = _d_h48("(prev || ' ' || word)")
+    return f"""
+WITH injected AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 3 THEN text || ' {_CDC_RUN}'
+                ELSE text END AS text
+    FROM documents
+),
+w AS (SELECT doc_id, {words} AS words FROM injected),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos,
+           unnest(words) AS word
+    FROM w
+),
+lg AS (
+    SELECT doc_id, pos, word,
+           lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM tok
+),
+b AS (
+    SELECT doc_id, pos, word,
+           CASE WHEN prev IS NOT NULL AND {bnd} % 8 = 0
+                THEN 1 ELSE 0 END AS bd
+    FROM lg
+),
+c AS (
+    SELECT doc_id, pos, word,
+           sum(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+    FROM b
+),
+ch AS (
+    SELECT doc_id, chunk, count(*)::BIGINT AS n_tokens,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text
+    FROM c GROUP BY doc_id, chunk
+)
+SELECT chunk_text, max(n_tokens)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       ((count(*) - 1) * max(n_tokens))::BIGINT AS tokens_saved
+FROM ch GROUP BY chunk_text HAVING count(*) >= 2
+"""
+
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import decontaminate
@@ -6696,6 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_history": _q_crawl_history,
         "url_dictionary": _q_url_dictionary,
         "pii_scrub": _q_pii_scrub,
+        "cdc_dedup": _q_cdc_dedup,
         "decontaminate": _q_decontaminate,
         "assign_split": _q_assign_split,
         "chunk_documents": _q_chunk_documents,
@@ -6828,6 +6915,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_history": _O_CRAWL_HISTORY,
         "url_dictionary": _o_url_dictionary(),
         "pii_scrub": _o_pii_scrub(),
+        "cdc_dedup": _o_cdc_dedup(),
         "decontaminate": _o_decontaminate(),
         "assign_split": _o_assign_split(),
         "chunk_documents": _o_chunk_documents(),

@@ -8,6 +8,8 @@ and multimodal column plumbing.
 """
 
 from .dedup import (  # noqa: F401
+    cdc_chunks,
+    cdc_dedup_stats,
     component_representatives,
     decontaminate,
     exact_duplicates,

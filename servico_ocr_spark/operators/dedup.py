@@ -1231,3 +1231,92 @@ def incremental_near_duplicates(
         "new_id",
         jacc_pct.cast("long").alias("jaccard_pct"),
     ).where(F.col("jaccard_pct") >= int(threshold * 100))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modulus: int = 8,
+) -> DataFrame:
+    """``(doc_id, chunk_pos, n_tokens, chunk_text)``: content-defined
+    chunking (LBFS, Muthitacharoen et al. SOSP 2001; the FastCDC
+    family) over the normalized token stream — a chunk boundary opens
+    BEFORE token *i* whenever ``h48(prev_word ' ' word_i) mod modulus
+    == 0``, so expected chunk length is ``modulus`` tokens but the cut
+    points are a function of the CONTENT, not the offset. That is the
+    property fixed-size chunking (``packing.chunk_documents``) lacks
+    and storage/transfer dedup needs: inserting one token near the
+    start of a document shifts every fixed-size window, but only the
+    chunks touching the edit here — all downstream cut points
+    re-synchronize and those chunks keep their identity across the two
+    versions (property-tested). ``chunk_pos`` is the chunk's first
+    token position.
+
+    Scale shape: posexplode → ONE doc-keyed window pass (lag computes
+    the boundary 2-gram, a running conditional sum assigns chunk ids —
+    the gaps-and-islands shape) → ONE (doc, chunk) agg whose
+    collect_list buffer is bounded by the chunk length (geometric tail
+    around ``modulus`` — the span_corruption string-assembly trade,
+    never corpus-scale). Zero-token docs emit no row (fingerprint
+    convention)."""
+    if int(modulus) < 2:
+        raise ValueError("modulus must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("word").over(w)
+    boundary = (
+        F.when(
+            prev.isNotNull()
+            & (
+                h48(F.concat(prev, F.lit(" "), F.col("word")))
+                % int(modulus)
+                == 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_b")
+    )
+    marked = toks.select("doc_id", "pos", "word", boundary)
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = marked.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.sum("_b").over(run).alias("_chunk"),
+    )
+    return chunked.groupBy("doc_id", "_chunk").agg(
+        F.min("pos").cast("long").alias("chunk_pos"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    ).drop("_chunk")
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """``(chunk_text, n_tokens, n_occ, n_docs, tokens_saved)``: cross-
+    document duplicate-chunk families over a ``cdc_chunks`` table —
+    the storage-dedup ledger (``tokens_saved = (n_occ − 1) ·
+    n_tokens`` is the mass a content-addressed store would not write
+    twice). ONE map-side-combinable agg keyed by the chunk TEXT (no
+    digest identity — the paragraph-dedup birthday rule; the text
+    already rides the row)."""
+    return chunks.groupBy("chunk_text").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_occ"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        (
+            (F.count("*") - 1) * F.max("n_tokens")
+        ).cast("long").alias("tokens_saved"),
+    )

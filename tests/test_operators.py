@@ -1529,3 +1529,56 @@ def test_winsorize_summary_semantics(spark):
     # q=100 clips nothing (cap = max)
     r100 = winsorize_summary(df, "grp", "v", q=100).collect()[0]
     assert r100["n_clipped"] == 0 and r100["sum_win"] == r100["sum_raw"]
+
+
+def test_cdc_chunks_shift_invariance_and_semantics(spark):
+    """The CDC guarantee: a prefix edit only disturbs chunks up to the
+    first boundary after the edit; every later chunk re-synchronizes
+    and keeps its identity (unlike fixed-size windows, where one
+    inserted token shifts everything)."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import cdc_chunks, cdc_dedup_stats
+
+    words = [f"tok{i * 37 % 101}x{i}" for i in range(120)]
+    base = " ".join(words)
+    shifted = "inserted " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted), (2, "")],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunks(df, modulus=8).collect()
+    by_doc = {d: sorted(
+        (r["chunk_pos"], r["n_tokens"], r["chunk_text"])
+        for r in chunks if r["doc_id"] == d) for d in (0, 1, 2)}
+    # zero-token doc: no rows
+    assert by_doc[2] == []
+    # chunks tile the token stream exactly
+    assert sum(n for _, n, _ in by_doc[0]) == 120
+    assert sum(n for _, n, _ in by_doc[1]) == 121
+    for d in (0, 1):
+        poss = [(p, n) for p, n, _ in by_doc[d]]
+        assert poss[0][0] == 0
+        for (p1, n1), (p2, _) in zip(poss, poss[1:]):
+            assert p2 == p1 + n1
+    # shift-invariance: all but the first chunk(s) of the base doc
+    # reappear verbatim in the shifted doc
+    t0 = [t for _, _, t in by_doc[0]]
+    t1 = {t for _, _, t in by_doc[1]}
+    assert len(t0) >= 5, "fixture should produce several chunks"
+    shared = [t for t in t0 if t in t1]
+    assert len(shared) >= len(t0) - 2, (len(shared), len(t0))
+    # and the shared suffix is contiguous from the first resync point
+    first = next(i for i, t in enumerate(t0) if t in t1)
+    assert all(t in t1 for t in t0[first:])
+
+    # dedup ledger: the shared chunks are (n_occ 2, n_docs 2) families
+    stats = {r["chunk_text"]: r for r in cdc_dedup_stats(
+        cdc_chunks(df, modulus=8)).collect()}
+    fam = stats[shared[-1]]
+    assert (fam["n_occ"], fam["n_docs"]) == (2, 2)
+    assert fam["tokens_saved"] == fam["n_tokens"]
+
+    # partitioning independence
+    again = cdc_chunks(df.repartition(7), modulus=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, chunks))
