@@ -105,6 +105,9 @@ BENCH_FAMILIES = {
         # encoded into gh*16+offset), membership explode <= w per gram
         "winnow_fingerprints",
         "winnow_pairs",
+        # content-defined chunking ledger: one doc window pass +
+        # one family agg keyed by chunk text (shift-invariant cuts)
+        "cdc_dedup",
     ],
     "textstats": [
         "fingerprint",
@@ -168,6 +171,9 @@ BENCH_FAMILIES = {
         # (r²·f_ppm threshold), one doc window for all leads, |V|²-
         # bounded symmetric pair agg
         "skipgram_pairs",
+        # count-min sketch (4x16, collisions binding): bounded x4
+        # fan-out into one 64-row combinable agg + broadcast probe
+        "cms_heavy_hitters",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
@@ -193,6 +199,12 @@ BENCH_FAMILIES = {
         # portable two-stage distributed zipWithIndex (dense ids, no
         # digest identity, no global sort)
         "url_dictionary",
+        # per-host path-prefix subtree rollup (bounded x2 fan-out,
+        # one agg keyed by prefix text, depth-cap fold)
+        "url_tree",
+        # exact largest-remainder budget apportionment over hosts
+        # (two 1-row broadcasts + one host-cardinality window)
+        "crawl_budget",
     ],
     "graph": [
         # link-graph face: zero-shuffle JVM-regex anchor parse, distinct
@@ -209,6 +221,9 @@ BENCH_FAMILIES = {
         # DeepWalk-style deterministic walk corpus: two 1:1 equi-joins
         # per step (hub-proof), coin flips = portable hash arithmetic
         "random_walks",
+        # dyad reciprocity: canonical-pair fold, ONE combinable agg,
+        # no reversed-key self-join
+        "link_reciprocity",
         # degree-oriented triangle counting: wedge join bounded at
         # O(m^1.5) regardless of hub skew
         "triangles",

@@ -441,3 +441,35 @@ def test_big_orders_broadcasts_reduced_aggregate(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_cdc_dedup_one_scan_two_exchanges_no_join(spark):
+    """cdc_chunks + cdc_dedup_stats contract shape: one parquet pass,
+    one doc-keyed exchange shared by both window passes (lag boundary +
+    running chunk sum sort once), the (doc,chunk) agg rides the same
+    partitioning, and the family agg is the only second exchange. No
+    join anywhere — the ledger is pure aggregation."""
+    df = entrymod.queries()["cdc_dedup"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan[:4000]
+    assert plan.count("Exchange") <= 2, plan[:4000]
+    assert "Join" not in plan, plan[:4000]
+
+
+def test_cms_heavy_hitters_broadcast_probe_single_token_pass_each(spark):
+    """The sketch probe must BROADCAST the <= depth*width-row sketch —
+    a shuffled join here would defeat the point of carrying a sketch
+    instead of the exact table."""
+    df = entrymod.queries()["cms_heavy_hitters"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    assert plan.count("SortMergeJoin") == 0, plan[:4000]
+
+
+def test_link_reciprocity_no_reversed_self_join(spark):
+    """Reciprocity via the canonical-pair fold: ONE aggregation, no
+    join of edges against reversed edges (only the html parse feeds
+    it)."""
+    df = entrymod.queries()["link_reciprocity"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:4000]
