@@ -3364,6 +3364,50 @@ LIMIT 10
 """
 
 
+def _q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): orders placed in
+    1996Q1 that have AT LEAST ONE lineitem shipping more than 60 days
+    after the order date, counted per priority. The reference Q4's
+    EXISTS subquery is a LEFT SEMI join in Spark — the probe never
+    duplicates an order no matter how many late lineitems it has, and
+    the quarter predicate pushes to the orders parquet scan (both
+    plan-locked). The semi join carries the cross-table date predicate
+    as a join condition, so lineitems are filtered during the join,
+    not materialized per order. Both branches live at every sf
+    (measured: 58/62 quarter orders pass the EXISTS at sf0.001)."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > F.expr("o_orderdate + INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+
+
+_O_LATE_ORDERS = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o_orderkey
+                AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog (large-volume customer): orders whose total
     lineitem quantity exceeds 300, joined back to order and customer
@@ -6798,6 +6842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "big_orders": _q_big_orders,
+        "late_orders": _q_late_orders,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
         "sessionize": _q_sessionize,
@@ -6931,6 +6976,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _O_PRICING_SUMMARY,
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "big_orders": _O_BIG_ORDERS,
+        "late_orders": _O_LATE_ORDERS,
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,
         "sessionize": _O_SESSIONIZE,

@@ -275,6 +275,9 @@ BENCH_FAMILIES = {
         # TPC-H Q5 analog: six-table star join, explicit dim broadcasts,
         # date filter pushed to the orders scan
         "regional_volume",
+        # TPC-H Q4 analog: EXISTS as a LEFT SEMI join with the quarter
+        # predicate pushed to the scan
+        "late_orders",
         "sessionize",
         # strictly-ordered first-touch funnel (|users|-bounded step
         # frames, per-step lazy checkpoint bounds rescans to K)

@@ -473,3 +473,14 @@ def test_link_reciprocity_no_reversed_self_join(spark):
     df = entrymod.queries()["link_reciprocity"](spark, SF)
     plan = _plan(df)
     assert "Join" not in plan, plan[:4000]
+
+
+def test_late_orders_semi_join_and_date_pushdown(spark):
+    """Q4's EXISTS must compile to a LEFT SEMI join (no order
+    duplication, no aggregate-then-distinct detour) with the quarter
+    predicate pushed to the orders parquet scan."""
+    df = entrymod.queries()["late_orders"](spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan[:4000]
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters")[1][:400], plan[:4000]
