@@ -4704,6 +4704,54 @@ FROM r, s
 """
 
 
+def _q_host_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-host freshness mass
+    (operators/urls.freshness_scores): each page contributes
+    ``2^20 >> (age_days div 7)`` relative to the corpus max crawl date
+    — an exact integer stepwise surrogate of 2^(-age/half_life), no
+    exp, no floats. The fixture's warc_ts spans 28 days, so 4-5
+    distinct weight levels bind at every sf. Plan: one 1-row max
+    broadcast + ONE combinable host agg."""
+    from servico_ocr_spark.operators import (
+        canonicalize_urls,
+        freshness_scores,
+    )
+
+    c = canonicalize_urls(_url_corpus(spark, sf_dir)).where(
+        F.col("host") != ""
+    )
+    return freshness_scores(c, group_col="host", half_life_days=7).select(
+        F.col("group").alias("host"),
+        "n_pages",
+        "freshest_age_days",
+        "score",
+    )
+
+
+def _o_host_freshness() -> str:
+    return f"""
+WITH {_o_url_canon_cte()},
+j AS (
+    SELECT host,
+           TIMESTAMP '2024-03-01 00:00:00' + to_hours(CAST(
+               ((doc_id // 2) % 28) * 24 +
+               (CASE WHEN (doc_id // 2) % 4 = 0 THEN 7
+                     ELSE doc_id % 23 END) AS BIGINT)) AS warc_ts
+    FROM canon WHERE host <> ''
+),
+nowt AS (SELECT max(warc_ts::DATE) AS nw FROM j),
+aged AS (
+    SELECT host,
+           date_diff('day', warc_ts::DATE, n.nw)::BIGINT AS age
+    FROM j, nowt n
+)
+SELECT host, count(*)::BIGINT AS n_pages,
+       min(age)::BIGINT AS freshest_age_days,
+       sum((1::BIGINT << 20) >> least(age // 7, 62)::INT)::BIGINT AS score
+FROM aged GROUP BY host
+"""
+
+
 def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import latest_crawl
 
@@ -6801,6 +6849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "url_tree": _q_url_tree,
         "crawl_budget": _q_crawl_budget,
+        "host_freshness": _q_host_freshness,
         "link_extract": _q_link_extract,
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
@@ -6935,6 +6984,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _o_domain_stats(),
         "url_tree": _o_url_tree(),
         "crawl_budget": _o_crawl_budget(),
+        "host_freshness": _o_host_freshness(),
         "link_extract": _o_link_extract(),
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),

@@ -205,6 +205,9 @@ BENCH_FAMILIES = {
         # exact largest-remainder budget apportionment over hosts
         # (two 1-row broadcasts + one host-cardinality window)
         "crawl_budget",
+        # stepwise integer freshness decay (1-row max broadcast +
+        # one combinable host agg, no floats)
+        "host_freshness",
     ],
     "graph": [
         # link-graph face: zero-shuffle JVM-regex anchor parse, distinct

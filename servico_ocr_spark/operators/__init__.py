@@ -129,6 +129,7 @@ from .urls import (  # noqa: F401
     crawl_schedule,
     domain_cap,
     domain_stats,
+    freshness_scores,
     latest_crawl,
     path_prefix_rollup,
     registered_domain,

@@ -638,3 +638,48 @@ def apportion_budget(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def freshness_scores(
+    df: DataFrame,
+    group_col: str = "host",
+    ts_col: str = "warc_ts",
+    half_life_days: int = 7,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """``(group, n_pages, freshest_age_days, score)``: exponentially-
+    decayed recency mass per group — the crawl-prioritization signal
+    ("which hosts' content is going stale"). Each page contributes
+    ``2^scale_bits >> (age_days div half_life_days)`` — an EXACT
+    integer surrogate of ``2^(-age/half_life)`` (step-wise decay at
+    half-life boundaries), so the score is bit-reproducible on any
+    engine: no ``exp``, no floats. "Now" is the corpus max timestamp
+    (data-derived — the score is a pure function of the input, which
+    is what lets the oracle check it). The shift is capped at 62 bits;
+    anything older than ``62·half_life`` contributes 0 exactly.
+
+    Scale shape: one 1-row max broadcast + ONE map-side-combinable
+    agg. BIGINT bound: per-group score < n_pages·2^scale_bits — at
+    2^20 scale that is exact past 10^12 pages per host."""
+    if not (1 <= int(scale_bits) <= 40):
+        raise ValueError("scale_bits must be in [1, 40]")
+    if int(half_life_days) < 1:
+        raise ValueError("half_life_days must be >= 1")
+    now = df.agg(F.max(F.to_date(F.col(ts_col))).alias("_now"))
+    aged = df.crossJoin(F.broadcast(now)).select(
+        F.col(group_col).alias("group"),
+        F.datediff(F.col("_now"), F.to_date(F.col(ts_col)))
+        .cast("long")
+        .alias("_age"),
+    )
+    wgt = F.expr(
+        f"shiftright(shiftleft(1L, {int(scale_bits)}), "
+        f"cast(least(_age div {int(half_life_days)}L, 62) as int))"
+    )
+    return aged.select("group", "_age", wgt.alias("_w")).groupBy(
+        "group"
+    ).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.min("_age").cast("long").alias("freshest_age_days"),
+        F.sum("_w").cast("long").alias("score"),
+    )

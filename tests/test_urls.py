@@ -491,3 +491,29 @@ def test_apportion_budget_hamilton_exact(spark):
     b = sorted((r["group"], r["quota"])
                for r in apportion_budget(m3.repartition(13), 97).collect())
     assert a == b
+
+
+def test_freshness_scores_stepwise_decay(spark):
+    from servico_ocr_spark.operators import freshness_scores
+
+    # corpus max date = 2024-03-29 ("now"); ages 0, 6, 7, 14, 700 days
+    rows = [
+        ("h1", "2024-03-29 10:00:00"),   # age 0  -> 2^20
+        ("h1", "2024-03-23 01:00:00"),   # age 6  -> 2^20 (same half-life)
+        ("h1", "2024-03-22 23:00:00"),   # age 7  -> 2^19
+        ("h2", "2024-03-15 00:00:00"),   # age 14 -> 2^18
+        ("h2", "2022-04-29 00:00:00"),   # age 700 -> 2^20 >> 100 = 0
+    ]
+    df = spark.createDataFrame(rows, "host string, ts string").select(
+        "host", F.col("ts").cast("timestamp").alias("warc_ts")
+    )
+    out = {r["group"]: r for r in freshness_scores(
+        df, half_life_days=7).collect()}
+    assert out["h1"]["score"] == (1 << 20) + (1 << 20) + (1 << 19)
+    assert out["h1"]["freshest_age_days"] == 0
+    assert out["h2"]["score"] == (1 << 18) + 0
+    assert out["h2"]["n_pages"] == 2
+    # partitioning independence
+    again = {r["group"]: r["score"] for r in freshness_scores(
+        df.repartition(7), half_life_days=7).collect()}
+    assert again == {g: r["score"] for g, r in out.items()}
