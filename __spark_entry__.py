@@ -2659,11 +2659,11 @@ LIMIT 20
 """
 
 
-_BPE_MERGES = 8
+_BPE_MERGES = 16
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full sequential BPE merge-learning loop (8 steps), each step
+    """The full sequential BPE merge-learning loop (16 steps), each step
     re-counting pairs AFTER the previous merge applied — the iterative
     twin of the single-pass bpe_pairs (operators/textstats.bpe_learn).
     The oracle is the same greedy gaps-and-islands relational algebra,
