@@ -4752,6 +4752,87 @@ FROM aged GROUP BY host
 """
 
 
+def _q_bloom_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter "have we crawled this" gate
+    (operators/stats.bloom_bits + bloom_probe), completing the
+    portable-sketch trio (HLL distinct / CMS frequency / Bloom
+    membership): the frontier's new urls are probed against a filter
+    built from the history side of the crawl_delta carve (old =
+    doc_id % 3 ≠ 0, new = ≡ 0). ``m`` is the power of two ≥ 4·|old|
+    (derived from an eager count — the embedding_neardups precedent —
+    and re-derived by the oracle in SQL bit arithmetic), a fill ratio
+    that keeps FALSE POSITIVES live at every sf (measured 1/1/3)
+    while the no-false-negative guarantee holds by construction
+    (every present url flags; hash-checked). Plan: one distinct per
+    side, ≤ m-row bit table broadcast into the probe, exact
+    membership via one left join for the telemetry columns."""
+    from servico_ocr_spark.operators import (
+        bloom_bits,
+        bloom_probe,
+        canonicalize_urls,
+    )
+
+    c = canonicalize_urls(_url_corpus(spark, sf_dir)).select(
+        "doc_id", "canonical_url"
+    )
+    old = c.where(F.col("doc_id") % 3 != 0).select(
+        "canonical_url"
+    ).distinct()
+    new = c.where(F.col("doc_id") % 3 == 0).select(
+        "canonical_url"
+    ).distinct()
+    n_old = old.count()
+    m = 1 << (4 * n_old - 1).bit_length()
+    bits = bloom_bits(old, "canonical_url", k=2, m=m)
+    fl = bloom_probe(bits, new, "canonical_url", k=2, m=m)
+    present = new.join(
+        old.select(F.col("canonical_url").alias("_o")),
+        new["canonical_url"] == F.col("_o"),
+        "left",
+    ).select(
+        "canonical_url",
+        F.when(F.col("_o").isNull(), 0).otherwise(1)
+        .cast("long")
+        .alias("present"),
+    )
+    return present.join(
+        fl, present["canonical_url"] == fl["value"]
+    ).select("canonical_url", "flagged", "present")
+
+
+def _o_bloom_crawl_filter() -> str:
+    hb = "(('0x' || substr(md5('bloom' || d.d::VARCHAR || ':' || v), 1, 12))::BIGINT)"
+    return f"""
+WITH {_o_url_canon_cte()},
+old AS (SELECT DISTINCT canonical_url AS v FROM canon
+        WHERE doc_id % 3 <> 0),
+new AS (SELECT DISTINCT canonical_url AS v FROM canon
+        WHERE doc_id % 3 = 0),
+nn AS (SELECT count(*)::BIGINT AS n FROM old),
+mm AS (SELECT (1::BIGINT << length(bin(4 * n - 1))) AS m FROM nn),
+bits AS (
+    SELECT DISTINCT {hb} % m.m AS bit
+    FROM old CROSS JOIN (SELECT unnest([0, 1]) AS d) d CROSS JOIN mm m
+),
+probe AS (
+    SELECT v, d.d, {hb} % m.m AS bit
+    FROM new CROSS JOIN (SELECT unnest([0, 1]) AS d) d CROSS JOIN mm m
+),
+fl AS (
+    SELECT p.v, CASE WHEN count(b.bit) = 2 THEN 1 ELSE 0 END AS flagged
+    FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.v
+),
+ex AS (
+    SELECT n2.v, CASE WHEN o.v IS NULL THEN 0 ELSE 1 END AS present
+    FROM new n2 LEFT JOIN old o ON n2.v = o.v
+)
+SELECT f.v AS canonical_url, f.flagged::BIGINT AS flagged,
+       e.present::BIGINT AS present
+FROM fl f JOIN ex e ON f.v = e.v
+"""
+
+
 def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import latest_crawl
 
@@ -6850,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_tree": _q_url_tree,
         "crawl_budget": _q_crawl_budget,
         "host_freshness": _q_host_freshness,
+        "bloom_crawl_filter": _q_bloom_crawl_filter,
         "link_extract": _q_link_extract,
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
@@ -6985,6 +7067,7 @@ def oracle_sql() -> dict[str, str]:
         "url_tree": _o_url_tree(),
         "crawl_budget": _o_crawl_budget(),
         "host_freshness": _o_host_freshness(),
+        "bloom_crawl_filter": _o_bloom_crawl_filter(),
         "link_extract": _o_link_extract(),
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),

@@ -208,6 +208,9 @@ BENCH_FAMILIES = {
         # stepwise integer freshness decay (1-row max broadcast +
         # one combinable host agg, no floats)
         "host_freshness",
+        # Bloom membership gate (sketch trio: HLL/CMS/Bloom): bit
+        # table broadcast, FP branch live by derived-m fill ratio
+        "bloom_crawl_filter",
     ],
     "graph": [
         # link-graph face: zero-shuffle JVM-regex anchor parse, distinct

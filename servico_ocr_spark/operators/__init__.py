@@ -111,6 +111,8 @@ from .lm import (  # noqa: F401
     skipgram_pairs,
 )
 from .stats import (  # noqa: F401
+    bloom_bits,
+    bloom_probe,
     cms_estimate,
     cms_sketch,
     distinct_count_telemetry,

@@ -393,3 +393,86 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    k: int = 2,
+    m: int = 4096,
+) -> DataFrame:
+    """``(bit,)``: the set bit positions of a Bloom filter (Bloom 1970)
+    over ``value_col`` — ``k`` portable h48 hash rows into ``m`` bits.
+    The fixed-size membership state of the sketch family (HLL counts
+    distinct, CMS counts frequency, Bloom answers "seen before?"):
+    the 10^12-url "have we crawled this" gate that never stores the
+    urls. Mergeable by set union (bit-OR ≡ distinct of the union —
+    follows from the construction); absent values probe false with NO
+    false negatives, and false positives are exactly the all-k-bits
+    collisions (one-sided error, the dual of CMS).
+
+    Scale shape: bounded ×``k`` fan-out → ONE distinct agg whose
+    output is ≤ ``m`` rows at any corpus size (partials collapse
+    map-side). Like the other sketches, every bit derives from h48 —
+    the filter itself hash-checks across engines."""
+    if not (1 <= int(k) <= 16):
+        raise ValueError("k must be in [1, 16]")
+    if int(m) < 2:
+        raise ValueError("m must be >= 2")
+    rows = df.select(F.col(value_col).cast("string").alias("_v")).select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long"))
+        ).alias("d"),
+        "_v",
+    )
+    bit = (
+        h48(F.concat(F.lit("bloom"), F.col("d").cast("string"),
+                     F.lit(":"), F.col("_v"))) % int(m)
+    ).cast("long")
+    return rows.select(bit.alias("bit")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    k: int = 2,
+    m: int = 4096,
+) -> DataFrame:
+    """``(value, flagged)``: Bloom membership probe — ``flagged = 1``
+    iff ALL ``k`` of the value's bits are set in a ``bloom_bits``
+    filter built with the SAME (k, m). No false negatives (a present
+    value's bits are set by construction); a flagged-but-absent value
+    is a false positive, bounded by the fill ratio^k.
+
+    Scale shape: candidates fan out ×``k``, the ≤ ``m``-row bit table
+    is broadcast, one combinable count agg — the probe never shuffles
+    the filter and never touches the original corpus (the point of
+    carrying a sketch)."""
+    probe = candidates.select(
+        F.col(value_col).cast("string").alias("value")
+    ).distinct().select(
+        "value",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long"))
+        ).alias("d"),
+    )
+    bit = (
+        h48(F.concat(F.lit("bloom"), F.col("d").cast("string"),
+                     F.lit(":"), F.col("value"))) % int(m)
+    ).cast("long")
+    hits = probe.select("value", bit.alias("bit")).join(
+        F.broadcast(bits), "bit", "left_semi"
+    )
+    per = hits.groupBy("value").agg(F.count("*").alias("_nset"))
+    return (
+        probe.select("value").distinct()
+        .join(per, "value", "left")
+        .select(
+            "value",
+            F.when(F.coalesce(F.col("_nset"), F.lit(0)) == int(k), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flagged"),
+        )
+    )

@@ -1582,3 +1582,46 @@ def test_cdc_chunks_shift_invariance_and_semantics(spark):
     # partitioning independence
     again = cdc_chunks(df.repartition(7), modulus=8).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, chunks))
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import bloom_bits, bloom_probe
+
+    present = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(200)], "v string"
+    )
+    absent = spark.createDataFrame(
+        [(f"ghost-{i}",) for i in range(500)], "v string"
+    )
+    k, m = 2, 512
+    bits = bloom_bits(present, "v", k=k, m=m)
+    nbits = bits.count()
+    assert nbits <= m
+
+    # no false negatives: every present value flags
+    fl = {r["value"]: r["flagged"] for r in bloom_probe(
+        bits, present, "v", k=k, m=m).collect()}
+    assert all(v == 1 for v in fl.values())
+
+    # false positives exist at this fill ratio but are a strict subset
+    fa = {r["value"]: r["flagged"] for r in bloom_probe(
+        bits, absent, "v", k=k, m=m).collect()}
+    n_fp = sum(fa.values())
+    assert 0 < n_fp < len(fa), n_fp
+
+    # merge = distinct union of bit tables == filter over the union
+    other = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(100)], "v string"
+    )
+    merged = bits.unionByName(
+        bloom_bits(other, "v", k=k, m=m)).distinct()
+    direct = bloom_bits(present.unionByName(other), "v", k=k, m=m)
+    assert sorted(r["bit"] for r in merged.collect()) == \
+        sorted(r["bit"] for r in direct.collect())
+
+    # partitioning independence
+    again = bloom_bits(present.repartition(13), "v", k=k, m=m)
+    assert sorted(r["bit"] for r in again.collect()) == \
+        sorted(r["bit"] for r in bits.collect())
