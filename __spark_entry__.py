@@ -3160,6 +3160,61 @@ FROM base b LEFT JOIN sk ON sk.doc_id = b.doc_id
 """
 
 
+def _q_length_repetition_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Spearman rank correlation per source
+    (operators/stats.rank_correlation) between document length and the
+    Gopher dup-word rate — the corpus-diagnostics question "do longer
+    documents repeat more" answered with zero floats: deterministic
+    doc_id tie-broken ranks + the truncating 10^4 rho surrogate
+    (div-toward-zero agreement, the kmeans rule). Composes the
+    table-parameterized repetition oracle fragment. Plan: the metric
+    join, ONE source-keyed exchange feeding both rank sorts, one
+    combinable agg; exact to ~96k docs/source (documented bound —
+    beyond that feed a stratified_sample)."""
+    from servico_ocr_spark.operators import (
+        rank_correlation,
+        repetition_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    j = docs.select("doc_id", "source", "n_chars").join(
+        repetition_stats(docs).select("doc_id", "dup_word_ppm"),
+        "doc_id",
+    )
+    return rank_correlation(
+        j, "source", "n_chars", "dup_word_ppm", "doc_id"
+    ).withColumnRenamed("group", "source")
+
+
+def _o_length_repetition_corr() -> str:
+    return f"""
+WITH rep AS ({_o_repetition_stats()}),
+j AS (
+    SELECT d.source, d.n_chars, r.dup_word_ppm, d.doc_id
+    FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+),
+rk AS (
+    SELECT source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rx,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY dup_word_ppm, doc_id) AS ry
+    FROM j
+),
+a AS (
+    SELECT source, count(*)::BIGINT AS n,
+           sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+    FROM rk GROUP BY source
+)
+SELECT source, n, sum_d2,
+       (CASE WHEN n >= 2
+             THEN (10000 * (n * (n * n - 1) - 6 * sum_d2))
+                  // (n * (n * n - 1))
+             ELSE 0 END)::BIGINT AS rho_pp10k
+FROM a
+"""
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
@@ -6924,6 +6979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "inverted_index": _q_inverted_index,
         "repetition_stats": _q_repetition_stats,
+        "length_repetition_corr": _q_length_repetition_corr,
         "c4_clean": _q_c4_clean,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
@@ -7060,6 +7116,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _o_fingerprint(),
         "inverted_index": _o_inverted_index(),
         "repetition_stats": _o_repetition_stats(),
+        "length_repetition_corr": _o_length_repetition_corr(),
         "c4_clean": _o_c4_clean(),
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),

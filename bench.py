@@ -174,6 +174,9 @@ BENCH_FAMILIES = {
         # count-min sketch (4x16, collisions binding): bounded x4
         # fan-out into one 64-row combinable agg + broadcast probe
         "cms_heavy_hitters",
+        # exact integer Spearman per source (two rank sorts on one
+        # exchange, truncating 10^4 rho; ~96k/group BIGINT bound)
+        "length_repetition_corr",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

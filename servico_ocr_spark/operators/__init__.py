@@ -120,6 +120,7 @@ from .stats import (  # noqa: F401
     exact_group_quantiles,
     hll_register_sketch,
     majority_label,
+    rank_correlation,
     winsorize_summary,
 )
 from .pii import scrub_pii  # noqa: F401

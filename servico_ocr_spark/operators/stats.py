@@ -476,3 +476,59 @@ def bloom_probe(
             .alias("flagged"),
         )
     )
+
+
+def rank_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """``(group, n, sum_d2, rho_pp10k)``: exact integer Spearman rank
+    correlation per group — the corpus-diagnostics statistic ("do
+    longer documents repeat more? does quality track length?") with
+    zero floats: ranks are row_numbers with a DETERMINISTIC ``id_col``
+    tie-break (fractional average ranks would reintroduce floats; the
+    tie-break makes both engines produce identical ranks), and
+    ``rho = 1 − 6Σd²/(n(n²−1))`` is emitted as the truncating integer
+    ``(10^4·(n(n²−1) − 6Σd²)) div (n(n²−1))`` — Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero on negatives (the kmeans
+    verification). Groups with ``n < 2`` emit 0 (undefined).
+
+    Scale shape: ONE group-keyed exchange feeding two window sorts
+    (same partitioning — Spark plans one Exchange) + ONE combinable
+    agg. BIGINT bound: ``10^4·n³ < 2^63`` ⇒ exact to ~96k rows per
+    group; beyond that, feed a ``stratified_sample`` — rank
+    correlation stabilizes long before 10^5 samples."""
+    wx = Window.partitionBy("group").orderBy(F.col("x"), F.col("id"))
+    wy = Window.partitionBy("group").orderBy(F.col("y"), F.col("id"))
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.col(id_col).alias("id"),
+    ).select(
+        "group",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    agg = ranked.groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).cast("long").alias("sum_d2"),
+    )
+    return agg.select(
+        "group",
+        "n",
+        "sum_d2",
+        F.when(
+            F.col("n") >= 2,
+            F.expr("(10000 * (n * (n * n - 1) - 6 * sum_d2)) "
+                   "div (n * (n * n - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rho_pp10k"),
+    )

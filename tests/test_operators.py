@@ -1625,3 +1625,44 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     again = bloom_bits(present.repartition(13), "v", k=k, m=m)
     assert sorted(r["bit"] for r in again.collect()) == \
         sorted(r["bit"] for r in bits.collect())
+
+
+def test_rank_correlation_exact_spearman(spark):
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import rank_correlation
+
+    # perfectly monotone -> rho 10000; perfectly reversed -> -10000
+    up = [("up", i, 10 * i, i) for i in range(20)]
+    down = [("down", i, -3 * i, i) for i in range(20)]
+    single = [("one", 5, 7, 0)]
+    df = spark.createDataFrame(
+        up + down + single, "g string, x long, y long, id long"
+    )
+    out = {r["group"]: r for r in rank_correlation(
+        df, "g", "x", "y", "id").collect()}
+    assert out["up"]["rho_pp10k"] == 10000 and out["up"]["sum_d2"] == 0
+    assert out["down"]["rho_pp10k"] == -10000
+    assert out["one"]["rho_pp10k"] == 0 and out["one"]["n"] == 1
+
+    # cross-check a scrambled group against scipy-free exact formula
+    import random
+    rng = random.Random(7)
+    ys = list(range(30)); rng.shuffle(ys)
+    rows = [("m", i, ys[i], i) for i in range(30)]
+    r = rank_correlation(
+        spark.createDataFrame(rows, "g string, x long, y long, id long"),
+        "g", "x", "y", "id").collect()[0]
+    n = 30
+    d2 = sum((i - ys[i]) ** 2 for i in range(n))
+    expect = (10000 * (n * (n * n - 1) - 6 * d2))
+    expect = int(expect / (n * (n * n - 1)))  # truncation toward zero
+    assert r["sum_d2"] == d2 and r["rho_pp10k"] == expect
+
+    # tie-break determinism: duplicate x values, any partitioning
+    ties = [("t", i // 3, (i * 13) % 7, i) for i in range(21)]
+    tdf = spark.createDataFrame(ties, "g string, x long, y long, id long")
+    a = rank_correlation(tdf, "g", "x", "y", "id").collect()[0]
+    b = rank_correlation(
+        tdf.repartition(13), "g", "x", "y", "id").collect()[0]
+    assert (a["sum_d2"], a["rho_pp10k"]) == (b["sum_d2"], b["rho_pp10k"])
