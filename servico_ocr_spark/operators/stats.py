@@ -323,6 +323,25 @@ def cms_sketch(
     ≤ ``depth·width`` rows per partition before the shuffle, and the
     output is ``depth·width`` rows regardless of input size. Empty
     cells emit no row (readers treat absent as 0)."""
+    return cms_cells(df, value_col, depth, width, weight_col).groupBy(
+        "d", "col"
+    ).agg(F.sum("_w").cast("long").alias("cms"))
+
+
+def cms_cells(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(d, col, _w)``: the stateless cell projection under
+    :func:`cms_sketch` — shared verbatim by the batch aggregation and
+    the streaming twin (``streaming.stateful.cms_stream``), the
+    candidate-telemetry shared-subplan discipline: the two paths
+    cannot hash differently because they run the same expressions.
+    Works on batch AND streaming DataFrames (projection + bounded
+    explode only)."""
     if not (1 <= int(depth) <= 16):
         raise ValueError("depth must be in [1, 16]")
     if int(width) < 2:
@@ -347,9 +366,7 @@ def cms_sketch(
         h48(F.concat(F.lit("cms"), F.col("d").cast("string"),
                      F.lit(":"), F.col("_v"))) % int(width)
     ).cast("long")
-    return rows.select("d", cell.alias("col"), "_w").groupBy(
-        "d", "col"
-    ).agg(F.sum("_w").cast("long").alias("cms"))
+    return rows.select("d", cell.alias("col"), "_w")
 
 
 def cms_estimate(

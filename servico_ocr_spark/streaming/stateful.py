@@ -264,3 +264,59 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_STATE_SCHEMA = "cms long"
+CMS_OUTPUT_SCHEMA = "d long, col long, cms long"
+
+
+def cms_stream(
+    stream: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``operators.stats.cms_sketch``: a
+    count-min sketch maintained as streaming state. The stateless cell
+    projection is ``operators.stats.cms_cells`` — the SAME expressions
+    as the batch path (shared-subplan discipline) — and each sketch
+    cell is a state key holding one running counter, refreshed rows
+    emitted per micro-batch (changelog in append mode; final row per
+    cell = highest ``cms``, the counter is monotone).
+
+    This is the sketch-as-state shape: unlike the per-url/per-user
+    twins above, the state-store key space is BOUNDED at depth·width
+    cells no matter how many distinct values the stream carries — a
+    10^12-token stream costs the state store exactly the sketch, which
+    is the streaming analogue of why one carries a sketch at all.
+    CMS updates are commutative and associative, so arrival order
+    across micro-batches cannot change the final cells — the twin is
+    exactly the batch sketch over the union of batches (tested)."""
+    from ..operators.stats import cms_cells
+
+    cells = cms_cells(stream, value_col, depth, width, weight_col)
+
+    def fn(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        touched = False
+        for batch in batches:
+            if batch.empty:
+                continue
+            touched = True
+            n += int(batch["_w"].sum())
+        state.update((int(n),))
+        if touched:
+            yield pd.DataFrame(
+                {"d": [int(key[0])], "col": [int(key[1])], "cms": [int(n)]}
+            )
+
+    return cells.groupBy("d", "col").applyInPandasWithState(
+        fn,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -399,3 +399,57 @@ def test_interval_attribution_stream_matches_batch(spark, tmp_path):
         (5, 4, 20 * 60 * 1_000_000),
         (8, 7, 0),
     ]
+
+
+def test_cms_stream_cells_match_batch_sketch(spark, tmp_path):
+    """Sketch-as-state: the streaming CMS changelog's final cell values
+    (highest cms per (d,col) — the counter is monotone) must equal the
+    batch cms_sketch over the union of all micro-batches, in ANY
+    arrival order (CMS updates commute)."""
+    from servico_ocr_spark.operators import cms_sketch
+    from servico_ocr_spark.streaming.stateful import cms_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "v string"
+
+    batch1 = [(f"w{i % 7}",) for i in range(40)]
+    batch2 = [(f"w{(i * 3) % 11}",) for i in range(25)]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = cms_stream(stream, "v", depth=3, width=8)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(output_dir).collect():
+        k = (r["d"], r["col"])
+        if k not in final or r["cms"] > final[k]:
+            final[k] = r["cms"]
+    ref = {
+        (r["d"], r["col"]): r["cms"]
+        for r in cms_sketch(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "v", depth=3, width=8,
+        ).collect()
+    }
+    assert final == ref
+    # state key space is the sketch, not the vocabulary
+    assert len(final) <= 3 * 8
