@@ -3868,6 +3868,33 @@ GROUP BY event_type, next_type
 """
 
 
+def _q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 Markov path counts
+    (operators/events.event_path_ngrams, n=3): every 3-step
+    consecutive event-type path per user stream — the sequence-mining
+    depth event_transitions' pair matrix lacks. Same one-window
+    contract ((ts, event_id) order, both leads in the same pass),
+    output bounded by |types|³."""
+    from servico_ocr_spark.operators import event_path_ngrams
+
+    return event_path_ngrams(_read(spark, sf_dir, "events"), n=3)
+
+
+_O_EVENT_TRIGRAMS = """
+WITH s AS (
+    SELECT event_type AS step1,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS step2,
+           lead(event_type, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS step3
+    FROM events
+)
+SELECT step1, step2, step3, count(*)::BIGINT AS n_paths
+FROM s WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+"""
+
+
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: for each purchase event, the same
     user's latest click at-or-before it (backward inclusive as-of).
@@ -7038,6 +7065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gapfill": _q_activity_gapfill,
         "rolling_activity": _q_rolling_activity,
         "event_transitions": _q_event_transitions,
+        "event_trigrams": _q_event_trigrams,
         "rate_anomalies": _q_rate_anomalies,
         "asof_attribution": _q_asof_attribution,
         "conversion_latency": _q_conversion_latency,
@@ -7175,6 +7203,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_gapfill": _O_ACTIVITY_GAPFILL,
         "rolling_activity": _O_ROLLING_ACTIVITY,
         "event_transitions": _O_EVENT_TRANSITIONS,
+        "event_trigrams": _O_EVENT_TRIGRAMS,
         "rate_anomalies": _o_rate_anomalies(),
         "asof_attribution": _O_ASOF_ATTRIBUTION,
         "conversion_latency": _O_CONVERSION_LATENCY,

@@ -297,6 +297,9 @@ BENCH_FAMILIES = {
         # per-user Markov transition counts (ONE user-keyed window
         # shuffle, output bounded by |types|^2)
         "event_transitions",
+        # order-2 Markov 3-step paths (both leads in the same window
+        # pass, output bounded by |types|^3)
+        "event_trigrams",
         # calendar gap-fill: one (user, day) combinable count +
         # per-user span explode (state = users x calendar span)
         "activity_gapfill",

@@ -98,6 +98,7 @@ from .temporal import (  # noqa: F401
 from .events import (  # noqa: F401
     activity_gapfill,
     cohort_retention,
+    event_path_ngrams,
     event_transitions,
     funnel_counts,
     rate_anomalies,

@@ -31,6 +31,37 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def event_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``(step1..step{n}, n_paths)``: counts of length-``n`` consecutive
+    event-type paths per user stream — the order-``n−1`` Markov
+    generalization of :func:`event_transitions` (sequence mining for
+    "what 3-step flows lead to purchase"). Same determinism contract
+    ((ts, id) order) and the same scale shape: ONE user-keyed window
+    shuffle, ``n−1`` lead()s evaluated in the same pass (no frame
+    buffer beyond ``n−1`` rows of lookahead), one map-side-combinable
+    count bounded by |types|^n — never event count. Filtering on the
+    LAST lead alone is sufficient: lead(k) non-null within a partition
+    implies every earlier lead is too."""
+    if int(n) < 2:
+        raise ValueError("n must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [F.col(type_col).alias("step1")] + [
+        F.lead(type_col, i).over(w).alias(f"step{i + 1}")
+        for i in range(1, int(n))
+    ]
+    path = events.select(*cols).where(F.col(f"step{int(n)}").isNotNull())
+    return path.groupBy(*[f"step{i + 1}" for i in range(int(n))]).agg(
+        F.count("*").cast("long").alias("n_paths")
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str],

@@ -349,3 +349,35 @@ def test_rolling_daily_counts_range_frame_bridges_gaps(spark):
     assert out[("a", "2024-01-09")] == (1, 1)
     assert out[("b", "2024-01-05")] == (1, 1)
     assert len(out) == 4
+
+
+def test_event_path_ngrams_windows_and_bounds(spark):
+    import datetime as dt
+
+    from servico_ocr_spark.operators import event_path_ngrams
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: a b a b  -> trigrams (a,b,a), (b,a,b)
+        (1, t(0), "a", 10), (1, t(1), "b", 11),
+        (1, t(2), "a", 12), (1, t(3), "b", 13),
+        # user 2: only two events -> no trigram
+        (2, t(0), "a", 20), (2, t(1), "b", 21),
+        # user 3: tie timestamps -> id order decides: c a b
+        (3, t(5), "c", 30), (3, t(5), "a", 31), (3, t(5), "b", 32),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {(r["step1"], r["step2"], r["step3"]): r["n_paths"]
+           for r in event_path_ngrams(df, n=3).collect()}
+    assert out == {("a", "b", "a"): 1, ("b", "a", "b"): 1,
+                   ("c", "a", "b"): 1}
+    # n=2 degenerates to event_transitions counts
+    out2 = {(r["step1"], r["step2"]): r["n_paths"]
+            for r in event_path_ngrams(df, n=2).collect()}
+    assert out2[("a", "b")] == 4  # 2 from user 1, 1 each from users 2, 3
+    # partitioning independence
+    again = {(r["step1"], r["step2"], r["step3"]): r["n_paths"]
+             for r in event_path_ngrams(df.repartition(7), n=3).collect()}
+    assert again == out
