@@ -3215,6 +3215,84 @@ FROM a
 """
 
 
+#: seeded keyword → topic dictionary for topic tagging, interpolated
+#: into BOTH engines (the PII shared-constant rule); deliberately
+#: sparse — single keywords per topic — so the no-keyword 'none'
+#: branch stays live at every sf (measured 35/30/395 docs)
+TOPIC_KEYWORDS = {
+    "join": "joins",
+    "sort": "ordering",
+    "dup": "dedup",
+}
+
+
+def _q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-seeded topic tagging: broadcast the keyword→topic
+    table onto the token stream and take each document's majority
+    topic via the generic distributed MODE
+    (operators/stats.majority_label — ONE combinable (doc,topic)
+    count, argmax over a label-cardinality window, label-asc tie rule
+    binding often at these small counts). Documents with no keyword
+    hits are restored as 'none' through a left join from the id spine
+    (zero-token-doc discipline). Plan: explode → BroadcastHashJoin on
+    the 3-row dictionary → the majority_label shape → one restoring
+    join."""
+    from servico_ocr_spark.operators import majority_label
+    from servico_ocr_spark.operators.common import words_array
+
+    docs = _read(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(
+        [(w, t) for w, t in sorted(TOPIC_KEYWORDS.items())],
+        "word string, topic string",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_array(F.col("text"))).alias("word")
+    )
+    hits = toks.join(F.broadcast(kw), "word").select("doc_id", "topic")
+    maj = majority_label(hits, group_col="doc_id", label_col="topic")
+    return docs.select("doc_id").join(
+        maj, docs["doc_id"] == maj["group"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.lit("none")).alias("topic"),
+        F.coalesce(F.col("n_label"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_group"), F.lit(0)).cast("long")
+        .alias("n_keyword_tokens"),
+    )
+
+
+def _o_topic_tags() -> str:
+    vals = ", ".join(
+        f"('{w}', '{t}')" for w, t in sorted(TOPIC_KEYWORDS.items())
+    )
+    return f"""
+WITH w AS ({_d_words_cte()}),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+kw(word, topic) AS (VALUES {vals}),
+cnt AS (
+    SELECT t.doc_id, k.topic, count(*)::BIGINT AS n_label
+    FROM tok t JOIN kw k ON t.word = k.word
+    GROUP BY t.doc_id, k.topic
+),
+tot AS (
+    SELECT doc_id, sum(n_label)::BIGINT AS n_group FROM cnt GROUP BY doc_id
+),
+top AS (
+    SELECT doc_id, topic, n_label,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_label DESC, topic ASC) AS rk
+    FROM cnt
+)
+SELECT d.doc_id,
+       coalesce(t.topic, 'none') AS topic,
+       coalesce(t.n_label, 0)::BIGINT AS n_hits,
+       coalesce(g.n_group, 0)::BIGINT AS n_keyword_tokens
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON d.doc_id = t.doc_id
+LEFT JOIN tot g ON d.doc_id = g.doc_id
+"""
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
@@ -7007,6 +7085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "repetition_stats": _q_repetition_stats,
         "length_repetition_corr": _q_length_repetition_corr,
+        "topic_tags": _q_topic_tags,
         "c4_clean": _q_c4_clean,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
@@ -7145,6 +7224,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _o_inverted_index(),
         "repetition_stats": _o_repetition_stats(),
         "length_repetition_corr": _o_length_repetition_corr(),
+        "topic_tags": _o_topic_tags(),
         "c4_clean": _o_c4_clean(),
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),

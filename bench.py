@@ -177,6 +177,9 @@ BENCH_FAMILIES = {
         # exact integer Spearman per source (two rank sorts on one
         # exchange, truncating 10^4 rho; ~96k/group BIGINT bound)
         "length_repetition_corr",
+        # dictionary topic tagging: 3-row broadcast + distributed MODE
+        # (majority_label composition), none-branch restored
+        "topic_tags",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),
