@@ -519,6 +519,63 @@ def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix: the minhash true-
+    pair graph rolled up to (source, source) cells — the provenance
+    question "is source X a mirror of source Y" that decides whether
+    two feeds should be deduped jointly before mixing. Composes the
+    EXACT minhash_neardups subplan (shared query function — the
+    telemetry-twin discipline), joins the id→source spine onto both
+    pair ends, and folds to the canonical (least, greatest) source
+    pair (the reciprocity fold — no self-join, ONE combinable agg).
+    Output is ≤ |sources|² rows; same-source and cross-source cells
+    are both live on this corpus (templates span sources)."""
+    pairs = _q_minhash_neardups(spark, sf_dir)
+    src = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard_pct",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("jaccard_pct").cast("long").alias("sum_jaccard_pct"),
+        )
+    )
+
+
+def _o_source_contamination() -> str:
+    return f"""
+WITH mh AS ({_o_minhash_neardups()})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       sum(m.jaccard_pct)::BIGINT AS sum_jaccard_pct
+FROM mh m
+JOIN documents da ON m.id_a = da.doc_id
+JOIN documents db ON m.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _o_minhash_neardups() -> str:
     mh = _d_h48("(i::VARCHAR || ':' || w)")
     inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
@@ -7038,6 +7095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "minhash_neardups": _q_minhash_neardups,
+        "source_contamination": _q_source_contamination,
         "incremental_neardups": _q_incremental_neardups,
         "neardup_components": _q_neardup_components,
         "simhash": _q_simhash,
@@ -7177,6 +7235,7 @@ def oracle_sql() -> dict[str, str]:
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,
         "minhash_neardups": _o_minhash_neardups(),
+        "source_contamination": _o_source_contamination(),
         "incremental_neardups": _o_incremental_neardups(),
         "neardup_components": _o_neardup_components(),
         "simhash": _o_simhash(),

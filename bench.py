@@ -87,6 +87,9 @@ BENCH_FAMILIES = {
         # one max_by agg — the row a curation pipeline actually writes)
         "neardup_keep_best",
         "hotshingle_neardups",
+        # provenance contamination matrix: minhash pair graph rolled
+        # to (source,source) cells via the canonical fold (one agg)
+        "source_contamination",
         # Zipf-vocabulary fixture: a CONSTANT df cap binding at every sf
         # (heavy-tailed background vocabulary, the real-web regime)
         "zipf_neardups",
