@@ -6093,6 +6093,127 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl face composed end-to-end into a budget-capped fetch
+    list: canonicalize → robots.txt Disallow gate (the robots_filter
+    rules) → per-host politeness schedule (hash-order slots/waves) →
+    exact Hamilton budget (total allowed div 4) → keep each host's
+    first ``quota`` slots. This is the row set a polite, budgeted
+    crawler actually fetches next pass — the composition the
+    individual operators exist for. Every stage's binding branch stays
+    live: ~15% robots-blocked pages are gone before scheduling,
+    hostless ids are unschedulable, the budget floors AND
+    remainder-extras bind (budget not divisible), and ``slot < quota``
+    truncates every host (budget is a quarter of the allowed mass).
+    Plan: the robots gate's agg feeds a semi join; schedule +
+    apportionment as plan-locked in their own queries; one final
+    broadcast-able quota join (host-cardinality side)."""
+    from servico_ocr_spark.operators import (
+        apportion_budget,
+        canonicalize_urls,
+        crawl_schedule,
+        robots_disallow,
+    )
+
+    pages = _url_corpus(spark, sf_dir)
+    hosts = (
+        canonicalize_urls(pages)
+        .select("host")
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    rules = hosts.select(
+        "host", F.lit("/a/1").alias("prefix")
+    ).unionByName(
+        hosts.where(F.col("host").endswith(".com")).select(
+            "host", F.lit("/a/9").alias("prefix")
+        )
+    )
+    gate = robots_disallow(pages, rules)
+    allowed_ids = gate.where(
+        (F.col("blocked") == 0) & (F.col("host") != "")
+    ).select("doc_id")
+    allowed = pages.join(allowed_ids, "doc_id", "left_semi")
+    sched = crawl_schedule(allowed, rate_per_wave=_SCHED_RATE)
+    n_allowed = allowed_ids.count()
+    budget = n_allowed // 4
+    masses = sched.groupBy("host").agg(
+        F.count("*").cast("long").alias("mass")
+    )
+    quota = apportion_budget(
+        masses, budget, group_col="host", mass_col="mass"
+    ).select(F.col("group").alias("host"), "quota")
+    return (
+        sched.join(F.broadcast(quota), "host")
+        .where(F.col("slot") < F.col("quota"))
+        .select("host", "doc_id", "slot", "wave", "quota")
+    )
+
+
+def _o_frontier_pipeline() -> str:
+    h = _d_h48("('sched:' || a.doc_id::VARCHAR)")
+    return f"""
+WITH {_o_url_canon_cte()},
+cp AS (
+    SELECT doc_id, host,
+           regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?]*)', 1)
+               AS path
+    FROM canon
+),
+hosts AS (SELECT DISTINCT host FROM canon WHERE host <> ''),
+rules AS (
+    SELECT host, '/a/1' AS prefix FROM hosts
+    UNION ALL
+    SELECT host, '/a/9' AS prefix FROM hosts WHERE host LIKE '%.com'
+),
+m AS (
+    SELECT cp.doc_id, cp.host,
+           sum(CASE WHEN r.prefix IS NOT NULL
+                     AND starts_with(cp.path, r.prefix)
+                    THEN 1 ELSE 0 END) AS n_rules_matched
+    FROM cp LEFT JOIN rules r ON r.host = cp.host
+    GROUP BY 1, 2
+),
+allowed AS (
+    SELECT doc_id, host FROM m
+    WHERE n_rules_matched = 0 AND host <> ''
+),
+sched AS (
+    SELECT host, a.doc_id,
+           (row_number() OVER (PARTITION BY host
+                               ORDER BY {h}, a.doc_id) - 1)::BIGINT
+               AS slot
+    FROM allowed a
+),
+bt AS (SELECT (count(*) // 4)::BIGINT AS b FROM allowed),
+mass AS (SELECT host, count(*)::BIGINT AS mass FROM allowed GROUP BY host),
+tt AS (SELECT sum(mass)::BIGINT AS total FROM mass),
+q AS (
+    SELECT host, mass,
+           ((bt.b * mass) // tt.total)::BIGINT AS floor_q,
+           ((bt.b * mass) % tt.total)::BIGINT AS rem,
+           bt.b AS b
+    FROM mass, bt, tt
+),
+s AS (SELECT sum(floor_q)::BIGINT AS spent FROM q),
+r AS (
+    SELECT host, floor_q, b,
+           row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+    FROM q
+),
+quota AS (
+    SELECT host,
+           (floor_q + CASE WHEN rk <= b - s.spent THEN 1 ELSE 0 END)
+               ::BIGINT AS quota
+    FROM r, s
+)
+SELECT sc.host, sc.doc_id, sc.slot,
+       (sc.slot // {_SCHED_RATE})::BIGINT AS wave, qu.quota
+FROM sched sc JOIN quota qu ON sc.host = qu.host
+WHERE sc.slot < qu.quota
+"""
+
+
 def _o_crawl_schedule() -> str:
     h = _d_h48("('sched:' || doc_id::VARCHAR)")
     return f"""
@@ -7171,6 +7292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "domain_cap": _q_domain_cap,
         "crawl_schedule": _q_crawl_schedule,
+        "frontier_pipeline": _q_frontier_pipeline,
         "robots_filter": _q_robots_filter,
         "latest_crawl": _q_latest_crawl,
         "crawl_delta": _q_crawl_delta,
@@ -7311,6 +7433,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _o_curation_pipeline(),
         "domain_cap": _o_domain_cap(),
         "crawl_schedule": _o_crawl_schedule(),
+        "frontier_pipeline": _o_frontier_pipeline(),
         "robots_filter": _o_robots_filter(),
         "latest_crawl": _o_latest_crawl(),
         "crawl_delta": _o_crawl_delta(),

@@ -200,6 +200,9 @@ BENCH_FAMILIES = {
         # robots.txt Disallow gate: broadcast rule table, one host
         # equi-join (fan-out = rules-per-host), per-page match agg
         "robots_filter",
+        # the crawl face composed: robots gate -> politeness schedule
+        # -> Hamilton budget -> slot < quota fetch list
+        "frontier_pipeline",
         # recrawl collapse: freshest warc_ts wins (one max_by agg)
         "latest_crawl",
         # incremental-ingest snapshot diff: one agg per side + one
