@@ -3350,6 +3350,54 @@ LEFT JOIN tot g ON d.doc_id = g.doc_id
 """
 
 
+def _q_word_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics for the word key space
+    (operators/stats.key_skew_summary): the one-row report a scale
+    engineer reads BEFORE shuffling 100 TB on a key — key cardinality,
+    hottest-key mass, top-1%-of-keys share, exact p50/p99 key masses
+    (rank arithmetic). On this corpus it quantifies exactly why the
+    dedup joins carry df caps: ~31 keys each holding ~3% of all
+    tokens. ONE combinable key agg collapses the corpus; the sort
+    window runs over key-cardinality rows."""
+    from servico_ocr_spark.operators import key_skew_summary
+    from servico_ocr_spark.operators.common import words_array
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(words_array(F.col("text"))).alias("word")
+    )
+    return key_skew_summary(toks, "word")
+
+
+def _o_word_key_skew() -> str:
+    return f"""
+WITH w AS ({_d_words_cte()}),
+tok AS (SELECT unnest(words) AS word FROM w),
+m AS (SELECT word, count(*)::BIGINT AS mass FROM tok GROUP BY word),
+r AS (
+    SELECT mass,
+           row_number() OVER (ORDER BY mass ASC, word ASC) AS rn,
+           count(*) OVER () AS nk
+    FROM m
+),
+a AS (
+    SELECT max(nk)::BIGINT AS n_keys,
+           sum(mass)::BIGINT AS n_rows,
+           max(mass)::BIGINT AS max_mass,
+           sum(CASE WHEN rn > nk - ((nk + 99) // 100)
+                    THEN mass ELSE 0 END)::BIGINT AS top1,
+           max(CASE WHEN rn = (nk * 50 + 99) // 100
+                    THEN mass END)::BIGINT AS p50_mass,
+           max(CASE WHEN rn = (nk * 99 + 99) // 100
+                    THEN mass END)::BIGINT AS p99_mass
+    FROM r
+)
+SELECT n_keys, n_rows, max_mass,
+       ((top1 * 10000) // n_rows)::BIGINT AS top1pct_share_pp10k,
+       p50_mass, p99_mass
+FROM a
+"""
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
@@ -7265,6 +7313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "length_repetition_corr": _q_length_repetition_corr,
         "topic_tags": _q_topic_tags,
+        "word_key_skew": _q_word_key_skew,
         "c4_clean": _q_c4_clean,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
@@ -7406,6 +7455,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _o_repetition_stats(),
         "length_repetition_corr": _o_length_repetition_corr(),
         "topic_tags": _o_topic_tags(),
+        "word_key_skew": _o_word_key_skew(),
         "c4_clean": _o_c4_clean(),
         "url_canonical": _o_url_canonical(),
         "url_dedup": _o_url_dedup(),

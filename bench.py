@@ -183,6 +183,9 @@ BENCH_FAMILIES = {
         # dictionary topic tagging: 3-row broadcast + distributed MODE
         # (majority_label composition), none-branch restored
         "topic_tags",
+        # one-row shuffle-skew diagnostics (key-mass agg + exact rank
+        # stats over the key table) — the pre-shuffle salting decision
+        "word_key_skew",
     ],
     "urls": [
         # crawl-frontier identity dedup: canonicalize (pure projection),

@@ -120,6 +120,7 @@ from .stats import (  # noqa: F401
     embedding_dim_stats,
     exact_group_quantiles,
     hll_register_sketch,
+    key_skew_summary,
     majority_label,
     rank_correlation,
     winsorize_summary,

@@ -549,3 +549,65 @@ def rank_correlation(
         .cast("long")
         .alias("rho_pp10k"),
     )
+
+
+def key_skew_summary(
+    df: DataFrame,
+    key_col: str,
+    quantiles: Sequence[int] = (50, 99),
+) -> DataFrame:
+    """One-row shuffle-skew diagnostics for a prospective join/groupBy
+    key: ``(n_keys, n_rows, max_mass, top1pct_share_pp10k,
+    p50_mass, p99_mass)`` — the numbers that decide "does this key
+    need salting / AQE skew handling before I shuffle 100 TB on it".
+    ``top1pct_share_pp10k`` is the row mass held by the heaviest
+    ``ceil(n_keys/100)`` keys in parts-per-10^4; the quantile masses
+    use the exact rank rule (value at rank ``ceil(q·n/100)`` of keys
+    ordered by mass — the ``exact_group_quantiles`` arithmetic).
+
+    Scale shape: ONE map-side-combinable key-mass agg collapses the
+    data to key cardinality; everything after (one sort window + one
+    agg) runs on the key table. A 10^9-key table makes the final sort
+    a real distributed sort of small rows — fine; the single-task
+    stage only ever sees the aggregate row."""
+    masses = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("mass")
+    )
+    w = Window.orderBy(F.col("mass").asc(), F.col("key").asc())
+    ranked = masses.select(
+        "mass",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))
+        ).cast("long").alias("nk"),
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(nk * {int(q)} + 99) div 100"),
+                F.col("mass"),
+            )
+        ).cast("long").alias(f"p{int(q)}_mass")
+        for q in quantiles
+    ]
+    agg = ranked.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.sum("mass").cast("long").alias("n_rows"),
+        F.max("mass").cast("long").alias("max_mass"),
+        F.sum(
+            F.when(
+                F.col("rn") > F.expr("nk - ((nk + 99) div 100)"),
+                F.col("mass"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("_top1_mass"),
+        *qcols,
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_mass",
+        F.expr("(_top1_mass * 10000) div n_rows")
+        .cast("long")
+        .alias("top1pct_share_pp10k"),
+        *[f"p{int(q)}_mass" for q in quantiles],
+    )

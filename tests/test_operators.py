@@ -1666,3 +1666,29 @@ def test_rank_correlation_exact_spearman(spark):
     b = rank_correlation(
         tdf.repartition(13), "g", "x", "y", "id").collect()[0]
     assert (a["sum_d2"], a["rho_pp10k"]) == (b["sum_d2"], b["rho_pp10k"])
+
+
+def test_key_skew_summary_exact(spark):
+    from servico_ocr_spark.operators import key_skew_summary
+
+    # 100 keys: 99 keys of mass 1, one hot key of mass 901 -> total 1000
+    rows = [(f"k{i:03d}",) for i in range(99)] + [("hot",)] * 901
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_summary(df, "k").collect()[0]
+    assert r["n_keys"] == 100 and r["n_rows"] == 1000
+    assert r["max_mass"] == 901
+    # top 1% of keys = ceil(100/100) = 1 key = the hot one
+    assert r["top1pct_share_pp10k"] == 901 * 10000 // 1000
+    # p50 mass: keys ordered by mass asc, rank ceil(50*100/100)=50 -> 1
+    assert r["p50_mass"] == 1
+    # p99: rank 99 -> still 1; max is rank 100
+    assert r["p99_mass"] == 1
+
+    # uniform keys: no skew signal
+    u = spark.createDataFrame([(f"k{i % 10}",) for i in range(100)],
+                              "k string")
+    ru = key_skew_summary(u, "k").collect()[0]
+    assert ru["max_mass"] == 10 and ru["top1pct_share_pp10k"] == 1000
+    # partitioning independence
+    r13 = key_skew_summary(df.repartition(13), "k").collect()[0]
+    assert r13.asDict() == r.asDict()
