@@ -6514,6 +6514,45 @@ FROM folded GROUP BY a, b
 """
 
 
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph degree distribution — ``(kind, degree, n_nodes)`` for
+    out- and in-degrees of the link graph: the power-law histogram
+    every web-graph paper opens with, and the operational check behind
+    hub-skew decisions (triangles' degree orientation, pagerank's
+    dangling mass). Composes link_degrees (one agg) with one more
+    combinable count over the node table — output bounded by distinct
+    degree values."""
+    degs = link_degrees(
+        link_edges(extract_links(_linked_pages(spark, sf_dir)))
+    )
+    both = degs.select(
+        F.lit("out").alias("kind"), F.col("out_deg").alias("degree")
+    ).unionAll(
+        degs.select(F.lit("in"), F.col("in_deg"))
+    )
+    return both.groupBy("kind", "degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+def _o_degree_distribution() -> str:
+    return f"""
+WITH {_O_LINKS_CTE},
+degs AS (
+    SELECT node, SUM(o)::BIGINT AS out_deg, SUM(i)::BIGINT AS in_deg
+    FROM (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+          UNION ALL SELECT dst, 0, 1 FROM edges) u
+    GROUP BY node
+),
+bd AS (
+    SELECT 'out' AS kind, out_deg AS degree FROM degs
+    UNION ALL SELECT 'in', in_deg FROM degs
+)
+SELECT kind, degree, count(*)::BIGINT AS n_nodes
+FROM bd GROUP BY kind, degree
+"""
+
+
 #: walk depth for the random-walk corpus (fixed, data-independent —
 #: what lets the unrolled oracle mirror the loop exactly)
 _RW_DEPTH = 3
@@ -7326,6 +7365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q_link_graph,
         "link_degrees": _q_link_degrees,
         "link_reciprocity": _q_link_reciprocity,
+        "degree_distribution": _q_degree_distribution,
         "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
         "host_pagerank": _q_host_pagerank,
@@ -7468,6 +7508,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _o_link_graph(),
         "link_degrees": _o_link_degrees(),
         "link_reciprocity": _o_link_reciprocity(),
+        "degree_distribution": _o_degree_distribution(),
         "anchor_stats": _o_anchor_stats(),
         "pagerank": _o_pagerank(),
         "host_pagerank": _o_host_pagerank(),

@@ -245,6 +245,8 @@ BENCH_FAMILIES = {
         # dyad reciprocity: canonical-pair fold, ONE combinable agg,
         # no reversed-key self-join
         "link_reciprocity",
+        # degree histogram (link_degrees + one combinable count)
+        "degree_distribution",
         # degree-oriented triangle counting: wedge join bounded at
         # O(m^1.5) regardless of hub skew
         "triangles",
