@@ -5255,6 +5255,47 @@ FROM r JOIN o USING (_b)
 """
 
 
+#: Resize demonstrated by the driver query: 8 → 9 shards. Small counts
+#: keep the greatest-chain width (and the oracle SQL) readable; the
+#: minimal-churn property is count-independent.
+_RV_OLD, _RV_NEW = 8, 9
+
+
+def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW (rendezvous) placement resize matrix
+    (operators/encode.shard_churn): every doc_id scored against 8 and
+    9 shards by codegen'd md5 argmax; off-diagonal mass lands ONLY on
+    the added shard (minimal-churn guarantee, property-tested). One
+    scan, one count agg, zero joins/explodes."""
+    from servico_ocr_spark.operators import shard_churn
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    return shard_churn(docs, "key", _RV_OLD, _RV_NEW)
+
+
+def _o_rv_shard(key_expr: str, n: int) -> str:
+    from servico_ocr_spark.operators.encode import RENDEZVOUS_SEED
+
+    terms = []
+    for s in range(n):
+        seeded = f"('{RENDEZVOUS_SEED}' || {key_expr} || '#{s}')"
+        terms.append(f"({_d_h48(seeded)} * {n} + {s})")
+    folded = terms[0] if n == 1 else f"greatest({', '.join(terms)})"
+    return f"(({folded}) % {n})"
+
+
+def _o_rendezvous_shards() -> str:
+    return f"""
+SELECT {_o_rv_shard("key", _RV_OLD)}::BIGINT AS shard_old,
+       {_o_rv_shard("key", _RV_NEW)}::BIGINT AS shard_new,
+       count(*)::BIGINT AS n_keys
+FROM (SELECT doc_id::VARCHAR AS key FROM documents)
+GROUP BY 1, 2
+"""
+
+
 _DOMAIN_CAP_K = 3
 
 
@@ -7387,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "crawl_history": _q_crawl_history,
         "url_dictionary": _q_url_dictionary,
+        "rendezvous_shards": _q_rendezvous_shards,
         "pii_scrub": _q_pii_scrub,
         "cdc_dedup": _q_cdc_dedup,
         "decontaminate": _q_decontaminate,
@@ -7530,6 +7572,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _o_crawl_delta(),
         "crawl_history": _O_CRAWL_HISTORY,
         "url_dictionary": _o_url_dictionary(),
+        "rendezvous_shards": _o_rendezvous_shards(),
         "pii_scrub": _o_pii_scrub(),
         "cdc_dedup": _o_cdc_dedup(),
         "decontaminate": _o_decontaminate(),

@@ -214,6 +214,10 @@ BENCH_FAMILIES = {
         # portable two-stage distributed zipWithIndex (dense ids, no
         # digest identity, no global sort)
         "url_dictionary",
+        # HRW (rendezvous) placement resize matrix: pure codegen
+        # projection + one count agg; off-diagonal mass only on the
+        # added shard (minimal churn)
+        "rendezvous_shards",
         # per-host path-prefix subtree rollup (bounded x2 fan-out,
         # one agg keyed by prefix text, depth-cap fold)
         "url_tree",

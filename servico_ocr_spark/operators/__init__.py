@@ -90,7 +90,12 @@ from .packing import (  # noqa: F401
     weighted_sample,
 )
 from .clustering import kmeans_lite  # noqa: F401
-from .encode import dictionary_encode, quantize_embeddings  # noqa: F401
+from .encode import (  # noqa: F401
+    dictionary_encode,
+    quantize_embeddings,
+    rendezvous_shard,
+    shard_churn,
+)
 from .temporal import (  # noqa: F401
     asof_join,
     asof_join_broadcast,

@@ -62,6 +62,79 @@ def dictionary_encode(
     )
 
 
+#: Seed prefix for the per-(key, shard) rendezvous score. The oracle SQL
+#: in ``__spark_entry__`` interpolates the SAME constant so both engines
+#: hash identical strings (the pii-pattern sharing rule).
+RENDEZVOUS_SEED = "rv:"
+
+#: Keeps ``score * n_shards + shard`` inside BIGINT: score < 2^48, so the
+#: combined key stays below 2^48 · 2^14 = 2^62.
+MAX_RENDEZVOUS_SHARDS = 16384
+
+
+def rendezvous_shard(col: Column, n_shards: int) -> Column:
+    """Highest-random-weight (rendezvous) shard id for a string key
+    (Thaler & Ravishankar 1996): ``argmax over s of h48(seed‖key‖'#'‖s)``.
+
+    The property that makes HRW the placement function of choice for a
+    10^12-document corpus: when a shard is ADDED, a key moves only if
+    the new shard wins its argmax — so exactly the keys that land on
+    the new shard move (an expected 1/(n+1) of them) and every other
+    assignment is untouched. Hash-mod (``assign_split``-style) remaps
+    ~all keys on any resize; HRW is the minimal-churn alternative, at
+    the inherent cost of O(n_shards) hash evaluations per key.
+
+    Shape: a pure per-row projection — ``n_shards`` codegen'd md5
+    expressions folded by ``greatest`` (NO explode, NO shuffle, NO
+    interpreted HOF — the CLAUDE.md array-HOF lesson). argmax is the
+    kmeans trick in max form: ``greatest(score_s·n + s) % n`` — a
+    score tie (2^-48) breaks to the HIGHEST shard id, deterministically
+    and identically in DuckDB's ``greatest``. The O(n_shards)-per-row
+    cost means this shape is for shard counts in the tens-to-hundreds;
+    beyond that, production systems jump-hash or nest two HRW levels
+    (32×32 covers 1024 shards at 64 hashes/row).
+    """
+    if not (1 <= n_shards <= MAX_RENDEZVOUS_SHARDS):
+        raise ValueError(f"n_shards must be in [1, {MAX_RENDEZVOUS_SHARDS}]")
+    combined = [
+        h48(F.concat(F.lit(RENDEZVOUS_SEED), col, F.lit(f"#{s}")))
+        * n_shards
+        + s
+        for s in range(n_shards)
+    ]
+    best = combined[0] if n_shards == 1 else F.greatest(*combined)
+    return (best % n_shards).cast("long")
+
+
+def shard_churn(
+    df: DataFrame,
+    key_col: str = "key",
+    old_shards: int = 8,
+    new_shards: int = 9,
+) -> DataFrame:
+    """``(shard_old, shard_new, n_keys)``: the full resize-transition
+    matrix between two HRW shard counts — the reshard-cost audit a
+    placement change ships with. HRW's minimal-disruption guarantee
+    makes the matrix near-diagonal: growing ``n → n+1`` yields at most
+    ``2n+1`` live cells (the diagonal plus the ``(s, n)`` column), and
+    every off-diagonal key lands on an ADDED shard
+    (property-tested in ``tests/test_operators.py``).
+
+    Shape: one column-pruned scan, one per-row projection (two greatest
+    chains), ONE map-side-combinable count agg — at most
+    ``old·new`` groups of state. Zero joins, zero explodes.
+    """
+    k = F.col(key_col)
+    return (
+        df.select(
+            rendezvous_shard(k, old_shards).alias("shard_old"),
+            rendezvous_shard(k, new_shards).alias("shard_new"),
+        )
+        .groupBy("shard_old", "shard_new")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame,
     vec_col: str = "embedding",

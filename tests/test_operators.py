@@ -1692,3 +1692,75 @@ def test_key_skew_summary_exact(spark):
     # partitioning independence
     r13 = key_skew_summary(df.repartition(13), "k").collect()[0]
     assert r13.asDict() == r.asDict()
+
+
+def test_rendezvous_shard_minimal_churn_and_balance(spark):
+    """HRW resize guarantees, checked against a brute-force Python
+    mirror of the same md5 scoring: (1) grow n→n+1 moves keys ONLY to
+    the added shard; (2) shrink n+1→n moves ONLY keys that lived on
+    the removed (last) shard; (3) the kept assignments are identical;
+    (4) occupancy is roughly uniform."""
+    import hashlib
+
+    from servico_ocr_spark.operators import shard_churn
+    from servico_ocr_spark.operators.encode import (
+        RENDEZVOUS_SEED,
+        rendezvous_shard,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [f"k{i}" for i in range(600)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def py_score(key, s):
+        h = hashlib.md5(f"{RENDEZVOUS_SEED}{key}#{s}".encode()).hexdigest()
+        return int(h[:12], 16)
+
+    def py_shard(key, n):
+        return max(range(n), key=lambda s: (py_score(key, s), s))
+
+    got = {
+        r["key"]: (r["s8"], r["s9"])
+        for r in df.select(
+            "key",
+            rendezvous_shard(F.col("key"), 8).alias("s8"),
+            rendezvous_shard(F.col("key"), 9).alias("s9"),
+        ).collect()
+    }
+    moved = 0
+    for k in keys:
+        exp8, exp9 = py_shard(k, 8), py_shard(k, 9)
+        assert got[k] == (exp8, exp9)
+        if exp8 != exp9:
+            assert exp9 == 8  # grow: only INTO the added shard
+            moved += 1
+        # shrink 9→8 is the same pair read backwards: a key whose
+        # assignments differ must have been on the removed shard
+        if exp9 != exp8:
+            assert exp9 == 8
+    # expected churn ≈ 1/9 of keys; generous band for 600 samples
+    assert 600 // 20 <= moved <= 600 // 4
+
+    churn = {
+        (r["shard_old"], r["shard_new"]): r["n_keys"]
+        for r in shard_churn(df, "key", 8, 9).collect()
+    }
+    assert sum(churn.values()) == 600
+    for (old, new), n in churn.items():
+        assert old == new or new == 8
+    occ = [0] * 9
+    for (_, new), n in churn.items():
+        occ[new] += n
+    assert min(occ) > 0 and max(occ) <= 3 * (600 // 9)
+
+
+def test_shard_churn_plan_is_scan_project_agg(spark):
+    """Placement is a pure projection: the churn matrix plan has ONE
+    exchange (the final count agg), no joins, no generators."""
+    from servico_ocr_spark.operators import shard_churn
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    plan = shard_churn(df, "key", 8, 9)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Generate" not in plan

@@ -484,3 +484,51 @@ def test_late_orders_semi_join_and_date_pushdown(spark):
     assert "LeftSemi" in plan, plan[:4000]
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters")[1][:400], plan[:4000]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Storage-bucketed co-located join (SURVEY §4 / the 100 TB story):
+    two tables bucketed by the join key with the SAME bucket count
+    sort-merge-join with ZERO Exchange on either side — the shuffle a
+    fact-fact join at 10^12 rows cannot afford is paid ONCE at write
+    time and amortized over every subsequent join. Bucket info must
+    survive the catalog round-trip for this to work (datasource tables,
+    not bare parquet paths — `spark.read.parquet` forgets buckets)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.sources.bucketing.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        a = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("bkt_ta", a), ("bkt_tb", b)):
+            (
+                df.write.format("parquet")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("bkt_ta").join(spark.table("bkt_tb"), "k")
+        assert joined.count() == 20000
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        # and the scans themselves advertise the bucket layout
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        for name in ("bkt_ta", "bkt_tb"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
