@@ -1011,6 +1011,47 @@ WHERE (b.inter * 100) // s.n_grams >= 50
 """
 
 
+def _q_copy_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-directed copy edges (operators/dedup.
+    provenance_edges): containment pairs folded to canonical form, the
+    LATER-seen side the copier — keep-oldest dedup with the audit
+    direction explicit. Synthetic deterministic first-seen order
+    (h48 of the id) since documents carries no crawl ts; the operator
+    takes a real (id, seen) table when one exists."""
+    from servico_ocr_spark.operators import provenance_edges
+
+    return provenance_edges(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        threshold_pct=50,
+        max_doc_freq=_NGRAM_MAX_DF,
+    )
+
+
+def _o_copy_provenance() -> str:
+    from servico_ocr_spark.operators.dedup import PROVENANCE_SEED
+
+    su = _d_h48(f"('{PROVENANCE_SEED}' || u::VARCHAR)")
+    sv = _d_h48(f"('{PROVENANCE_SEED}' || v::VARCHAR)")
+    return f"""
+WITH cont AS MATERIALIZED ({_o_ngram_containment()}),
+canon AS (
+    SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v,
+           max(containment_pct)::BIGINT AS containment_pct
+    FROM cont GROUP BY 1, 2
+),
+sd AS (
+    SELECT u, v, containment_pct, {su} AS su, {sv} AS sv FROM canon
+)
+SELECT CASE WHEN su > sv OR (su = sv AND u > v) THEN u ELSE v END
+           AS copier_id,
+       CASE WHEN su > sv OR (su = sv AND u > v) THEN v ELSE u END
+           AS source_id,
+       containment_pct
+FROM sd
+"""
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/dedup.
     winnow_fingerprints — Schleimer et al. 2003), summarized per doc:
@@ -7352,6 +7393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": _q_dedup_agreement,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
+        "copy_provenance": _q_copy_provenance,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "title_linkage": _q_title_linkage,
@@ -7496,6 +7538,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_agreement": _o_dedup_agreement(),
         "ngram_jaccard": _o_ngram_jaccard(),
         "ngram_containment": _o_ngram_containment(),
+        "copy_provenance": _o_copy_provenance(),
         "winnow_fingerprints": _o_winnow_fingerprints(),
         "winnow_pairs": _o_winnow_pairs(),
         "title_linkage": _O_TITLE_LINKAGE,

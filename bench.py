@@ -98,6 +98,9 @@ BENCH_FAMILIES = {
         # directional containment (quote/subset detector; per-side
         # denominators, shares the shingle table + df cap)
         "ngram_containment",
+        # keep-oldest provenance: containment pairs folded canonical,
+        # later-seen side is the copier (one max-agg + projection)
+        "copy_provenance",
         # incremental-ingest dedup: cross-side-only band candidates
         # (old×old mass never generated); output is Θ(true cross
         # pairs) on this template corpus — large like neardup_components

@@ -21,6 +21,7 @@ from .dedup import (  # noqa: F401
     ngram_candidate_telemetry,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    provenance_edges,
     simhash,
     simhash_candidate_telemetry,
     simhash_near_duplicates,

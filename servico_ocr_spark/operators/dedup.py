@@ -1108,6 +1108,86 @@ def ngram_containment_pairs(
     )
 
 
+#: Seed for the synthetic first-seen order provenance_edges falls back
+#: to when the corpus carries no crawl timestamp. Shared verbatim with
+#: the DuckDB oracle (the pii constant-sharing rule).
+PROVENANCE_SEED = "seen:"
+
+
+def provenance_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+    max_doc_freq: int | None = None,
+    seen: DataFrame | None = None,
+) -> DataFrame:
+    """``(copier_id, source_id, containment_pct)``: provenance-directed
+    copy edges — for every document pair whose shingle containment
+    clears ``threshold_pct`` in EITHER direction (Broder containment,
+    the quote/subset detector), the LATER-seen document is the copier
+    and the EARLIER-seen one the source. This is keep-oldest near-dup
+    curation with the direction made explicit: a training-data pipeline
+    drops/attributes the copier, keeps the source, and the edge list is
+    the audit trail (who syndicated whom).
+
+    ``seen`` is an optional ``(id_col, seen)`` integer crawl-order
+    table (e.g. ``unix_micros(warc_ts)``); without it a deterministic
+    synthetic order ``h48('seen:'‖id)`` stands in, so the operator is
+    testable on corpora that carry no timestamp. Ties break by id —
+    the order is total either way, so every qualifying pair yields
+    exactly one directed edge.
+
+    Shape: everything past :func:`ngram_containment_pairs` is a fold
+    to canonical pairs (ONE combinable max-agg) plus a pure projection
+    — with synthetic order the seen values are recomputed per side from
+    the id (zero extra joins/scans); with a real ``seen`` table, two
+    equi-joins against an id-keyed relation no bigger than the corpus."""
+    pairs = ngram_containment_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold_pct=threshold_pct,
+        max_doc_freq=max_doc_freq,
+    )
+    canon = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+            "containment_pct",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("containment_pct").cast("long").alias("containment_pct"))
+    )
+    if seen is None:
+        su = h48(F.concat(F.lit(PROVENANCE_SEED), F.col("u").cast("string")))
+        sv = h48(F.concat(F.lit(PROVENANCE_SEED), F.col("v").cast("string")))
+        canon = canon.select("u", "v", "containment_pct",
+                             su.alias("su"), sv.alias("sv"))
+    else:
+        s = seen.select(F.col(id_col), F.col("seen"))
+        canon = (
+            canon.join(
+                s.select(F.col(id_col).alias("u"), F.col("seen").alias("su")),
+                "u",
+            )
+            .join(
+                s.select(F.col(id_col).alias("v"), F.col("seen").alias("sv")),
+                "v",
+            )
+        )
+    u_later = (F.col("su") > F.col("sv")) | (
+        (F.col("su") == F.col("sv")) & (F.col("u") > F.col("v"))
+    )
+    return canon.select(
+        F.when(u_later, F.col("u")).otherwise(F.col("v")).alias("copier_id"),
+        F.when(u_later, F.col("v")).otherwise(F.col("u")).alias("source_id"),
+        "containment_pct",
+    )
+
+
 def incremental_near_duplicates(
     old: DataFrame,
     new: DataFrame,

@@ -1764,3 +1764,45 @@ def test_shard_churn_plan_is_scan_project_agg(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "Generate" not in plan
+
+
+def test_provenance_edges_direction_follows_seen_order(spark):
+    """Copy direction is a pure function of the seen order: with an
+    explicit (id, seen) table the copier is the later-seen side, and
+    REVERSING the order reverses every edge; the synthetic fallback
+    matches a Python mirror of the same h48 arithmetic."""
+    import hashlib
+
+    from servico_ocr_spark.operators import provenance_edges
+    from servico_ocr_spark.operators.dedup import PROVENANCE_SEED
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote + " eta theta iota kappa"),          # host A (superset)
+        (2, quote),                                    # the quoted source
+        (3, "unrelated words entirely different here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen_fwd = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 10)], "doc_id long, seen long"
+    )
+    fwd = provenance_edges(df, threshold_pct=50, seen=seen_fwd).collect()
+    assert len(fwd) == 1
+    assert (fwd[0]["copier_id"], fwd[0]["source_id"]) == (1, 2)
+
+    seen_rev = spark.createDataFrame(
+        [(1, 50), (2, 100), (3, 10)], "doc_id long, seen long"
+    )
+    rev = provenance_edges(df, threshold_pct=50, seen=seen_rev).collect()
+    assert len(rev) == 1
+    assert (rev[0]["copier_id"], rev[0]["source_id"]) == (2, 1)
+
+    def h48py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    syn = provenance_edges(df, threshold_pct=50).collect()
+    assert len(syn) == 1
+    s1 = h48py(f"{PROVENANCE_SEED}1")
+    s2 = h48py(f"{PROVENANCE_SEED}2")
+    exp = (1, 2) if (s1, 1) > (s2, 2) else (2, 1)
+    assert (syn[0]["copier_id"], syn[0]["source_id"]) == exp
