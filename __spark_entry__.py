@@ -4461,6 +4461,67 @@ def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("group", "lang")
 
 
+def _q_approx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile sketch (operators/stats.
+    log_histogram_quantiles): HdrHistogram-style log buckets (k=8 per
+    octave), est = bucket lower bound at rank ceil(q·n/100) —
+    guaranteed ≤ ~12.5% relative error, O(buckets) group state instead
+    of exact rank's full sort. The float log2 is integer-self-corrected
+    so both engines agree bit-for-bit."""
+    from servico_ocr_spark.operators import log_histogram_quantiles
+
+    return log_histogram_quantiles(
+        _read(spark, sf_dir, "documents"),
+        group_col="source",
+        value_col="n_chars",
+        qs=(50, 90, 99),
+        k=8,
+    ).withColumnRenamed("group", "source")
+
+
+_O_APPROX_LENGTH_QUANTILES = """
+WITH base AS (
+    SELECT source AS grp, greatest(n_chars, 1)::BIGINT AS v FROM documents
+),
+e0x AS (SELECT grp, v, floor(log2(v))::BIGINT AS e0 FROM base),
+ec AS (
+    SELECT grp, v,
+           CASE WHEN v < (1::BIGINT << e0::INT) THEN e0 - 1
+                WHEN v >= 2 * (1::BIGINT << e0::INT) THEN e0 + 1
+                ELSE e0 END AS e
+    FROM e0x
+),
+bk AS (
+    SELECT grp,
+           (e * 8 + ((v - (1::BIGINT << e::INT)) * 8)
+               // (1::BIGINT << e::INT)) AS bucket
+    FROM ec
+),
+c AS (SELECT grp, bucket, count(*)::BIGINT AS cnt FROM bk GROUP BY 1, 2),
+cm AS (
+    SELECT grp, bucket,
+           sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY grp) AS n
+    FROM c
+),
+x AS (
+    SELECT grp, bucket, cum, n, q_pct
+    FROM cm CROSS JOIN (SELECT unnest([50, 90, 99]) AS q_pct)
+    WHERE cum >= (n * q_pct + 99) // 100
+),
+s AS (
+    SELECT grp, q_pct, max(n) AS n, min(bucket) AS bucket
+    FROM x GROUP BY 1, 2
+)
+SELECT grp AS source, q_pct::BIGINT AS q_pct, n::BIGINT AS n,
+       ((1::BIGINT << (bucket // 8)::INT)
+        + ((bucket % 8) * (1::BIGINT << (bucket // 8)::INT) + 7) // 8
+       )::BIGINT AS est
+FROM s
+"""
+
+
 _O_LENGTH_QUANTILES = """
 WITH r AS (
     SELECT lang AS grp, n_chars AS value,
@@ -7503,6 +7564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": _q_conversion_latency,
         "attribution_window": _q_attribution_window,
         "length_quantiles": _q_length_quantiles,
+        "approx_length_quantiles": _q_approx_length_quantiles,
         "value_winsorize": _q_value_winsorize,
         "distinct_sketch": _q_distinct_sketch,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -7648,6 +7710,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_latency": _O_CONVERSION_LATENCY,
         "attribution_window": _O_ATTRIBUTION_WINDOW,
         "length_quantiles": _O_LENGTH_QUANTILES,
+        "approx_length_quantiles": _O_APPROX_LENGTH_QUANTILES,
         "value_winsorize": _O_VALUE_WINSORIZE,
         "distinct_sketch": _O_DISTINCT_SKETCH,
         "cms_heavy_hitters": _o_cms_heavy_hitters(),

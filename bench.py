@@ -155,6 +155,9 @@ BENCH_FAMILIES = {
         # exact per-group quantiles by rank arithmetic (one shuffle,
         # per-group window sort, conditional agg — no interpolation)
         "length_quantiles",
+        # bounded-state quantile sketch (log buckets, k=8/octave):
+        # one combinable count agg, windows over bucket rows only
+        "approx_length_quantiles",
         # df-capped co-occurrence pair join + integer PMI surrogate
         # (overflow-safe division order)
         "word_pmi",

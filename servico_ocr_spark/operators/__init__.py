@@ -127,6 +127,7 @@ from .stats import (  # noqa: F401
     exact_group_quantiles,
     hll_register_sketch,
     key_skew_summary,
+    log_histogram_quantiles,
     majority_label,
     rank_correlation,
     winsorize_summary,

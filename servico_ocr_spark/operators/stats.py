@@ -70,6 +70,115 @@ def exact_group_quantiles(
     return ranked.groupBy("group").agg(*aggs)
 
 
+def log_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[int] = (50, 90, 99),
+    k: int = 8,
+) -> DataFrame:
+    """``(group, q_pct, n, est)``: bounded-state quantile sketch — the
+    scale complement to :func:`exact_group_quantiles`. Values hash into
+    log-spaced buckets (``k`` linear sub-buckets per octave, an
+    HdrHistogram-style layout); the estimate for percent ``q`` is the
+    LOWER BOUND of the bucket holding the exact rank-``ceil(q·n/100)``
+    value, so ``est ≤ true < est·(1 + 1/k)`` (+2 for integer rounding)
+    — a guaranteed relative error of ~``100/k`` percent.
+
+    Why it exists when the exact operator does: exact rank quantiles
+    sort every group row (a 10^12-row group is a full shuffle + sort);
+    this sketch is ONE map-side-combinable count agg over at most
+    ``64·k`` buckets per group, then per-group windows over those
+    bucket rows — state is O(buckets), not O(rows), and the agg
+    combiner does all the work. Use exact for reports, this for
+    monitoring at corpus scale.
+
+    Engine-portability: the only float step is ``floor(log2 v)``, and
+    an integer self-correction clamps it against the true power-of-two
+    bracket afterwards — an off-by-one ulp in either engine's ``log2``
+    is healed identically, so results are deterministic and
+    bit-identical across Spark and DuckDB (oracle-checked). Values
+    ``< 1`` clamp to 1 (bucket 0); BIGINT-safe to ``v < 2^55/k``.
+    """
+    for q in qs:
+        if not (0 < int(q) <= 100):
+            raise ValueError(f"quantile percent out of (0,100]: {q}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v1 = F.greatest(F.col(value_col).cast("long"), F.lit(1))
+    rows = df.select(
+        F.col(group_col).alias("group"), v1.alias("v")
+    ).select(
+        "group",
+        "v",
+        F.floor(F.log2("v")).cast("long").alias("e0"),
+    ).select(
+        "group",
+        "v",
+        F.expr("shiftleft(1L, cast(e0 AS int))").alias("p0"),
+        "e0",
+    ).select(
+        "group",
+        "v",
+        F.when(F.col("v") < F.col("p0"), F.col("e0") - 1)
+        .when(F.col("v") >= 2 * F.col("p0"), F.col("e0") + 1)
+        .otherwise(F.col("e0"))
+        .alias("e"),
+    ).select(
+        "group",
+        "v",
+        "e",
+        F.expr("shiftleft(1L, cast(e AS int))").alias("p"),
+    ).select(
+        "group",
+        (
+            F.col("e") * k
+            + F.expr(f"((v - p) * {int(k)}) div p")
+        ).alias("bucket"),
+    )
+    counts = rows.groupBy("group", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("group")
+    cum = counts.select(
+        "group",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    est_v = (
+        "shiftleft(1L, cast(bucket div {k} AS int))"
+        " + ((bucket % {k}) * shiftleft(1L, cast(bucket div {k} AS int))"
+        " + {k} - 1) div {k}"
+    ).format(k=int(k))
+    return (
+        cum.select(
+            "group", "bucket", "cum", "n",
+            F.explode(qarr).alias("q_pct"),
+        )
+        .where(
+            F.col("cum") >= F.expr("(n * q_pct + 99) div 100")
+        )
+        .groupBy("group", "q_pct")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min("bucket").alias("bucket"),
+        )
+        .select(
+            "group",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            "n",
+            F.expr(est_v).cast("long").alias("est"),
+        )
+    )
+
+
 def distinct_count_telemetry(
     df: DataFrame, col: str, rsd: float = 0.05
 ) -> DataFrame:

