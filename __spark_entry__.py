@@ -2634,6 +2634,82 @@ def _o_bm25_related() -> str:
     )
 
 
+#: Hard-negative mining constants: retrieve 20, exclude candidates whose
+#: capped-word-set Jaccard with the query is ≥ 50% (measured live at
+#: every sf: roughly half the top-20 are near-dups of their query on
+#: this template corpus — both the exclude and keep branches bind),
+#: keep the 10 best survivors.
+_HN_CAND_K = 20
+_HN_SIM_PCT = 50
+_HN_K = 10
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives (operators/search.
+    bm25_hard_negatives — the DPR mining recipe): BM25 retrieves each
+    'dup'-query's top 20, exact capped-word-set Jaccard (the minhash
+    dedup lens, derived ceil(9n/10) cap) knocks out true near-dups,
+    the 10 best survivors are the negatives. Verification cost is
+    bounded by the candidate list, not the corpus."""
+    from servico_ocr_spark.operators import bm25_hard_negatives
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_hard_negatives(
+        docs,
+        _mlt_queries(docs),
+        k=_HN_K,
+        cand_k=_HN_CAND_K,
+        sim_threshold_pct=_HN_SIM_PCT,
+        max_term_df=docs.count() // 2,
+        max_word_df=_minhash_word_cap(spark, sf_dir),
+    )
+
+
+def _o_hard_negatives() -> str:
+    return f"""
+WITH {_o_mlt_cte()},
+cand AS (SELECT query_id, doc_id, score FROM sp WHERE rank <= {_HN_CAND_K}),
+base AS ({_d_words_cte()}),
+wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+cap AS (SELECT ((9 * count(*) + 9) // 10)::BIGINT AS v FROM documents),
+wx AS (SELECT doc_id, w FROM (
+           SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM wx0)
+       WHERE df <= (SELECT v FROM cap)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS nw FROM wx GROUP BY doc_id),
+iv AS (
+    SELECT c.query_id, c.doc_id, count(*)::BIGINT AS inter
+    FROM cand c
+    JOIN wx a ON a.doc_id = c.query_id
+    JOIN wx b ON b.doc_id = c.doc_id AND b.w = a.w
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT c.query_id, c.doc_id, c.score,
+           coalesce(iv.inter, 0) AS i,
+           coalesce(sa.nw, 0) AS na, coalesce(sb.nw, 0) AS nb
+    FROM cand c
+    LEFT JOIN iv ON iv.query_id = c.query_id AND iv.doc_id = c.doc_id
+    LEFT JOIN sz sa ON sa.doc_id = c.query_id
+    LEFT JOIN sz sb ON sb.doc_id = c.doc_id
+),
+jp AS (
+    SELECT query_id, doc_id, score,
+           CASE WHEN na + nb - i <= 0 THEN 0
+                ELSE (i * 100) // (na + nb - i) END AS jaccard_pct
+    FROM j
+),
+ng AS (
+    SELECT query_id, doc_id, score, jaccard_pct,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS neg_rank
+    FROM jp WHERE jaccard_pct < {_HN_SIM_PCT}
+)
+SELECT query_id, doc_id, score::BIGINT AS score,
+       jaccard_pct::BIGINT AS jaccard_pct, neg_rank::BIGINT AS neg_rank
+FROM ng WHERE neg_rank <= {_HN_K}
+"""
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/search.rrf_fuse — Cormack et al.
     2009): reciprocal-rank fusion of the sparse more-like-this BM25
@@ -7479,6 +7555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "bm25_search": _q_bm25_search,
         "bm25_related": _q_bm25_related,
+        "hard_negatives": _q_hard_negatives,
         "rrf_fusion": _q_rrf_fusion,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
@@ -7625,6 +7702,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _o_char_entropy(),
         "bm25_search": _o_bm25_search(),
         "bm25_related": _o_bm25_related(),
+        "hard_negatives": _o_hard_negatives(),
         "rrf_fusion": _o_rrf_fusion(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),

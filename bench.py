@@ -142,6 +142,9 @@ BENCH_FAMILIES = {
         # query-by-example BM25 (one-scan postings build, df-capped
         # terms, broadcast query side) + hybrid sparse+dense RRF fusion
         "bm25_related",
+        # DPR-style hard-negative mining: BM25 candidates minus
+        # exact-Jaccard near-dups (verify bounded by candidate list)
+        "hard_negatives",
         "rrf_fusion",
         # TextRank keywords: bigram word graph -> the link face's
         # integer pagerank -> top-k (one operator, two graph faces)

@@ -61,7 +61,12 @@ from .links import (  # noqa: F401
     triangle_counts,
 )
 from .clustering import semantic_dedup  # noqa: F401
-from .search import bm25_by_example, bm25_topk, rrf_fuse  # noqa: F401
+from .search import (  # noqa: F401
+    bm25_by_example,
+    bm25_hard_negatives,
+    bm25_topk,
+    rrf_fuse,
+)
 from .textstats import (  # noqa: F401
     bpe_encode,
     bpe_learn,

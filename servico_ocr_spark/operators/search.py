@@ -34,9 +34,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import words_array
+from .common import distinct_words, words_array
 
-__all__ = ["bm25_by_example", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_by_example", "bm25_hard_negatives", "bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -261,6 +261,114 @@ def bm25_by_example(
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def bm25_hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cand_k: int = 20,
+    sim_threshold_pct: int = 50,
+    max_term_df: int | None = None,
+    max_word_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(query_id, doc_id, score, jaccard_pct, neg_rank)``: hard
+    negatives for contrastive retrieval training — per query, the top
+    ``k`` BM25 candidates that are lexically CLOSE but NOT near-
+    duplicates. The classic mining recipe (DPR / sentence-transformers,
+    public method): retrieve with the sparse scorer, then knock out the
+    retrieved docs that are actually positives (near-dups of the
+    query) so the training pair is "looks relevant, isn't the same
+    document". Complements ``negative_sampling``'s random ring
+    negatives: random negatives are easy; these carry gradient.
+
+    Positives are decided by EXACT normalized-word-set Jaccard ≥
+    ``sim_threshold_pct`` — not by banding — because the check runs
+    only on the ≤ |Q|·cand_k retrieved pairs, where exact verification
+    is cheap (the candidate set is the expensive part, and BM25
+    already paid for it). BM25 scores raw tokens while the Jaccard
+    gate sees the dedup pass's normalized capped word sets
+    (``max_word_df``, the minhash discipline) — deliberately the same
+    lens the corpus dedup uses, so "negative" here means "the dedup
+    pass would NOT have removed it".
+
+    Shape: bm25_by_example does the heavy lifting (one corpus scan);
+    the verify stage is the capped word table lazily localCheckpointed
+    (three references: sizes + both join sides), one fan-out join
+    bounded by |pairs|·|query words|, and LEFT joins back onto the
+    candidate list so zero-overlap pairs survive as jaccard 0 (the
+    explode-drops-empty-rows lesson). Final rank is a per-query window
+    over ≤ cand_k rows."""
+    from .dedup import _cap_doc_freq
+
+    cands = bm25_by_example(
+        df,
+        queries,
+        k=cand_k,
+        max_term_df=max_term_df,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("query_id", "doc_id", "score")
+    wx = _cap_doc_freq(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(distinct_words(F.col(text_col))).alias("w"),
+        ),
+        "w",
+        max_word_df,
+    ).localCheckpoint(eager=False)
+    sizes = wx.groupBy("doc_id").agg(F.count("*").cast("long").alias("nw"))
+    inter = (
+        cands.join(
+            wx.select(F.col("doc_id").alias("query_id"), "w"), "query_id"
+        )
+        .join(wx, ["doc_id", "w"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    joined = (
+        cands.join(inter, ["query_id", "doc_id"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("query_id"),
+                         F.col("nw").alias("na")),
+            "query_id",
+            "left",
+        )
+        .join(
+            sizes.select("doc_id", F.col("nw").alias("nb")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.coalesce("inter", F.lit(0)).alias("i"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.when(F.col("na") + F.col("nb") - F.col("i") <= 0, F.lit(0))
+            .otherwise(
+                F.expr("(i * 100) div (na + nb - i)")
+            )
+            .cast("long")
+            .alias("jaccard_pct"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        joined.where(F.col("jaccard_pct") < sim_threshold_pct)
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
     )
 
 

@@ -291,3 +291,31 @@ def test_rrf_fuse_arithmetic_and_sentinels(spark):
     assert got[13] == (-1, 2, 1000000 // 62, 3)
     # k=3 cap drops doc 12 (1e6//63 = 15873, rank 4)
     assert 12 not in got
+
+
+def test_hard_negatives_excludes_neardups_keeps_lookalikes(spark):
+    """The mining contract: a retrieved candidate that IS a near-dup of
+    the query (capped-word Jaccard ≥ threshold) is excluded; a
+    lexically overlapping but sub-threshold candidate survives as a
+    negative, re-ranked contiguously; zero-overlap candidates survive
+    with jaccard 0 (left-join rule)."""
+    from servico_ocr_spark.operators import bm25_hard_negatives
+
+    rows = [
+        (1, "alpha beta gamma delta rare"),            # query
+        (2, "alpha beta gamma delta rare"),            # exact dup → excluded
+        (3, "alpha beta twenty nine ten eleven rare"),  # overlap 3/9=33 → kept
+        (4, "rare twelve thirteen fourteen fifteen sixteen"),  # low overlap → kept
+        (5, "unrelated words only here nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = docs.where("doc_id = 1").select("doc_id")
+    out = bm25_hard_negatives(
+        docs, q, k=10, cand_k=10, sim_threshold_pct=50
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 2 not in got          # the near-dup is not a negative
+    assert 3 in got and 4 in got
+    assert got[3]["jaccard_pct"] == 33  # 3 shared / 9 union
+    ranks = sorted(r["neg_rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
