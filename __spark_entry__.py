@@ -2634,6 +2634,115 @@ def _o_bm25_related() -> str:
     )
 
 
+def _d_ilog(v: str, k: int = 8) -> str:
+    """DuckDB twin of operators/stats.with_ilog_bucket (same
+    self-correcting integer log-bucket arithmetic)."""
+    v1 = f"greatest({v}, 1)"
+    e0 = f"(floor(log2({v1}))::BIGINT)"
+    p0 = f"(1::BIGINT << ({e0})::INT)"
+    e = (
+        f"(CASE WHEN {v1} < {p0} THEN {e0} - 1 "
+        f"WHEN {v1} >= 2 * {p0} THEN {e0} + 1 ELSE {e0} END)"
+    )
+    p = f"(1::BIGINT << ({e})::INT)"
+    return f"(({e}) * {k} + (({v1} - {p}) * {k}) // {p})"
+
+
+_NB_DIMS = 256
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality filter (operators/classify — integer
+    Bernoulli NB over hashed bag-of-words, the CCNet/fastText-filter
+    shape): label = carries the rare word 'dup', 75/25 hash split,
+    train on train, score ALL, confusion by (split, label, pred).
+    At D=256 the planted rule is recovered exactly at every sf (tp/tn
+    cells; the error cells are exercised on a noisy constructed corpus
+    in tests/test_classify.py — this corpus's single discriminative
+    word admits no natural error regime, measured)."""
+    from servico_ocr_spark.operators import (
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(words_array(F.col("text")), F.lit("dup"))
+        .cast("long")
+        .alias("y"),
+        F.when(
+            F.pmod(
+                h48(F.concat(F.lit("nbsplit:"), F.col("doc_id").cast("string"))),
+                F.lit(4),
+            )
+            == 0,
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    w = nb_train(labeled.where(F.col("split") == "train"), dims=_NB_DIMS)
+    scored = nb_score(labeled, w, dims=_NB_DIMS)
+    return nb_confusion(scored, labeled)
+
+
+def _o_quality_classifier() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    split_h = _d_h48("('nbsplit:' || doc_id::VARCHAR)")
+    dim_h = _d_h48("('ft:' || w)")
+    return f"""
+WITH lbl AS (
+    SELECT doc_id,
+           CASE WHEN list_contains({words}, 'dup') THEN 1 ELSE 0 END AS y,
+           CASE WHEN {split_h} % 4 = 0 THEN 'test' ELSE 'train' END AS split
+    FROM documents
+),
+feats AS (
+    SELECT DISTINCT doc_id, ({dim_h} % {_NB_DIMS}) AS dim
+    FROM (SELECT doc_id, unnest(list_distinct({words})) AS w
+          FROM documents)
+),
+cls AS (
+    SELECT sum(y)::BIGINT AS npos, sum(1 - y)::BIGINT AS nneg
+    FROM lbl WHERE split = 'train'
+),
+pd AS (
+    SELECT f.dim, sum(l.y)::BIGINT AS pos_df,
+           sum(1 - l.y)::BIGINT AS neg_df
+    FROM feats f JOIN lbl l USING (doc_id)
+    WHERE l.split = 'train' GROUP BY f.dim
+),
+wts AS (
+    SELECT dim,
+           ({_d_ilog("pos_df + 1")} + {_d_ilog("nneg + 2")}
+            - {_d_ilog("neg_df + 1")} - {_d_ilog("npos + 2")}) AS llr
+    FROM pd, cls
+),
+scal AS (
+    SELECT ({_d_ilog("npos + 1")} - {_d_ilog("nneg + 1")}) AS prior,
+           ({_d_ilog("nneg + 2")} - {_d_ilog("npos + 2")}) AS dflt
+    FROM cls
+),
+ev AS (
+    SELECT f.doc_id, sum(coalesce(w.llr, s.dflt)) AS evidence
+    FROM feats f LEFT JOIN wts w USING (dim), scal s
+    GROUP BY f.doc_id
+),
+sc AS (
+    SELECT l.doc_id, l.split, l.y,
+           (s.prior + coalesce(ev.evidence, 0)) AS score
+    FROM lbl l LEFT JOIN ev USING (doc_id), scal s
+)
+SELECT split, y::BIGINT AS y_true,
+       (CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS y_pred,
+       count(*)::BIGINT AS n_docs
+FROM sc GROUP BY 1, 2, 3
+"""
+
+
 #: Hard-negative mining constants: retrieve 20, exclude candidates whose
 #: capped-word-set Jaccard with the query is ≥ 50% (measured live at
 #: every sf: roughly half the top-20 are near-dups of their query on
@@ -7556,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "bm25_related": _q_bm25_related,
         "hard_negatives": _q_hard_negatives,
+        "quality_classifier": _q_quality_classifier,
         "rrf_fusion": _q_rrf_fusion,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
@@ -7703,6 +7813,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _o_bm25_search(),
         "bm25_related": _o_bm25_related(),
         "hard_negatives": _o_hard_negatives(),
+        "quality_classifier": _o_quality_classifier(),
         "rrf_fusion": _o_rrf_fusion(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),

@@ -179,6 +179,10 @@ BENCH_FAMILIES = {
         # the buckets' end use: LM-stratified token-budget mix,
         # head oversampled 6:3:1 (composition with token_budget_mix)
         "quality_mix",
+        # trainable quality filter: integer Bernoulli NB over hashed
+        # bag-of-words (closed-form — two combinable aggs + broadcast
+        # D-row weights; log-odds in self-correcting ilog buckets)
+        "quality_classifier",
         # word2vec skip-gram pairs: deterministic integer subsampling
         # (r²·f_ppm threshold), one doc window for all leads, |V|²-
         # bounded symmetric pair agg

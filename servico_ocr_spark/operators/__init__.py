@@ -60,6 +60,12 @@ from .links import (  # noqa: F401
     resolve_href,
     triangle_counts,
 )
+from .classify import (  # noqa: F401
+    hashed_features,
+    nb_confusion,
+    nb_score,
+    nb_train,
+)
 from .clustering import semantic_dedup  # noqa: F401
 from .search import (  # noqa: F401
     bm25_by_example,

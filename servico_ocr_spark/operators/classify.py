@@ -1,0 +1,204 @@
+"""Supervised quality classification: integer Bernoulli Naive Bayes
+over hashed bag-of-words features — the trainable document filter of
+the CCNet / GPT-3 curation recipe (a linear log-odds scorer like the
+fastText filters those pipelines use), re-expressed Spark-first and
+engine-portable.
+
+Why NB and not SGD: training is CLOSED-FORM — one pass over (doc, dim)
+presence rows, two map-side-combinable aggregations — so there is no
+iteration schedule, no learning rate, and nothing order-dependent to
+break the Spark/DuckDB determinism contract (a synchronous batch
+perceptron was prototyped and rejected: it limit-cycles on imbalanced
+data). At 10^12 documents the shape is exactly two shuffles (per-dim
+counts, per-doc score sums) plus broadcasts of the D-row weight table.
+
+Portability: the log-likelihood ratio is computed in integer log-bucket
+space (``stats.with_ilog_bucket``: ``≈ k·log2`` with 1/k-bit
+resolution, float log2 self-corrected). Laplace-smoothed per-dim
+log-odds decompose into SUMS of single-count buckets::
+
+    llr(dim)  = B(pos_df+1) + B(nneg+2) − B(neg_df+1) − B(npos+2)
+    prior     = B(npos+1) − B(nneg+1)
+    score(d)  = prior + Σ_{dim ∈ d} llr(dim);   predict 1 iff score > 0
+
+— never a product of counts, so every argument is ≤ n+2 and the
+arithmetic is BIGINT-safe at 10^12 docs unconditionally (bucket
+additivity error ≤ 1 sub-bucket per term, the documented surrogate
+trade — the same precedent as BM25's integer idf).
+
+Feature hashing (Weinberger et al. 2009): dim = h48(seed‖word) mod D,
+presence-deduplicated AFTER hashing (two colliding words are one
+Bernoulli feature — the hashing-trick semantics). Dims unseen in
+training fall back to the smoothed default ``B(nneg+2) − B(npos+2)``
+(pos_df = neg_df = 0), carried as a sentinel weight row so scoring is
+one broadcast join, not a special case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import distinct_words, h48
+from .stats import with_ilog_bucket
+
+#: Sentinel dims in the weight table: PRIOR_DIM carries the class
+#: prior, DEFAULT_DIM the weight of a dim never seen in training.
+PRIOR_DIM = -1
+DEFAULT_DIM = -2
+
+#: Feature-hash seed, shared verbatim with the DuckDB oracle.
+NB_SEED = "ft:"
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 256,
+) -> DataFrame:
+    """``(doc_id, dim)``: distinct hashed word-presence features per
+    document (dedup AFTER hashing — the hashing-trick contract)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(distinct_words(F.col(text_col))).alias("w"),
+    ).select(
+        "doc_id",
+        F.pmod(h48(F.concat(F.lit(NB_SEED), F.col("w"))), F.lit(int(dims)))
+        .cast("long")
+        .alias("dim"),
+    ).distinct()
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 256,
+    k: int = 8,
+) -> DataFrame:
+    """``(dim, llr)``: integer log-odds weight per hashed feature dim,
+    plus the ``PRIOR_DIM`` / ``DEFAULT_DIM`` sentinel rows (module
+    docstring has the arithmetic). ``label_col`` must be 0/1.
+
+    Shape: one feature pass → ONE per-dim conditional-count agg
+    (state ≤ D rows), a 1-row class-count agg broadcast onto it, four
+    log-bucket projections. Nothing here scales with corpus size
+    except the two combinable aggs."""
+    feats = hashed_features(df, text_col, id_col, dims).join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).cast("long").alias("y"),
+        ),
+        "doc_id",
+    )
+    cls = df.agg(
+        F.sum(F.col(label_col).cast("long")).alias("npos"),
+        F.sum(1 - F.col(label_col).cast("long")).alias("nneg"),
+    )
+    per_dim = feats.groupBy("dim").agg(
+        F.sum("y").cast("long").alias("pos_df"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg_df"),
+    )
+    sentinels = cls.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(PRIOR_DIM).cast("long").alias("dim"),
+                    (F.col("npos") + 1).alias("a"),
+                    (F.col("nneg") + 1).alias("b"),
+                ),
+                F.struct(
+                    F.lit(DEFAULT_DIM).cast("long").alias("dim"),
+                    (F.col("nneg") + 2).alias("a"),
+                    (F.col("npos") + 2).alias("b"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.dim", "s.a", "s.b")
+    # llr = B(pos_df+1) + B(nneg+2) − B(neg_df+1) − B(npos+2)
+    weighted = per_dim.crossJoin(F.broadcast(cls)).select(
+        "dim",
+        (F.col("pos_df") + 1).alias("t1"),
+        (F.col("nneg") + 2).alias("t2"),
+        (F.col("neg_df") + 1).alias("t3"),
+        (F.col("npos") + 2).alias("t4"),
+    )
+    for src, dst in (("t1", "b1"), ("t2", "b2"), ("t3", "b3"),
+                     ("t4", "b4")):
+        weighted = with_ilog_bucket(weighted, src, dst, k)
+    dim_rows = weighted.select(
+        "dim",
+        (F.col("b1") + F.col("b2") - F.col("b3") - F.col("b4"))
+        .cast("long")
+        .alias("llr"),
+    )
+    s = with_ilog_bucket(
+        with_ilog_bucket(sentinels, "a", "ba", k), "b", "bb", k
+    ).select("dim", (F.col("ba") - F.col("bb")).cast("long").alias("llr"))
+    return dim_rows.unionByName(s)
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 256,
+) -> DataFrame:
+    """``(doc_id, score, pred)``: prior + Σ llr over the doc's hashed
+    dims (unseen dims take the DEFAULT_DIM weight), ``pred`` = 1 iff
+    score > 0. One feature pass, one broadcast join against the D-row
+    weight table, one per-doc combinable sum; documents with zero
+    features are restored by a left join from the id spine (score =
+    prior — the explode-drops-empty-docs lesson)."""
+    scalars = weights.where(F.col("dim") == PRIOR_DIM).select(
+        F.col("llr").alias("prior")
+    ).crossJoin(
+        weights.where(F.col("dim") == DEFAULT_DIM).select(
+            F.col("llr").alias("dflt")
+        )
+    )
+    per_doc = (
+        hashed_features(df, text_col, id_col, dims)
+        .join(F.broadcast(weights.where(F.col("dim") >= 0)), "dim", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("llr", F.col("dflt"))).alias("evidence"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (F.col("prior") + F.coalesce("evidence", F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+        .select(
+            "doc_id",
+            "score",
+            (F.col("score") > 0).cast("long").alias("pred"),
+        )
+    )
+
+
+def nb_confusion(
+    scored: DataFrame, labeled: DataFrame, split_col: str = "split",
+    label_col: str = "y", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(split, y_true, y_pred, n_docs)``: the evaluation rollup —
+    ONE combinable count agg over ≤ |splits|·4 groups."""
+    return (
+        scored.join(
+            labeled.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(split_col).alias("split"),
+                F.col(label_col).cast("long").alias("y_true"),
+            ),
+            "doc_id",
+        )
+        .groupBy("split", "y_true", F.col("pred").alias("y_pred"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -70,6 +70,40 @@ def exact_group_quantiles(
     return ranked.groupBy("group").agg(*aggs)
 
 
+def with_ilog_bucket(
+    df: DataFrame, src: str, dst: str, k: int = 8
+) -> DataFrame:
+    """Append ``dst`` = the integer log-bucket of ``src`` (``k`` linear
+    sub-buckets per octave): ``bucket(v) = e·k + ((v−2^e)·k) div 2^e``
+    with ``e = floor(log2 v)`` — a monotone ``≈ k·log2`` surrogate with
+    1/k-bit resolution, the shared primitive behind
+    :func:`log_histogram_quantiles` and the NB classifier's integer
+    log-odds. The float ``log2`` is self-corrected against the true
+    power-of-two bracket, so an off-by-one-ulp disagreement between
+    engines is healed identically (bit-portable). Values < 1 clamp to
+    1 (bucket 0); BIGINT-safe for ``v < 2^55/k``."""
+    return (
+        df.withColumn("_ilv", F.greatest(F.col(src).cast("long"), F.lit(1)))
+        .withColumn("_ile0", F.floor(F.log2("_ilv")).cast("long"))
+        .withColumn("_ilp0", F.expr("shiftleft(1L, cast(_ile0 AS int))"))
+        .withColumn(
+            "_ile",
+            F.when(F.col("_ilv") < F.col("_ilp0"), F.col("_ile0") - 1)
+            .when(F.col("_ilv") >= 2 * F.col("_ilp0"), F.col("_ile0") + 1)
+            .otherwise(F.col("_ile0")),
+        )
+        .withColumn("_ilp", F.expr("shiftleft(1L, cast(_ile AS int))"))
+        .withColumn(
+            dst,
+            (
+                F.col("_ile") * int(k)
+                + F.expr(f"((_ilv - _ilp) * {int(k)}) div _ilp")
+            ).cast("long"),
+        )
+        .drop("_ilv", "_ile0", "_ilp0", "_ile", "_ilp")
+    )
+
+
 def log_histogram_quantiles(
     df: DataFrame,
     group_col: str,
