@@ -2661,6 +2661,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_classify.py — this corpus's single discriminative
     word admits no natural error regime, measured)."""
     from servico_ocr_spark.operators import (
+        hashed_features,
         nb_confusion,
         nb_score,
         nb_train,
@@ -2684,8 +2685,17 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
-    w = nb_train(labeled.where(F.col("split") == "train"), dims=_NB_DIMS)
-    scored = nb_score(labeled, w, dims=_NB_DIMS)
+    # ONE tokenize pass shared by train and score (lazy cut; the
+    # train side restricts itself via the label inner join)
+    feats = hashed_features(labeled, dims=_NB_DIMS).localCheckpoint(
+        eager=False
+    )
+    w = nb_train(
+        labeled.where(F.col("split") == "train"),
+        dims=_NB_DIMS,
+        features=feats,
+    )
+    scored = nb_score(labeled, w, dims=_NB_DIMS, features=feats)
     return nb_confusion(scored, labeled)
 
 

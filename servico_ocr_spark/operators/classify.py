@@ -76,6 +76,7 @@ def nb_train(
     id_col: str = "doc_id",
     dims: int = 256,
     k: int = 8,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """``(dim, llr)``: integer log-odds weight per hashed feature dim,
     plus the ``PRIOR_DIM`` / ``DEFAULT_DIM`` sentinel rows (module
@@ -84,8 +85,19 @@ def nb_train(
     Shape: one feature pass → ONE per-dim conditional-count agg
     (state ≤ D rows), a 1-row class-count agg broadcast onto it, four
     log-bucket projections. Nothing here scales with corpus size
-    except the two combinable aggs."""
-    feats = hashed_features(df, text_col, id_col, dims).join(
+    except the two combinable aggs.
+
+    ``features`` optionally supplies a prebuilt ``(doc_id, dim)``
+    table (e.g. one shared, localCheckpointed tokenize pass reused by
+    :func:`nb_score` — one corpus scan for the whole train+score
+    pipeline instead of two); rows are inner-joined to ``df``'s ids,
+    so a broader feature table restricts itself to the training
+    split automatically."""
+    feats = (
+        features
+        if features is not None
+        else hashed_features(df, text_col, id_col, dims)
+    ).join(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col(label_col).cast("long").alias("y"),
@@ -145,6 +157,7 @@ def nb_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     dims: int = 256,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, score, pred)``: prior + Σ llr over the doc's hashed
     dims (unseen dims take the DEFAULT_DIM weight), ``pred`` = 1 iff
@@ -160,7 +173,11 @@ def nb_score(
         )
     )
     per_doc = (
-        hashed_features(df, text_col, id_col, dims)
+        (
+            features
+            if features is not None
+            else hashed_features(df, text_col, id_col, dims)
+        )
         .join(F.broadcast(weights.where(F.col("dim") >= 0)), "dim", "left")
         .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
