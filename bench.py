@@ -395,7 +395,7 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_suite() -> None:
+def run_suite(requested: list[str] | None = None) -> None:
     import __spark_entry__ as entrymod
     from servico_ocr_spark.session import get_spark
 
@@ -414,7 +414,8 @@ def run_suite() -> None:
     # box is ±20-30%; CLAUDE.md policy). Methodology in BENCH/BASELINE.md.
     timings = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    names = [q for q in (requested or BENCH_QUERIES) if q in qs]
+    for name in names:
         _materialize(qs[name](spark, SF_DIR))
         best = float("inf")
         for _ in range(3):
@@ -426,8 +427,9 @@ def run_suite() -> None:
         total += elapsed
     spark.stop()
     families = {
-        fam: round(sum(timings[q] for q in qs_in_fam), 3)
+        fam: round(sum(timings[q] for q in qs_in_fam if q in timings), 3)
         for fam, qs_in_fam in BENCH_FAMILIES.items()
+        if any(q in timings for q in qs_in_fam)
     }
     print(
         json.dumps(
@@ -783,4 +785,5 @@ if __name__ == "__main__":
         i = argv.index("--ab")
         run_ab(argv[i + 1], argv[i + 2:], rounds=rounds)
     else:
-        run_suite()
+        req = [a for a in sys.argv[1:] if not a.startswith("-")]
+        run_suite(req or None)

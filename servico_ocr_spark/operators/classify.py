@@ -46,6 +46,11 @@ from .stats import with_ilog_bucket
 PRIOR_DIM = -1
 DEFAULT_DIM = -2
 
+#: Sentinel dim in the COUNT space (one row per document): its (dim, y)
+#: counters are the class counts npos/nneg — lets the streaming twin
+#: keep the whole training state under one (dim, y) key space.
+CLS_DIM = -3
+
 #: Feature-hash seed, shared verbatim with the DuckDB oracle.
 NB_SEED = "ft:"
 
@@ -67,6 +72,85 @@ def hashed_features(
         .cast("long")
         .alias("dim"),
     ).distinct()
+
+
+def nb_count_rows(
+    df: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    dims: int = 256,
+) -> DataFrame:
+    """``(dim, y)``: one row per distinct hashed dim per document PLUS
+    one ``CLS_DIM`` row per document — the ZERO-SHUFFLE projection
+    whose (dim, y) counts are the entire NB training state. Per-doc
+    dedup happens inside the row (``array_distinct`` over the hashed
+    array) instead of a relational ``.distinct()``, which makes the
+    projection legal on an unbounded stream (no stateful dedup) — the
+    streaming twin `streaming.stateful.nb_count_stream` shares it
+    verbatim. The md5-in-HOF cost is one hash per distinct word — the
+    same work the batch path does, evaluated interpreted; acceptable
+    here because the projection replaces a distinct SHUFFLE."""
+    dimarr = F.array_distinct(
+        F.transform(
+            distinct_words(F.col(text_col)),
+            lambda w: F.pmod(
+                h48(F.concat(F.lit(NB_SEED), w)), F.lit(int(dims))
+            ).cast("long"),
+        )
+    )
+    return df.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.explode(
+            F.concat(dimarr, F.array(F.lit(CLS_DIM).cast("long")))
+        ).alias("dim"),
+    ).select("dim", "y")
+
+
+def nb_weights_from_counts(
+    per_dim: DataFrame, cls: DataFrame, k: int = 8
+) -> DataFrame:
+    """``(dim, llr)`` from the sufficient statistics: ``per_dim`` =
+    ``(dim, pos_df, neg_df)`` and ``cls`` = one row ``(npos, nneg)``.
+    This is the stateless back half of :func:`nb_train`, factored out
+    so the streaming twin's changelog counts feed the SAME arithmetic
+    (the shared-subplan discipline)."""
+    sentinels = cls.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(PRIOR_DIM).cast("long").alias("dim"),
+                    (F.col("npos") + 1).alias("a"),
+                    (F.col("nneg") + 1).alias("b"),
+                ),
+                F.struct(
+                    F.lit(DEFAULT_DIM).cast("long").alias("dim"),
+                    (F.col("nneg") + 2).alias("a"),
+                    (F.col("npos") + 2).alias("b"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.dim", "s.a", "s.b")
+    # llr = B(pos_df+1) + B(nneg+2) − B(neg_df+1) − B(npos+2)
+    weighted = per_dim.crossJoin(F.broadcast(cls)).select(
+        "dim",
+        (F.col("pos_df") + 1).alias("t1"),
+        (F.col("nneg") + 2).alias("t2"),
+        (F.col("neg_df") + 1).alias("t3"),
+        (F.col("npos") + 2).alias("t4"),
+    )
+    for src, dst in (("t1", "b1"), ("t2", "b2"), ("t3", "b3"),
+                     ("t4", "b4")):
+        weighted = with_ilog_bucket(weighted, src, dst, k)
+    dim_rows = weighted.select(
+        "dim",
+        (F.col("b1") + F.col("b2") - F.col("b3") - F.col("b4"))
+        .cast("long")
+        .alias("llr"),
+    )
+    s = with_ilog_bucket(
+        with_ilog_bucket(sentinels, "a", "ba", k), "b", "bb", k
+    ).select("dim", (F.col("ba") - F.col("bb")).cast("long").alias("llr"))
+    return dim_rows.unionByName(s)
 
 
 def nb_train(
@@ -112,43 +196,7 @@ def nb_train(
         F.sum("y").cast("long").alias("pos_df"),
         F.sum(1 - F.col("y")).cast("long").alias("neg_df"),
     )
-    sentinels = cls.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(PRIOR_DIM).cast("long").alias("dim"),
-                    (F.col("npos") + 1).alias("a"),
-                    (F.col("nneg") + 1).alias("b"),
-                ),
-                F.struct(
-                    F.lit(DEFAULT_DIM).cast("long").alias("dim"),
-                    (F.col("nneg") + 2).alias("a"),
-                    (F.col("npos") + 2).alias("b"),
-                ),
-            )
-        ).alias("s")
-    ).select("s.dim", "s.a", "s.b")
-    # llr = B(pos_df+1) + B(nneg+2) − B(neg_df+1) − B(npos+2)
-    weighted = per_dim.crossJoin(F.broadcast(cls)).select(
-        "dim",
-        (F.col("pos_df") + 1).alias("t1"),
-        (F.col("nneg") + 2).alias("t2"),
-        (F.col("neg_df") + 1).alias("t3"),
-        (F.col("npos") + 2).alias("t4"),
-    )
-    for src, dst in (("t1", "b1"), ("t2", "b2"), ("t3", "b3"),
-                     ("t4", "b4")):
-        weighted = with_ilog_bucket(weighted, src, dst, k)
-    dim_rows = weighted.select(
-        "dim",
-        (F.col("b1") + F.col("b2") - F.col("b3") - F.col("b4"))
-        .cast("long")
-        .alias("llr"),
-    )
-    s = with_ilog_bucket(
-        with_ilog_bucket(sentinels, "a", "ba", k), "b", "bb", k
-    ).select("dim", (F.col("ba") - F.col("bb")).cast("long").alias("llr"))
-    return dim_rows.unionByName(s)
+    return nb_weights_from_counts(per_dim, cls, k)
 
 
 def nb_score(

@@ -320,3 +320,59 @@ def cms_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NB_COUNT_STATE_SCHEMA = "cnt long"
+NB_COUNT_OUTPUT_SCHEMA = "dim long, y long, cnt long"
+
+
+def nb_count_stream(
+    stream: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    dims: int = 256,
+) -> DataFrame:
+    """Online NB classifier training (the cms_stream discipline:
+    model-as-state): the sufficient statistics of
+    ``operators.classify.nb_train`` — per-(dim, y) presence counters
+    plus the ``CLS_DIM`` class counters — maintained as streaming
+    state over a stream of labeled documents. The stateless projection
+    is ``operators.classify.nb_count_rows``, shared VERBATIM with the
+    batch path (per-doc dedup happens inside the row via
+    ``array_distinct``, so no stateful relational distinct is needed —
+    what makes the projection stream-legal).
+
+    State-store key space is bounded at ``2·(dims+1)`` keys no matter
+    how many documents arrive — the model IS the state, the streaming
+    analogue of why one hashes features at all. Counts are commutative
+    and associative, so the final changelog equals the batch counts
+    over the union of micro-batches in any arrival order; feeding the
+    final cells through the shared ``nb_weights_from_counts`` yields
+    the EXACT batch-trained weights (tested)."""
+    from ..operators.classify import nb_count_rows
+
+    rows = nb_count_rows(stream, label_col, text_col, dims)
+
+    def fn(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        touched = False
+        for batch in batches:
+            if batch.empty:
+                continue
+            touched = True
+            n += len(batch)
+        state.update((int(n),))
+        if touched:
+            yield pd.DataFrame(
+                {"dim": [int(key[0])], "y": [int(key[1])], "cnt": [int(n)]}
+            )
+
+    return rows.groupBy("dim", "y").applyInPandasWithState(
+        fn,
+        outputStructType=NB_COUNT_OUTPUT_SCHEMA,
+        stateStructType=NB_COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -453,3 +453,90 @@ def test_cms_stream_cells_match_batch_sketch(spark, tmp_path):
     assert final == ref
     # state key space is the sketch, not the vocabulary
     assert len(final) <= 3 * 8
+
+
+def test_nb_count_stream_final_cells_reproduce_batch_weights(spark, tmp_path):
+    """Model-as-state: the streaming NB counter changelog's final cells
+    (max cnt per (dim, y) — counters are monotone), pivoted into
+    (per_dim, cls) and fed through the SHARED nb_weights_from_counts,
+    must equal batch nb_train over the union of all micro-batches —
+    arrival order cannot matter (counts commute)."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import nb_train
+    from servico_ocr_spark.operators.classify import (
+        CLS_DIM,
+        nb_weights_from_counts,
+    )
+    from servico_ocr_spark.streaming.stateful import nb_count_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, y long"
+
+    batch1 = [
+        (1, "good stuff here shared words", 1),
+        (2, "plain filler text shared words", 0),
+        (3, "good thing again shared", 1),
+    ]
+    batch2 = [
+        (4, "plain other filler shared words", 0),
+        (5, "good stuff repeated here", 1),
+        (6, "", 0),  # zero-feature doc still counts toward the class
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = nb_count_stream(stream, dims=32)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(output_dir).collect():
+        k = (r["dim"], r["y"])
+        if k not in final or r["cnt"] > final[k]:
+            final[k] = r["cnt"]
+
+    cells = spark.createDataFrame(
+        [(d, y, c) for (d, y), c in final.items()],
+        "dim long, y long, cnt long",
+    )
+    per_dim = (
+        cells.where(F.col("dim") != CLS_DIM)
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0))
+            .cast("long").alias("pos_df"),
+            F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0))
+            .cast("long").alias("neg_df"),
+        )
+    )
+    cls = cells.where(F.col("dim") == CLS_DIM).agg(
+        F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0))
+        .cast("long").alias("npos"),
+        F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0))
+        .cast("long").alias("nneg"),
+    )
+    got = {
+        r["dim"]: r["llr"]
+        for r in nb_weights_from_counts(per_dim, cls).collect()
+    }
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    exp = {r["dim"]: r["llr"] for r in nb_train(union, dims=32).collect()}
+    assert got == exp
