@@ -3882,6 +3882,91 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers-who-kept-orders-waiting shape):
+    suppliers in even-keyed nations who were the SOLE returned-line
+    ('R') supplier in a multi-supplier order, counted and top-20 by
+    (numwait desc, s_name). Q21's correlated EXISTS / NOT EXISTS pair
+    compiles to one LEFT SEMI plus one LEFT ANTI join, both on the
+    l_orderkey equi key with the supplier-inequality carried as a join
+    condition (never a per-order fan-out materialized); supplier and
+    the filtered nation dim broadcast; top-k is TakeOrderedAndProject
+    with a total-order tie-break. Live tri-scale: 5/45/499 suppliers
+    reach the output."""
+    l = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = l.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    l3 = l.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    sup = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _read(spark, sf_dir, "nation").where(
+                    F.col("n_nationkey") % 2 == 0
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_O_BLAME_SUPPLIERS = """
+WITH l1 AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+multi AS (
+    SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+),
+sole AS (
+    SELECT m.* FROM multi m
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = m.l_orderkey
+                        AND l3.l_suppkey <> m.l_suppkey
+                        AND l3.l_returnflag = 'R')
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM sole
+JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_nationkey % 2 = 0
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
 def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog (large-volume customer): orders whose total
     lineitem quantity exceeds 300, joined back to order and customer
@@ -7747,6 +7832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "big_orders": _q_big_orders,
         "late_orders": _q_late_orders,
+        "blame_suppliers": _q_blame_suppliers,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
         "sessionize": _q_sessionize,
@@ -7895,6 +7981,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _O_TOP_REVENUE_ORDERS,
         "big_orders": _O_BIG_ORDERS,
         "late_orders": _O_LATE_ORDERS,
+        "blame_suppliers": _O_BLAME_SUPPLIERS,
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,
         "sessionize": _O_SESSIONIZE,

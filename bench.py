@@ -318,6 +318,9 @@ BENCH_FAMILIES = {
         # TPC-H Q4 analog: EXISTS as a LEFT SEMI join with the quarter
         # predicate pushed to the scan
         "late_orders",
+        # TPC-H Q21 analog: EXISTS/NOT-EXISTS pair as one LeftSemi +
+        # one LeftAnti join, dims broadcast, TakeOrdered top-20
+        "blame_suppliers",
         "sessionize",
         # strictly-ordered first-touch funnel (|users|-bounded step
         # frames, per-step lazy checkpoint bounds rescans to K)

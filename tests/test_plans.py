@@ -532,3 +532,17 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_blame_suppliers_semi_anti_broadcast_topk(spark):
+    """TPC-H Q21 analog: the EXISTS/NOT-EXISTS pair must compile to
+    exactly one LeftSemi and one LeftAnti join with the supplier
+    inequality carried as a join condition (no per-order fan-out
+    aggregation), dims broadcast, top-20 as TakeOrderedAndProject."""
+    df = entrymod.queries()["blame_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
