@@ -3882,6 +3882,47 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (operators/textstats.corpus_datasheet):
+    totals, lang/source cardinalities, empty docs, 5-word-prefix dup
+    mass (the exact_duplicates fixture notion — live at every sf),
+    integer mean tokens. Two combinable aggs, zero joins/windows."""
+    from servico_ocr_spark.operators import corpus_datasheet
+
+    return corpus_datasheet(_read(spark, sf_dir, "documents"))
+
+
+def _o_corpus_report() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    return f"""
+WITH base AS (
+    SELECT lang, source,
+           len({words})::BIGINT AS n_tok,
+           length(text)::BIGINT AS n_chr,
+           md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS ph
+    FROM documents
+),
+m AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           sum(n_chr)::BIGINT AS n_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_empty_docs
+    FROM base
+),
+d AS (
+    SELECT coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT
+               AS n_prefix_dup_docs
+    FROM (SELECT ph, count(*) AS c FROM base GROUP BY ph)
+)
+SELECT m.*, d.n_prefix_dup_docs,
+       (m.n_tokens // m.n_docs)::BIGINT AS mean_tokens
+FROM m, d
+"""
+
+
 def _q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog (suppliers-who-kept-orders-waiting shape):
     suppliers in even-keyed nations who were the SOLE returned-line
@@ -7833,6 +7874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": _q_big_orders,
         "late_orders": _q_late_orders,
         "blame_suppliers": _q_blame_suppliers,
+        "corpus_report": _q_corpus_report,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
         "sessionize": _q_sessionize,
@@ -7982,6 +8024,7 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": _O_BIG_ORDERS,
         "late_orders": _O_LATE_ORDERS,
         "blame_suppliers": _O_BLAME_SUPPLIERS,
+        "corpus_report": _o_corpus_report(),
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,
         "sessionize": _O_SESSIONIZE,

@@ -117,6 +117,8 @@ BENCH_FAMILIES = {
     ],
     "textstats": [
         "fingerprint",
+        # one-row dataset card: two combinable aggs, no joins/windows
+        "corpus_report",
         "lang_id",
         # per-source majority language: generic distributed MODE —
         # argmax window over the (group,label) COUNT table, never docs

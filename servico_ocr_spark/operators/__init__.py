@@ -79,6 +79,7 @@ from .textstats import (  # noqa: F401
     bpe_merge_candidates,
     c4_page_clean,
     char_entropy,
+    corpus_datasheet,
     gopher_filter,
     inverted_index,
     language_id,

@@ -904,3 +904,69 @@ def char_entropy(df: DataFrame, text_col: str = "text",
             .alias("top_share_ppm"),
         )
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    prefix_words: int = 5,
+) -> DataFrame:
+    """One-row dataset card (Gebru et al.'s datasheet, the numbers a
+    training-corpus release publishes): doc/token/char totals, language
+    and source cardinalities, empty-doc count, docs sharing a
+    ``prefix_words``-word exact prefix (the cheap dup-mass indicator —
+    the same prefix notion as ``exact_duplicates``' driver fixture),
+    and integer mean tokens/doc.
+
+    Shape: one column-pruned scan feeding TWO map-side-combinable
+    aggregations — the global rollup (count-distinct over the
+    low-cardinality lang/source columns) and the prefix-hash group
+    count folded to one row — cross-joined 1×1. Nothing scales with
+    corpus size except those combiners; no windows, no joins."""
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        F.size(words_array(F.col(text_col))).cast("long").alias("n_tok"),
+        F.length(F.col(text_col)).cast("long").alias("n_chr"),
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.col(text_col), " "), 1, int(prefix_words)),
+                " ",
+            )
+        ).alias("ph"),
+    )
+    main = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum((F.col("n_tok") == 0).cast("long"))
+        .cast("long")
+        .alias("n_empty_docs"),
+    )
+    dup = (
+        base.groupBy("ph")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_prefix_dup_docs")
+        )
+    )
+    return main.crossJoin(dup).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        "n_empty_docs",
+        "n_prefix_dup_docs",
+        F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens"),
+    )
