@@ -3061,6 +3061,34 @@ FROM sym{_BPE_MERGES} GROUP BY word, n
 """
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-equity metric (operators/textstats.
+    tokenizer_fertility): BPE pieces per word ×10^4 per language,
+    from the shared merge loop's vocabulary segmentation broadcast
+    onto one per-(lang, word) count agg."""
+    from servico_ocr_spark.operators import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _read(spark, sf_dir, "documents"), merges=_BPE_MERGES
+    ).withColumnRenamed("group", "lang")
+
+
+def _o_tokenizer_fertility() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    return _o_bpe_cte() + f"""
+SELECT g.lang, sum(g.cnt)::BIGINT AS n_words,
+       sum(g.cnt * e.n_pieces)::BIGINT AS n_pieces,
+       ((sum(g.cnt * e.n_pieces) * 10000) // sum(g.cnt))::BIGINT
+           AS fertility_e4
+FROM (SELECT lang, w AS word, count(*) AS cnt
+      FROM (SELECT lang, unnest({words}) AS w FROM documents)
+      GROUP BY 1, 2) g
+JOIN (SELECT word, count(*) AS n_pieces FROM sym{_BPE_MERGES}
+      GROUP BY word) e USING (word)
+GROUP BY g.lang
+"""
+
+
 def _q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level word co-occurrence with an integer PMI surrogate
     (operators/textstats.word_cooccurrence). The df cap reuses the
@@ -7806,6 +7834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "word_pmi": _q_word_pmi,
         "bigram_lm": _q_bigram_lm,
         "lm_quality": _q_lm_quality,
@@ -7956,6 +7985,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),
         "bpe_encode": _o_bpe_encode(),
+        "tokenizer_fertility": _o_tokenizer_fertility(),
         "word_pmi": _O_WORD_PMI,
         "bigram_lm": _o_bigram_lm(),
         "lm_quality": _o_lm_quality(),

@@ -172,6 +172,9 @@ BENCH_FAMILIES = {
         # tokenizer application: the merge loop's final symbol table
         # aggregated to per-distinct-word segmentations
         "bpe_encode",
+        # pieces-per-word ×10^4 per lang: vocab piece table broadcast
+        # onto one (lang, word) count agg (tokenizer-equity metric)
+        "tokenizer_fertility",
         # corpus bigram LM: one window + one combinable count; context
         # counts re-aggregated from the bounded model table
         "bigram_lm",

@@ -87,6 +87,7 @@ from .textstats import (  # noqa: F401
     repetition_stats,
     text_fingerprint,
     token_counts,
+    tokenizer_fertility,
     token_rarity,
     word_adjacency_edges,
     word_cooccurrence,

@@ -970,3 +970,46 @@ def corpus_datasheet(
         "n_prefix_dup_docs",
         F.expr("n_tokens div n_docs").cast("long").alias("mean_tokens"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    merges: int = 3,
+) -> DataFrame:
+    """``(group, n_words, n_pieces, fertility_e4)``: tokenizer
+    fertility (pieces per word, ×10^4 integer) per group — the
+    standard tokenizer-equity metric (a language whose words
+    fragment into more pieces pays more sequence length per content
+    word; SentencePiece/XLM-R papers report exactly this). Built on
+    :func:`bpe_encode`'s vocabulary-level segmentation: fertility =
+    Σ count_g(w)·pieces(w) ·10^4 div Σ count_g(w).
+
+    Shape: the vocab-sized piece table BROADCASTS onto one per-(group,
+    word) count aggregation (map-side combinable), then one group
+    rollup — corpus size enters only through the count agg; the BPE
+    loop itself is vocabulary-bounded (shared ``_bpe_loop``)."""
+    enc = bpe_encode(df, text_col, merges).select("word", "n_pieces")
+    gw = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(words_array(F.col(text_col))).alias("word"),
+    ).groupBy("group", "word").agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        gw.join(F.broadcast(enc), "word")
+        .groupBy("group")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("long")
+            .alias("n_pieces"),
+        )
+        .select(
+            "group",
+            "n_words",
+            "n_pieces",
+            F.expr("(n_pieces * 10000) div n_words")
+            .cast("long")
+            .alias("fertility_e4"),
+        )
+    )
