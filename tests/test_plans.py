@@ -546,3 +546,43 @@ def test_blame_suppliers_semi_anti_broadcast_topk(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Catalyst's runtime row-level filtering (SPARK-32268): a
+    selective filter on one side of a shuffle join injects a
+    bloom_filter_agg subquery whose might_contain() prunes the probe
+    side BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~1/13 that can
+    possibly match. Pinned here (like the AQE skew test) so a conf or
+    version change that silently drops the feature fails loudly."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        d = str(tmp_path)
+        spark.range(0, 500_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).write.mode("overwrite").parquet(d + "/fact")
+        spark.range(0, 500_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+        ).write.mode("overwrite").parquet(d + "/dim")
+        probe = spark.read.parquet(d + "/fact")
+        build = spark.read.parquet(d + "/dim").where(F.col("w") == 3)
+        j = probe.join(build, "k")
+        assert j.count() == 500_000 // 13 + (1 if 500_000 % 13 > 3 else 0)
+        plan = _plan(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
