@@ -1686,53 +1686,122 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_kmeans(K: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+def _o_kmeans_chain(
+    pfx: str, vec_expr: str, K: int, iters: int
+) -> str:
+    """Lloyd-iteration CTE fragment (no leading WITH) with every CTE
+    name prefixed, ending in ``{pfx}asg(vec_id, cluster, d2)`` — the
+    parameterization that lets product quantization run one chain per
+    subspace in a single statement."""
     dist = (
         "SELECT p.vid, c.cid,\n"
         "       sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS d2\n"
-        "FROM pts p JOIN {cent} c USING (dim)\n"
+        f"FROM {pfx}pts p JOIN {{cent}} c USING (dim)\n"
         "GROUP BY p.vid, c.cid"
     )
     cte = [f"""
-v AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings),
-pts AS (
+{pfx}v AS (SELECT vec_id, {vec_expr} AS iv FROM embeddings),
+{pfx}pts AS (
     SELECT vec_id AS vid,
            unnest(range(len(iv)))::BIGINT AS dim,
            unnest(iv)::BIGINT AS q
-    FROM v
+    FROM {pfx}v
 ),
-c0 AS (SELECT vid AS cid, dim, q AS cq FROM pts WHERE vid < {K})"""]
+{pfx}c0 AS (SELECT vid AS cid, dim, q AS cq FROM {pfx}pts
+            WHERE vid < {K})"""]
     for i in range(1, iters + 1):
-        prev = f"c{i - 1}"
+        prev = f"{pfx}c{i - 1}"
         cte.append(f""",
-a{i} AS (
+{pfx}a{i} AS (
     SELECT vid, min(d2 * {K} + cid) AS key
     FROM ({dist.format(cent=prev)})
     GROUP BY vid
 ),
-s{i} AS (
+{pfx}s{i} AS (
     SELECT (a.key % {K}) AS cid, p.dim,
            sum(p.q)::BIGINT AS sm, count(*)::BIGINT AS n
-    FROM a{i} a JOIN pts p ON p.vid = a.vid
+    FROM {pfx}a{i} a JOIN {pfx}pts p ON p.vid = a.vid
     GROUP BY 1, 2
 ),
-c{i} AS (
+{pfx}c{i} AS (
     SELECT c.cid, c.dim,
            COALESCE(s.sm // s.n, c.cq)::BIGINT AS cq
-    FROM {prev} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.dim = c.dim
+    FROM {prev} c LEFT JOIN {pfx}s{i} s
+      ON s.cid = c.cid AND s.dim = c.dim
 )""")
-    last = f"c{iters}"
+    last = f"{pfx}c{iters}"
+    cte.append(f""",
+{pfx}asg AS (
+    SELECT vid::BIGINT AS vec_id,
+           (key % {K})::BIGINT AS cluster,
+           (key // {K})::BIGINT AS d2
+    FROM (
+        SELECT vid, min(d2 * {K} + cid) AS key
+        FROM ({dist.format(cent=last)})
+        GROUP BY vid)
+)""")
+    return "".join(cte)
+
+
+def _o_kmeans(K: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return (
-        "WITH " + "".join(cte) + f"""
-SELECT vid::BIGINT AS vec_id,
-       (key % {K})::BIGINT AS cluster,
-       (key // {K})::BIGINT AS d2
-FROM (
-    SELECT vid, min(d2 * {K} + cid) AS key
-    FROM ({dist.format(cent=last)})
-    GROUP BY vid)
-"""
+        "WITH "
+        + _o_kmeans_chain("", _O_INT_VEC, K, iters)
+        + "\nSELECT vec_id, cluster, d2 FROM asg\n"
     )
+
+
+#: PQ demo constants: 2 subspaces × 4 centroids = 16-code space over
+#: the 64-dim embeddings (32 dims per subspace), 2 Lloyd rounds.
+_PQ_M = 2
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/clustering.pq_encode — Jégou
+    et al. 2011): per-subspace integer k-means codebooks, radix-k
+    packed codes, summed quantization error. The m chains are
+    independent kmeans_lite runs over column-pruned subvector
+    slices, joined on the id."""
+    from servico_ocr_spark.operators import pq_encode
+
+    return pq_encode(
+        _read(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        iterations=_PQ_ITERS,
+        dim=64,
+    )
+
+
+def _o_pq_codes() -> str:
+    def vec_expr(lo: int, hi: int) -> str:
+        return (
+            f"list_transform(embedding[{lo}:{hi}],"
+            " x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT)"
+        )
+
+    dsub = 64 // _PQ_M
+    chains = ",".join(
+        _o_kmeans_chain(
+            f"p{s}", vec_expr(s * dsub + 1, (s + 1) * dsub),
+            _PQ_K, _PQ_ITERS,
+        )
+        for s in range(_PQ_M)
+    )
+    code = " + ".join(
+        f"p{s}asg.cluster * {_PQ_K ** s}" for s in range(_PQ_M)
+    )
+    err = " + ".join(f"p{s}asg.d2" for s in range(_PQ_M))
+    joins = " ".join(
+        f"JOIN p{s}asg USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    return f"""
+WITH {chains}
+SELECT vec_id, ({code})::BIGINT AS pq_code, ({err})::BIGINT AS err2
+FROM p0asg {joins}
+"""
 
 
 def _q_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7817,6 +7886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": _q_embedding_neardups,
         "semantic_dedup": _q_semantic_dedup,
         "kmeans": _q_kmeans,
+        "pq_codes": _q_pq_codes,
         "kmeans_summary": _q_kmeans_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_quantize": _q_embedding_quantize,
@@ -7968,6 +8038,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups": _o_embedding_neardups(),
         "semantic_dedup": _o_semantic_dedup(),
         "kmeans": _o_kmeans(),
+        "pq_codes": _o_pq_codes(),
         "kmeans_summary": _o_kmeans_summary(),
         "embedding_dim_stats": _o_embedding_dim_stats(),
         "embedding_quantize": _o_embedding_quantize(),

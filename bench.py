@@ -299,6 +299,9 @@ BENCH_FAMILIES = {
         # integer-quantized Lloyd's k-means, 3 fixed rounds (broadcast
         # centroids, per-round checkpoint, nested-CTE oracle)
         "kmeans",
+        # product quantization: m independent subspace kmeans runs
+        # (column-pruned slices, broadcast centroids), radix-k codes
+        "pq_codes",
         # per-cluster representative rollup composed on kmeans (the
         # oracle wraps the kmeans oracle as a subquery)
         "kmeans_summary",

@@ -103,7 +103,7 @@ from .packing import (  # noqa: F401
     token_budget_mix,
     weighted_sample,
 )
-from .clustering import kmeans_lite  # noqa: F401
+from .clustering import kmeans_lite, pq_encode  # noqa: F401
 from .encode import (  # noqa: F401
     dictionary_encode,
     quantize_embeddings,

@@ -207,3 +207,67 @@ def semantic_dedup(
             .otherwise(F.lit(0)).cast("int").alias("keep"),
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """``(vec_id, pq_code, err2)``: product quantization (Jégou et al.
+    2011, the FAISS IVF-PQ memory layout): the vector splits into ``m``
+    contiguous subvectors, each quantized by its OWN ``k``-centroid
+    integer k-means (:func:`kmeans_lite` — same seeds-by-id, same
+    deterministic argmin), and the code packs the per-subspace
+    centroid ids radix-``k`` (``code = Σ c_s·k^s``). ``err2`` is the
+    summed squared quantization error — exactly the ADC residual a PQ
+    index trades for ``m·log2(k)`` bits per vector instead of
+    ``4·dim`` bytes (here: 4 bits vs 256 bytes, a 512× compression).
+
+    Scale shape: ``m`` independent kmeans runs over column-pruned
+    subvector slices (each is the kmeans_lite shape: broadcast
+    centroids, combinable aggs, O(iterations) rounds), joined on the
+    id — subspaces are embarrassingly parallel by construction, which
+    is WHY PQ trains at 10^12 vectors when a full-dimension k·m^...
+    codebook cannot. ``dim`` avoids an eager length probe when known;
+    ``dim % m == 0`` required (PQ's equal-split contract)."""
+    if dim is None:
+        dim = int(
+            emb.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+            .collect()[0]["d"]
+        )
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim (dim={dim}, m={m})")
+    if k ** m > 2 ** 62:
+        raise ValueError("code space exceeds BIGINT")
+    dsub = dim // m
+    parts: DataFrame | None = None
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        a = kmeans_lite(
+            sub, k=k, iterations=iterations, id_col=id_col,
+            vec_col=vec_col, scale=scale,
+        ).select(
+            "vec_id",
+            F.col("cluster").alias(f"_c{s}"),
+            F.col("d2").alias(f"_e{s}"),
+        )
+        parts = a if parts is None else parts.join(a, "vec_id")
+    code = F.lit(0).cast("long")
+    err = F.lit(0).cast("long")
+    for s in range(m):
+        code = code + F.col(f"_c{s}") * (k ** s)
+        err = err + F.col(f"_e{s}")
+    return parts.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        err.cast("long").alias("err2"),
+    )

@@ -180,3 +180,54 @@ def test_semantic_dedup_threshold_validation(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         semantic_dedup(df, threshold_e6=-1)
+
+
+def test_pq_encode_m1_equals_kmeans_and_code_space(spark):
+    """PQ degenerate case m=1 must reproduce kmeans_lite exactly
+    (code == cluster, err2 == d2); at m=2 codes stay in [0, k^m) and
+    err2 is the sum of the per-subspace assignments' errors."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import kmeans_lite, pq_encode
+
+    rows = [
+        (i, [float(((i * 7 + d * 3) % 13) - 6) / 4.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pq1 = {
+        r["vec_id"]: (r["pq_code"], r["err2"])
+        for r in pq_encode(emb, m=1, k=3, iterations=2, dim=8).collect()
+    }
+    km = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_lite(emb, k=3, iterations=2).collect()
+    }
+    assert pq1 == km
+
+    pq2 = pq_encode(emb, m=2, k=3, iterations=2, dim=8)
+    half = [
+        kmeans_lite(
+            emb.select(
+                "vec_id",
+                F.slice("embedding", s * 4 + 1, 4).alias("embedding"),
+            ),
+            k=3,
+            iterations=2,
+        ).collect()
+        for s in range(2)
+    ]
+    exp = {}
+    for r0 in half[0]:
+        exp[r0["vec_id"]] = [r0["cluster"], r0["d2"]]
+    for r1 in half[1]:
+        exp[r1["vec_id"]] = (
+            exp[r1["vec_id"]][0] + 3 * r1["cluster"],
+            exp[r1["vec_id"]][1] + r1["d2"],
+        )
+    got = {
+        r["vec_id"]: (r["pq_code"], r["err2"]) for r in pq2.collect()
+    }
+    assert got == exp
+    assert all(0 <= c < 9 for c, _ in got.values())
