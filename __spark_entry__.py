@@ -6173,6 +6173,46 @@ FROM {tbl}
 """
 
 
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (operators/packing.pack_efficiency —
+    the telemetry twin of pack_sequences, same shard hash and token
+    count): per-shard docs/tokens/packs, tail waste (< capacity by
+    the concat-and-chunk invariant), fill ppm. One combinable agg."""
+    from servico_ocr_spark.operators import pack_efficiency
+
+    return pack_efficiency(
+        _read(spark, sf_dir, "documents"),
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+def _o_pack_efficiency() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    shard = _d_h48("('pack:' || doc_id::VARCHAR)")
+    cap = _PACK_CAPACITY
+    return f"""
+WITH t AS (
+    SELECT ({shard} % {_PACK_SHARDS})::BIGINT AS shard,
+           len({words})::BIGINT AS nt
+    FROM documents
+),
+s AS (
+    SELECT shard, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+    FROM t GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       ((n_tokens + {cap - 1}) // {cap})::BIGINT AS n_packs,
+       (((n_tokens + {cap - 1}) // {cap}) * {cap} - n_tokens)::BIGINT
+           AS waste_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (n_tokens * 1000000)
+                 // (((n_tokens + {cap - 1}) // {cap}) * {cap})
+       END::BIGINT AS fill_ppm
+FROM s
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from servico_ocr_spark.operators import pack_sequences
 
@@ -7961,6 +8001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "chunking_pipeline": _q_chunking_pipeline,
         "pack_sequences": _q_pack_sequences,
+        "pack_efficiency": _q_pack_efficiency,
         "token_budget_mix": _q_token_budget_mix,
         "epoch_mix": _q_epoch_mix,
         "span_corruption": _q_span_corruption,
@@ -8113,6 +8154,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _o_chunk_documents(),
         "chunking_pipeline": _o_chunking_pipeline(),
         "pack_sequences": _o_pack_sequences(),
+        "pack_efficiency": _o_pack_efficiency(),
         "token_budget_mix": _o_token_budget_mix(),
         "epoch_mix": _o_epoch_mix(),
         "span_corruption": _o_span_corruption(),

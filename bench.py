@@ -361,6 +361,9 @@ BENCH_FAMILIES = {
         # context-window chunking: zero-shuffle projection + explode
         "chunk_documents",
         "pack_sequences",
+        # packing telemetry twin: one combinable agg over n_shards
+        # groups; tail waste < capacity by the concat-chunk invariant
+        "pack_efficiency",
         "token_budget_mix",
         # replication mixing (rates > 1 epoch): zero-shuffle CASE rates
         # + hash projection + bounded explode

@@ -97,6 +97,7 @@ from .packing import (  # noqa: F401
     chunk_documents,
     epoch_upsample,
     negative_sampling,
+    pack_efficiency,
     pack_sequences,
     span_corruption,
     stratified_sample,

@@ -635,3 +635,66 @@ def weighted_sample(
         .where(F.col("rk") <= int(k))
         .select("stratum", "doc_id", "weight", "rk")
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    capacity: int,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """``(shard, n_docs, n_tokens, n_packs, waste_tokens, fill_ppm)``:
+    the packing-efficiency audit for :func:`pack_sequences` (the
+    telemetry-twin discipline — same shard hash, same token count, so
+    the numbers describe exactly the packing the pipeline ships).
+    Concat-and-chunk packing wastes tokens ONLY in each shard's last
+    pack, so ``waste_tokens < capacity`` per shard by construction —
+    an invariant this operator makes observable (and the unit test
+    pins); fill_ppm = n_tokens·10^6 div (n_packs·capacity).
+
+    Shape: ONE map-side-combinable agg over n_shards groups; the
+    pack arithmetic is a projection over those few rows."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if token_count_col:
+        n_tokens = F.col(token_count_col).cast("long")
+    else:
+        n_tokens = F.size(
+            F.filter(F.split(norm_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+        ).cast("long")
+    shard = h48(
+        F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    ) % n_shards
+    per_shard = (
+        df.select(
+            shard.cast("long").alias("shard"), n_tokens.alias("nt")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    n_packs = F.expr(f"(n_tokens + {int(capacity) - 1}) div {int(capacity)}")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_packs.cast("long").alias("n_packs"),
+        (n_packs * capacity - F.col("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(n_tokens * 1000000) div "
+                f"((( n_tokens + {int(capacity) - 1}) div {int(capacity)})"
+                f" * {int(capacity)})"
+            )
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+    )

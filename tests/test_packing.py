@@ -472,3 +472,36 @@ def test_weighted_sample_bias_nesting_and_clamp(spark):
     )
     out = weighted_sample(df2, k=3, weight_col="w").collect()
     assert {r["weight"] for r in out} == {1, 7}
+
+
+def test_pack_efficiency_consistent_with_pack_sequences(spark):
+    """Telemetry-twin consistency: pack_efficiency's per-shard pack
+    count must equal the packs pack_sequences actually produces
+    (max pack_seq + spill of the shard's last doc), waste < capacity
+    per shard, and token totals tie out."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import pack_efficiency, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 13) % 37 + 1)))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    cap, shards = 50, 4
+    eff = {r["shard"]: r for r in
+           pack_efficiency(docs, capacity=cap, n_shards=shards).collect()}
+    seq = pack_sequences(docs, capacity=cap, n_shards=shards).collect()
+    per_shard_tokens = {}
+    last_end = {}
+    for r in seq:
+        per_shard_tokens[r["shard"]] = (
+            per_shard_tokens.get(r["shard"], 0) + r["n_tokens"]
+        )
+    for s, tot in per_shard_tokens.items():
+        e = eff[s]
+        assert e["n_tokens"] == tot
+        assert e["n_packs"] == (tot + cap - 1) // cap
+        assert 0 <= e["waste_tokens"] < cap
+        assert e["fill_ppm"] > 0
+    assert sum(e["n_docs"] for e in eff.values()) == 120
