@@ -1804,6 +1804,87 @@ FROM p0asg {joins}
 """
 
 
+_PQ_TOPK = 10
+
+
+def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators/clustering.pq_search —
+    Jégou's ADC, the IVF-PQ query path): per-query m×k integer
+    distance tables against the subspace codebooks, database vectors
+    scored through their CODES only (broadcast-join chain), top-10
+    per query. Self excluded (ANN convention); ADC(q,q) ≡ err2(q)
+    pinned in tests."""
+    from servico_ocr_spark.operators import pq_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_search(
+        emb,
+        emb.where(F.col("vec_id") < _ANN_QUERIES),
+        m=_PQ_M,
+        k=_PQ_K,
+        iterations=_PQ_ITERS,
+        k_results=_PQ_TOPK,
+        dim=64,
+    )
+
+
+def _o_pq_search() -> str:
+    def vec_expr(lo: int, hi: int) -> str:
+        return (
+            f"list_transform(embedding[{lo}:{hi}],"
+            " x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT)"
+        )
+
+    dsub = 64 // _PQ_M
+    chains = ",".join(
+        _o_kmeans_chain(
+            f"p{s}", vec_expr(s * dsub + 1, (s + 1) * dsub),
+            _PQ_K, _PQ_ITERS,
+        )
+        for s in range(_PQ_M)
+    )
+    qparts = []
+    for s in range(_PQ_M):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        qparts.append(f""",
+qv{s} AS (SELECT vec_id, {vec_expr(lo, hi)} AS iv FROM embeddings
+          WHERE vec_id < {_ANN_QUERIES}),
+qp{s} AS (SELECT vec_id AS qid,
+                 unnest(range(len(iv)))::BIGINT AS dim,
+                 unnest(iv)::BIGINT AS q
+          FROM qv{s}),
+qd{s} AS (SELECT qp.qid, c.cid,
+                 sum((qp.q - c.cq) * (qp.q - c.cq))::BIGINT AS qd
+          FROM qp{s} qp JOIN p{s}c{_PQ_ITERS} c USING (dim)
+          GROUP BY 1, 2)""")
+    code_joins = " ".join(
+        f"JOIN p{s}asg a{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    table_joins = ["JOIN qd0 t0 ON t0.cid = a0.cluster"]
+    for s in range(1, _PQ_M):
+        table_joins.append(
+            f"JOIN qd{s} t{s} ON t{s}.cid = a{s}.cluster"
+            f" AND t{s}.qid = t0.qid"
+        )
+    adc = " + ".join(f"t{s}.qd" for s in range(_PQ_M))
+    return f"""
+WITH {chains}{''.join(qparts)},
+sc AS (
+    SELECT t0.qid AS query_id, a0.vec_id, ({adc})::BIGINT AS adc_d2
+    FROM p0asg a0 {code_joins} {' '.join(table_joins)}
+    WHERE a0.vec_id <> t0.qid
+),
+r AS (
+    SELECT query_id, vec_id, adc_d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, vec_id) AS rank
+    FROM sc
+)
+SELECT query_id, vec_id, adc_d2, rank::BIGINT AS rank
+FROM r WHERE rank <= {_PQ_TOPK}
+"""
+
+
 def _q_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster rollup over the kmeans assignment — representative
     member (closest to centroid, ties to smallest id via the same
@@ -7927,6 +8008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "kmeans": _q_kmeans,
         "pq_codes": _q_pq_codes,
+        "pq_search": _q_pq_search,
         "kmeans_summary": _q_kmeans_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_quantize": _q_embedding_quantize,
@@ -8080,6 +8162,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _o_semantic_dedup(),
         "kmeans": _o_kmeans(),
         "pq_codes": _o_pq_codes(),
+        "pq_search": _o_pq_search(),
         "kmeans_summary": _o_kmeans_summary(),
         "embedding_dim_stats": _o_embedding_dim_stats(),
         "embedding_quantize": _o_embedding_quantize(),

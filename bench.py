@@ -302,6 +302,9 @@ BENCH_FAMILIES = {
         # product quantization: m independent subspace kmeans runs
         # (column-pruned slices, broadcast centroids), radix-k codes
         "pq_codes",
+        # ADC query path: per-query m×k distance tables broadcast
+        # onto the code table — db vectors touched via codes only
+        "pq_search",
         # per-cluster representative rollup composed on kmeans (the
         # oracle wraps the kmeans oracle as a subquery)
         "kmeans_summary",

@@ -104,7 +104,7 @@ from .packing import (  # noqa: F401
     token_budget_mix,
     weighted_sample,
 )
-from .clustering import kmeans_lite, pq_encode  # noqa: F401
+from .clustering import kmeans_lite, pq_encode, pq_search  # noqa: F401
 from .encode import (  # noqa: F401
     dictionary_encode,
     quantize_embeddings,

@@ -32,60 +32,57 @@ pagerank/star-contraction discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
-def kmeans_lite(
-    emb: DataFrame,
-    k: int = 4,
-    iterations: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = 1000,
+def _quantized_points(
+    emb: DataFrame, id_col: str, vec_col: str, scale: int
 ) -> DataFrame:
-    """(vec_id, cluster, d2): hard assignment of every vector to the
-    nearest of ``k`` centroids after ``iterations`` Lloyd rounds, with
-    the integer squared-L2 distance to that centroid. See the module
-    docstring for the determinism and portability contract."""
-    if k < 1 or iterations < 0:
-        raise ValueError("k >= 1 and iterations >= 0 required")
-    pts = emb.select(
+    """(vid, dim, q): the exploded integer-grid point table (lazily
+    checkpointed — referenced twice per Lloyd round)."""
+    return emb.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("dim", "x"),
     ).select(
         "vid",
         "dim",
         F.floor(F.col("x").cast("double") * scale).cast("long").alias("q"),
+    ).localCheckpoint(eager=False)
+
+
+def _assign(pts: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+    """(vid, cid, d2): deterministic nearest-centroid assignment via
+    the single-integer argmin ``min(d2·k + cid)``."""
+    d = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vid", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
     )
-    pts = pts.localCheckpoint(eager=False)
+    return d.groupBy("vid").agg(
+        F.min(F.col("d2") * k + F.col("cid")).alias("key")
+    ).select(
+        "vid",
+        (F.col("key") % k).cast("long").alias("cid"),
+        F.expr(f"key div {int(k)}").cast("long").alias("d2"),
+    )
+
+
+def _lloyd(pts: DataFrame, k: int, iterations: int) -> DataFrame:
+    """(cid, dim, cq): final centroids after ``iterations`` Lloyd
+    rounds seeded from the k smallest ids; returned lazily
+    checkpointed (the caller joins it at least once more)."""
     cent = pts.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), "dim", F.col("q").alias("cq")
     )
-
-    def assign(c: DataFrame) -> DataFrame:
-        d = (
-            pts.join(F.broadcast(c), "dim")
-            .groupBy("vid", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq"))
-                    * (F.col("q") - F.col("cq"))
-                )
-                .cast("long")
-                .alias("d2")
-            )
-        )
-        return d.groupBy("vid").agg(
-            F.min(F.col("d2") * k + F.col("cid")).alias("key")
-        ).select(
-            "vid",
-            (F.col("key") % k).cast("long").alias("cid"),
-            F.expr(f"key div {int(k)}").cast("long").alias("d2"),
-        )
-
     for _ in range(iterations):
         cent = cent.localCheckpoint(eager=False)
-        a = assign(cent)
+        a = _assign(pts, cent, k)
         s = (
             a.select("vid", "cid")
             .join(pts, "vid")
@@ -105,8 +102,26 @@ def kmeans_lite(
                 .alias("cq"),
             )
         )
-    final = assign(cent.localCheckpoint(eager=False))
-    return final.select(
+    return cent.localCheckpoint(eager=False)
+
+
+def kmeans_lite(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cluster, d2): hard assignment of every vector to the
+    nearest of ``k`` centroids after ``iterations`` Lloyd rounds, with
+    the integer squared-L2 distance to that centroid. See the module
+    docstring for the determinism and portability contract."""
+    if k < 1 or iterations < 0:
+        raise ValueError("k >= 1 and iterations >= 0 required")
+    pts = _quantized_points(emb, id_col, vec_col, scale)
+    cent = _lloyd(pts, k, iterations)
+    return _assign(pts, cent, k).select(
         F.col("vid").alias("vec_id"),
         F.col("cid").alias("cluster"),
         "d2",
@@ -270,4 +285,101 @@ def pq_encode(
         "vec_id",
         code.cast("long").alias("pq_code"),
         err.cast("long").alias("err2"),
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 2,
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """``(query_id, vec_id, adc_d2, rank)``: PQ asymmetric distance
+    computation (Jégou et al. 2011's ADC — the query path of IVF-PQ):
+    each query builds an ``m × k`` integer distance TABLE against the
+    per-subspace codebooks (query subvector → squared L2 to every
+    centroid), and every database vector is scored by summing the m
+    table cells its code points at. The database side is touched only
+    through its CODES — never its vectors — which is why PQ search
+    scales to 10^12 vectors: the per-query work is k·dim subtractions
+    for the tables plus one lookup-sum per candidate code.
+
+    Deterministic end-to-end: codebooks from the shared integer Lloyd
+    loop (:func:`_lloyd`, seeds by id), table cells exact integer
+    squared L2, rank ties break on (adc_d2 asc, vec_id asc). ADC of a
+    query against ITSELF equals its own quantization error (err2 from
+    :func:`pq_encode`) — the textbook identity, pinned in tests;
+    self-matches are then excluded (the ANN-face convention).
+
+    Shape: per subspace one Lloyd run + one assignment over the
+    column-pruned slice; distance tables are |Q|·k-row BROADCASTS, so
+    scoring is a chain of broadcast joins over the code table — the
+    only shuffle after encoding is the per-query rank window."""
+    if dim is None:
+        dim = int(
+            emb.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+            .collect()[0]["d"]
+        )
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim (dim={dim}, m={m})")
+    if k_results < 1:
+        raise ValueError("k_results >= 1 required")
+    dsub = dim // m
+    codes: DataFrame | None = None
+    tables = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        pts = _quantized_points(sub, id_col, vec_col, scale)
+        cent = _lloyd(pts, k, iterations)
+        asg = _assign(pts, cent, k).select(
+            F.col("vid").alias("vec_id"), F.col("cid").alias(f"_c{s}")
+        )
+        codes = asg if codes is None else codes.join(asg, "vec_id")
+        qsub = queries.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        qpts = _quantized_points(qsub, id_col, vec_col, scale)
+        qd = (
+            qpts.join(F.broadcast(cent), "dim")
+            .groupBy(F.col("vid").alias("query_id"), "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq"))
+                    * (F.col("q") - F.col("cq"))
+                )
+                .cast("long")
+                .alias(f"_qd{s}")
+            )
+            .withColumnRenamed("cid", f"_qc{s}")
+        )
+        tables.append(qd)
+    scored = codes
+    for s in range(m):
+        cond = scored[f"_c{s}"] == tables[s][f"_qc{s}"]
+        if s > 0:
+            cond = cond & (scored["query_id"] == tables[s]["query_id"])
+            scored = scored.join(F.broadcast(tables[s]), cond).drop(
+                tables[s]["query_id"]
+            )
+        else:
+            scored = scored.join(F.broadcast(tables[s]), cond)
+    adc = sum(F.col(f"_qd{s}") for s in range(m))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    return (
+        scored.where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.cast("long").alias("adc_d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_results)
     )

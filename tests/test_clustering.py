@@ -231,3 +231,85 @@ def test_pq_encode_m1_equals_kmeans_and_code_space(spark):
     }
     assert got == exp
     assert all(0 <= c < 9 for c, _ in got.values())
+
+
+def test_pq_search_matches_python_adc_mirror(spark):
+    """ADC parity: pq_search's scores equal a pure-Python mirror that
+    collects the Lloyd centroids and does table-lookup sums; the
+    mirror also pins the textbook identity ADC(q, q) == err2(q)
+    (self-rows are excluded from the operator output by the ANN
+    convention)."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import pq_encode, pq_search
+    from servico_ocr_spark.operators.clustering import (
+        _lloyd,
+        _quantized_points,
+    )
+
+    rows = [
+        (i, [float(((i * 11 + d * 5) % 17) - 8) / 3.0 for d in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where("vec_id < 2")
+    m, k, iters = 2, 3, 2
+    dsub = 4
+
+    cents, codes = [], {i: [] for i in range(30)}
+    for s in range(m):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", s * dsub + 1, dsub).alias("embedding")
+        )
+        pts = _quantized_points(sub, "vec_id", "embedding", 1000)
+        cent = {
+            (r["cid"], r["dim"]): r["cq"]
+            for r in _lloyd(pts, k, iters).collect()
+        }
+        cents.append(cent)
+        qpts = {
+            (r["vid"], r["dim"]): r["q"] for r in pts.collect()
+        }
+        for i in range(30):
+            best = min(
+                (
+                    sum(
+                        (qpts[(i, d)] - cent[(c, d)]) ** 2
+                        for d in range(dsub)
+                    ) * k + c
+                )
+                for c in range(k)
+            )
+            codes[i].append(best % k)
+
+    def qdist(qid, s, c):
+        sub = rows[qid][1][s * dsub:(s + 1) * dsub]
+        import math
+        q = [math.floor(x * 1000) for x in sub]
+        return sum(
+            (q[d] - cents[s][(c, d)]) ** 2 for d in range(dsub)
+        )
+
+    exp = {}
+    for qid in (0, 1):
+        for vid in range(30):
+            adc = sum(qdist(qid, s, codes[vid][s]) for s in range(m))
+            if vid != qid:
+                exp[(qid, vid)] = adc
+
+    got = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"]
+        for r in pq_search(
+            emb, qs, m=m, k=k, iterations=iters, k_results=100, dim=8
+        ).collect()
+    }
+    assert got == exp
+
+    # textbook identity in the mirror: ADC(q, q) == err2(q)
+    err = {
+        r["vec_id"]: r["err2"]
+        for r in pq_encode(emb, m=m, k=k, iterations=iters, dim=8).collect()
+    }
+    for qid in (0, 1):
+        self_adc = sum(qdist(qid, s, codes[qid][s]) for s in range(m))
+        assert self_adc == err[qid]
