@@ -586,3 +586,56 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, tmp_path
+):
+    """Idempotent re-runs of ONE day/source over a partitioned corpus
+    layout (the resumable-ingest write semantics at 10^12 docs):
+    with partitionOverwriteMode=dynamic, overwriting a DataFrame that
+    contains only partition p replaces p and leaves every other
+    partition's files untouched — in static mode the same write would
+    wipe the whole table root. Pinned because a silent conf default
+    flip (static is the Spark default) turns an incremental re-crawl
+    into data loss."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    out = str(tmp_path / "part")
+    try:
+        spark.conf.set(key, "dynamic")
+        full = spark.createDataFrame(
+            [(i, f"src{i % 3}", i * 10) for i in range(30)],
+            "doc_id long, source string, v long",
+        )
+        full.write.partitionBy("source").mode("overwrite").parquet(out)
+        before = {
+            r["source"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert before == {"src0": 10, "src1": 10, "src2": 10}
+        redo = spark.createDataFrame(
+            [(100 + i, "src1", 7) for i in range(4)],
+            "doc_id long, source string, v long",
+        )
+        redo.write.partitionBy("source").mode("overwrite").parquet(out)
+        after = spark.read.parquet(out)
+        counts = {
+            r["source"]: r["n"]
+            for r in after.groupBy("source")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        # src1 replaced (10 → 4); src0/src2 untouched
+        assert counts == {"src0": 10, "src1": 4, "src2": 10}
+        ids = {
+            r["doc_id"]
+            for r in after.where("source = 'src1'")
+            .select("doc_id").collect()
+        }
+        assert ids == {100, 101, 102, 103}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
