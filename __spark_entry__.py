@@ -1828,17 +1828,21 @@ def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_pq_search() -> str:
-    def vec_expr(lo: int, hi: int) -> str:
-        return (
-            f"list_transform(embedding[{lo}:{hi}],"
-            " x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT)"
-        )
+def _o_pq_vec_expr(lo: int, hi: int) -> str:
+    return (
+        f"list_transform(embedding[{lo}:{hi}],"
+        " x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT)"
+    )
 
+
+def _o_pq_pieces() -> dict:
+    """Shared SQL fragments for the PQ oracles: subspace chains, query
+    distance-table CTEs, and the code/table join clauses of the
+    unranked score relation."""
     dsub = 64 // _PQ_M
     chains = ",".join(
         _o_kmeans_chain(
-            f"p{s}", vec_expr(s * dsub + 1, (s + 1) * dsub),
+            f"p{s}", _o_pq_vec_expr(s * dsub + 1, (s + 1) * dsub),
             _PQ_K, _PQ_ITERS,
         )
         for s in range(_PQ_M)
@@ -1847,7 +1851,7 @@ def _o_pq_search() -> str:
     for s in range(_PQ_M):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         qparts.append(f""",
-qv{s} AS (SELECT vec_id, {vec_expr(lo, hi)} AS iv FROM embeddings
+qv{s} AS (SELECT vec_id, {_o_pq_vec_expr(lo, hi)} AS iv FROM embeddings
           WHERE vec_id < {_ANN_QUERIES}),
 qp{s} AS (SELECT vec_id AS qid,
                  unnest(range(len(iv)))::BIGINT AS dim,
@@ -1867,13 +1871,16 @@ qd{s} AS (SELECT qp.qid, c.cid,
             f" AND t{s}.qid = t0.qid"
         )
     adc = " + ".join(f"t{s}.qd" for s in range(_PQ_M))
-    return f"""
-WITH {chains}{''.join(qparts)},
-sc AS (
-    SELECT t0.qid AS query_id, a0.vec_id, ({adc})::BIGINT AS adc_d2
-    FROM p0asg a0 {code_joins} {' '.join(table_joins)}
-    WHERE a0.vec_id <> t0.qid
-),
+    return {
+        "chains": chains,
+        "qparts": "".join(qparts),
+        "code_joins": code_joins,
+        "table_joins": " ".join(table_joins),
+        "adc": adc,
+    }
+
+
+_O_PQ_RANKED = """,
 r AS (
     SELECT query_id, vec_id, adc_d2,
            row_number() OVER (PARTITION BY query_id
@@ -1881,8 +1888,78 @@ r AS (
     FROM sc
 )
 SELECT query_id, vec_id, adc_d2, rank::BIGINT AS rank
-FROM r WHERE rank <= {_PQ_TOPK}
+FROM r WHERE rank <= {topk}
 """
+
+
+def _o_pq_search() -> str:
+    p = _o_pq_pieces()
+    return f"""
+WITH {p['chains']}{p['qparts']},
+sc AS (
+    SELECT t0.qid AS query_id, a0.vec_id, ({p['adc']})::BIGINT AS adc_d2
+    FROM p0asg a0 {p['code_joins']} {p['table_joins']}
+    WHERE a0.vec_id <> t0.qid
+)""" + _O_PQ_RANKED.format(topk=_PQ_TOPK)
+
+
+_IVFPQ_COARSE_K = 4
+_IVFPQ_NPROBE = 2
+
+
+def _q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (operators/clustering.ivfpq_search): coarse
+    4-cell quantizer, 2 probed cells per query (exact distance, ties
+    to the smaller cell id), global-code ADC within probed cells
+    only (FAISS by_residual=false shape), top-10."""
+    from servico_ocr_spark.operators import ivfpq_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        emb,
+        emb.where(F.col("vec_id") < _ANN_QUERIES),
+        coarse_k=_IVFPQ_COARSE_K,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        iterations=_PQ_ITERS,
+        k_results=_PQ_TOPK,
+        dim=64,
+    )
+
+
+def _o_ivfpq_search() -> str:
+    p = _o_pq_pieces()
+    coarse = _o_kmeans_chain(
+        "cg", _O_INT_VEC, _IVFPQ_COARSE_K, _PQ_ITERS
+    )
+    return f"""
+WITH {coarse},{p['chains']}{p['qparts']},
+qvc AS (SELECT vec_id, {_O_INT_VEC} AS iv FROM embeddings
+        WHERE vec_id < {_ANN_QUERIES}),
+qpc AS (SELECT vec_id AS qid,
+               unnest(range(len(iv)))::BIGINT AS dim,
+               unnest(iv)::BIGINT AS q
+        FROM qvc),
+qcd AS (SELECT qp.qid, c.cid,
+               sum((qp.q - c.cq) * (qp.q - c.cq))::BIGINT AS cd2
+        FROM qpc qp JOIN cgc{_PQ_ITERS} c USING (dim)
+        GROUP BY 1, 2),
+probes AS (
+    SELECT qid, cid AS cell FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cd2, cid) AS prk
+        FROM qcd)
+    WHERE prk <= {_IVFPQ_NPROBE}
+),
+sc AS (
+    SELECT t0.qid AS query_id, a0.vec_id, ({p['adc']})::BIGINT AS adc_d2
+    FROM p0asg a0 {p['code_joins']} {p['table_joins']}
+    JOIN cgasg cc ON cc.vec_id = a0.vec_id
+    JOIN probes pr ON pr.cell = cc.cluster AND pr.qid = t0.qid
+    WHERE a0.vec_id <> t0.qid
+)""" + _O_PQ_RANKED.format(topk=_PQ_TOPK)
 
 
 def _q_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8009,6 +8086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "pq_codes": _q_pq_codes,
         "pq_search": _q_pq_search,
+        "ivfpq_search": _q_ivfpq_search,
         "kmeans_summary": _q_kmeans_summary,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_quantize": _q_embedding_quantize,
@@ -8163,6 +8241,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _o_kmeans(),
         "pq_codes": _o_pq_codes(),
         "pq_search": _o_pq_search(),
+        "ivfpq_search": _o_ivfpq_search(),
         "kmeans_summary": _o_kmeans_summary(),
         "embedding_dim_stats": _o_embedding_dim_stats(),
         "embedding_quantize": _o_embedding_quantize(),

@@ -305,6 +305,9 @@ BENCH_FAMILIES = {
         # ADC query path: per-query m×k distance tables broadcast
         # onto the code table — db vectors touched via codes only
         "pq_search",
+        # the full FAISS shape: coarse cells + nprobe pruning + ADC
+        # (pruning binds: 16-38 of 80 pairs differ from the full scan)
+        "ivfpq_search",
         # per-cluster representative rollup composed on kmeans (the
         # oracle wraps the kmeans oracle as a subquery)
         "kmeans_summary",

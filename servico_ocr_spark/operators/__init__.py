@@ -104,7 +104,12 @@ from .packing import (  # noqa: F401
     token_budget_mix,
     weighted_sample,
 )
-from .clustering import kmeans_lite, pq_encode, pq_search  # noqa: F401
+from .clustering import (  # noqa: F401
+    ivfpq_search,
+    kmeans_lite,
+    pq_encode,
+    pq_search,
+)
 from .encode import (  # noqa: F401
     dictionary_encode,
     quantize_embeddings,

@@ -321,6 +321,26 @@ def pq_search(
     column-pruned slice; distance tables are |Q|·k-row BROADCASTS, so
     scoring is a chain of broadcast joins over the code table — the
     only shuffle after encoding is the per-query rank window."""
+    scored = _pq_adc_scores(
+        emb, queries, m, k, iterations, id_col, vec_col, scale, dim
+    )
+    return _rank_topk(scored, k_results)
+
+
+def _pq_adc_scores(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int,
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    dim: int | None,
+) -> DataFrame:
+    """``(query_id, vec_id, adc_d2)``: the unranked ADC score frame —
+    shared by :func:`pq_search` (global scan) and
+    :func:`ivfpq_search` (probe-restricted)."""
     if dim is None:
         dim = int(
             emb.select(F.size(F.col(vec_col)).alias("d")).limit(1)
@@ -328,8 +348,6 @@ def pq_search(
         )
     if m < 1 or dim % m != 0:
         raise ValueError(f"m must divide dim (dim={dim}, m={m})")
-    if k_results < 1:
-        raise ValueError("k_results >= 1 required")
     dsub = dim // m
     codes: DataFrame | None = None
     tables = []
@@ -374,12 +392,94 @@ def pq_search(
         else:
             scored = scored.join(F.broadcast(tables[s]), cond)
     adc = sum(F.col(f"_qd{s}") for s in range(m))
+    return scored.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", adc.cast("long").alias("adc_d2")
+    )
+
+
+def _rank_topk(scored: DataFrame, k_results: int) -> DataFrame:
+    if k_results < 1:
+        raise ValueError("k_results >= 1 required")
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("vec_id")
     )
-    return (
-        scored.where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adc.cast("long").alias("adc_d2"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k_results)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k_results)
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    coarse_k: int = 4,
+    nprobe: int = 2,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 2,
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """``(query_id, vec_id, adc_d2, rank)``: IVF-PQ search — the full
+    FAISS web-scale index shape. A coarse ``coarse_k``-cell quantizer
+    (full-dimension integer Lloyd) partitions the database; each query
+    ranks the cells by exact distance to the cell centroid and probes
+    only its ``nprobe`` closest (ties: smaller cell id); PQ ADC then
+    scores ONLY vectors in probed cells. Candidate volume drops to
+    ~``nprobe/coarse_k`` of the corpus — the inverted-file pruning that
+    makes 10^12-vector search feasible — at the usual recall cost:
+    a true neighbor living in an unprobed cell is unreachable
+    (documented; raise ``nprobe`` to trade back).
+
+    Simplification vs stock FAISS, stated plainly: codes are GLOBAL PQ
+    codes (FAISS ``by_residual=false``), not residual-encoded per cell
+    — residual PQ is the known upgrade and slots into the same shape
+    (subspace Lloyd over ``q − coarse_cq`` residual points).
+
+    Shape: the coarse index is one more Lloyd run + one assignment;
+    probes are a |Q|·coarse_k-row broadcast; the probe restriction is
+    a broadcast semi-filter applied UNDER the rank window, so the only
+    extra shuffle over :func:`pq_search` is none at all."""
+    if nprobe < 1 or nprobe > coarse_k:
+        raise ValueError("1 <= nprobe <= coarse_k required")
+    if dim is None:
+        dim = int(
+            emb.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+            .collect()[0]["d"]
+        )
+    fpts = _quantized_points(emb, id_col, vec_col, scale)
+    ccent = _lloyd(fpts, coarse_k, iterations)
+    cells = _assign(fpts, ccent, coarse_k).select(
+        F.col("vid").alias("vec_id"), F.col("cid").alias("cell")
+    )
+    qpts = _quantized_points(queries, id_col, vec_col, scale)
+    qcd = (
+        qpts.join(F.broadcast(ccent), "dim")
+        .groupBy(F.col("vid").alias("query_id"), "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("cd2")
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc("cd2"), F.asc("cid")
+    )
+    probes = (
+        qcd.withColumn("prk", F.row_number().over(wp))
+        .where(F.col("prk") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    scored = _pq_adc_scores(
+        emb, queries, m, k, iterations, id_col, vec_col, scale, dim
+    )
+    probed = scored.join(cells, "vec_id").join(
+        F.broadcast(probes), ["query_id", "cell"], "left_semi"
+    )
+    return _rank_topk(
+        probed.select("query_id", "vec_id", "adc_d2"), k_results
     )

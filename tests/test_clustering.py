@@ -313,3 +313,42 @@ def test_pq_search_matches_python_adc_mirror(spark):
     for qid in (0, 1):
         self_adc = sum(qdist(qid, s, codes[qid][s]) for s in range(m))
         assert self_adc == err[qid]
+
+
+def test_ivfpq_full_probe_equals_pq_search_and_pruning_nests(spark):
+    """IVF-PQ invariants: with nprobe == coarse_k (probe everything)
+    the result is EXACTLY pq_search; with nprobe < coarse_k the
+    result's (query, vec) pairs are a subset of the full scan's and
+    every survivor keeps its adc_d2 (pruning changes reach, never
+    scores)."""
+    from servico_ocr_spark.operators import ivfpq_search, pq_search
+
+    rows = [
+        (i, [float(((i * 11 + d * 5) % 17) - 8) / 3.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where("vec_id < 3")
+    kw = dict(m=2, k=3, iterations=2, k_results=40, dim=8)
+
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"]
+        for r in pq_search(emb, qs, **kw).collect()
+    }
+    all_probe = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"]
+        for r in ivfpq_search(
+            emb, qs, coarse_k=3, nprobe=3, **kw
+        ).collect()
+    }
+    assert all_probe == full
+
+    pruned = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"]
+        for r in ivfpq_search(
+            emb, qs, coarse_k=3, nprobe=1, **kw
+        ).collect()
+    }
+    assert 0 < len(pruned) < len(full)
+    for pair, d in pruned.items():
+        assert full[pair] == d
