@@ -1751,10 +1751,16 @@ def _o_kmeans(K: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     )
 
 
-#: PQ demo constants: 2 subspaces × 4 centroids = 16-code space over
-#: the 64-dim embeddings (32 dims per subspace), 2 Lloyd rounds.
-_PQ_M = 2
-_PQ_K = 4
+#: PQ constants: 4 subspaces × 16 centroids = 2^16 codes over the
+#: 64-dim embeddings (16 dims per subspace), 2 Lloyd rounds. Chosen
+#: from a measured recall sweep (BENCH/PLANS.md): the original 2×4
+#: demo config read recall@10 = 0.075 vs exact L2 — a code space of
+#: 16 cells cannot rank 500 vectors; 4×16 reads ~0.29 and 8×256
+#: ~0.51 on these SYNTHETIC near-random embeddings, which are PQ's
+#: structural worst case (no low-dim manifold for the codebooks to
+#: exploit — real encoder embeddings cluster and recall rises).
+_PQ_M = 4
+_PQ_K = 16
 _PQ_ITERS = 2
 
 
