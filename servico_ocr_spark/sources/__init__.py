@@ -10,7 +10,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .warc import read_warc_records  # noqa: F401
 
@@ -41,3 +41,54 @@ def read_binary_files(spark: SparkSession, path: str,
             "'por' AS lang",
         )
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files and report the
+    before/after layout. The 10^12-doc operational reality this
+    serves: a resumable ingest that appends per micro-run accretes
+    thousands of KB-sized files, and every downstream scan then pays
+    one task + one open per file (the classic small-files problem) —
+    compaction is the periodic job that restores scan efficiency.
+
+    Semantics: content-preserving (same rows, any order), writes to a
+    NEW directory — the swap is the caller's transactional concern
+    (object stores rename poorly; the standard pattern is
+    write-new → repoint → delete-old, which Iceberg's rewrite_files
+    does natively when a catalog exists — see COVERAGE.md's Iceberg
+    probe note). Uses ``coalesce`` when shrinking the file count (no
+    shuffle — partitions merge on read) and falls back to
+    ``repartition`` only when the target exceeds the current
+    parallelism (growing file counts needs a shuffle to split).
+
+    Returns ``{"files_before", "files_after", "rows"}`` for the
+    caller's lineage record."""
+    df = spark.read.parquet(src)
+    files_before = df.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    rows = df.count()
+    n_out = max(1, -(-rows // int(target_rows_per_file)))
+    out = (
+        df.coalesce(n_out)
+        if n_out <= df.rdd.getNumPartitions()
+        else df.repartition(n_out)
+    )
+    out.write.mode("overwrite").parquet(dest)
+    files_after = (
+        spark.read.parquet(dest)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    return {
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "rows": int(rows),
+    }

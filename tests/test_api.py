@@ -60,3 +60,31 @@ def test_health(spark, tmp_path):
     lineage = lineage_table(spark.read.parquet(out))
     assert api.health(lineage, JOB_TS)
     assert not api.health(lineage, "2026-01-01 01:00:00")
+
+
+def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
+    """Small-files compaction: 16 tiny append files → few files sized
+    by target_rows_per_file; rows byte-identical (any order); report
+    ties out."""
+    from servico_ocr_spark.sources import compact_parquet
+
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "compact")
+    for i in range(16):
+        spark.createDataFrame(
+            [(i * 10 + j, f"doc-{i}-{j}") for j in range(10)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    rep = compact_parquet(spark, src, dest, target_rows_per_file=80)
+    assert rep["rows"] == 160
+    assert rep["files_before"] == 16
+    assert rep["files_after"] == 2
+    a = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(src).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert a == b
