@@ -5405,6 +5405,38 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-stride sampling (operators/multimodal.
+    sample_frames): one-row-in / ≤4-frames-out mapInPandas fan-out
+    over the video third of the synthetic media table; decode stubbed
+    deterministically (frame count from payload length, frame digest
+    from payload‖idx) so the SQL oracle replays it exactly while the
+    Spark side runs the real Arrow plumbing."""
+    from servico_ocr_spark.operators import sample_frames, synth_media_table
+
+    media = synth_media_table(_read(spark, sf_dir, "documents"))
+    return sample_frames(media, target_frames=4)
+
+
+def _o_frame_samples() -> str:
+    h = _d_h48("(text || ':f' || frame_idx::VARCHAR)")
+    return f"""
+WITH v AS (
+    SELECT 'm-' || doc_id::VARCHAR AS media_id, text,
+           (octet_length(encode(text)) % 50 + 10)::BIGINT AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+    SELECT media_id, text, n_frames,
+           unnest(range(0, n_frames,
+                        (n_frames + 3) // 4))::BIGINT AS frame_idx
+    FROM v
+)
+SELECT media_id, n_frames, frame_idx, {h} AS fr_h48
+FROM f
+"""
+
+
 _O_MEDIA_FEATURES = """
 SELECT 'm-' || doc_id::VARCHAR AS media_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -8207,6 +8239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_boxes": _q_token_boxes,
         "repeat_pairs": _q_repeat_pairs,
         "media_features": _q_media_features,
+        "frame_samples": _q_frame_samples,
     }
 
 
@@ -8362,4 +8395,5 @@ def oracle_sql() -> dict[str, str]:
         "token_boxes": _o_token_boxes(),
         "repeat_pairs": _o_repeat_pairs(),
         "media_features": _O_MEDIA_FEATURES,
+        "frame_samples": _o_frame_samples(),
     }

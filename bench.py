@@ -397,7 +397,7 @@ BENCH_FAMILIES = {
         # attribution; oracle anchors the streaming semantics)
         "attribution_window",
     ],
-    "multimodal": ["media_features"],
+    "multimodal": ["media_features", "frame_samples"],
 }
 
 BENCH_QUERIES = [q for fam in BENCH_FAMILIES.values() for q in fam]

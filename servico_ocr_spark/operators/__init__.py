@@ -28,7 +28,11 @@ from .dedup import (  # noqa: F401
     winnow_fingerprints,
     winnow_pairs,
 )
-from .multimodal import extract_media_features, synth_media_table  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_media_features,
+    sample_frames,
+    synth_media_table,
+)
 from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_candidate_telemetry,

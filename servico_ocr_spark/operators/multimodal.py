@@ -21,7 +21,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, StringType, StructField, StructType,
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_META_SCHEMA = StructType(
@@ -173,3 +174,60 @@ def synth_media_table(documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         mt.alias("media_type"),
     )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("frame_idx", LongType(), True),
+        StructField("fr_h48", LongType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    target_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """``(media_id, n_frames, frame_idx, fr_h48)``: stride frame
+    sampling for video payloads — the one-row-in / k-rows-out
+    ``mapInPandas`` fan-out shape a video pipeline needs (decode a
+    clip once per batch, emit ≤ ``target_frames`` evenly-strided
+    frames). Stride = ceil(n_frames / target), frames at
+    0, stride, 2·stride, … — deterministic, no RNG.
+
+    The ffmpeg decode is stubbed (not in this container): frame count
+    derives from the payload length (``len % 50 + 10`` — a stand-in
+    for container metadata) and the per-frame "feature" is the 48-bit
+    digest of ``payload ‖ ':f' ‖ idx``, so the driver oracle can
+    replay the whole thing in SQL while the Spark side exercises the
+    REAL plumbing: Arrow batches in, fan-out frame rows out, schema
+    typed. A real decoder replaces only the inner loop."""
+    if target_frames < 1:
+        raise ValueError("target_frames >= 1 required")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "n_frames": [], "frame_idx": [],
+                   "fr_h48": []}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                pb = bytes(payload)
+                n = len(pb) % 50 + 10
+                stride = -(-n // target_frames)
+                for idx in range(0, n, stride):
+                    digest = hashlib.md5(
+                        pb + f":f{idx}".encode()
+                    ).hexdigest()
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["fr_h48"].append(int(digest[:12], 16))
+            yield pd.DataFrame(out)
+
+    vids = media.where(F.col("media_type") == "video").select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    return vids.mapInPandas(kernel, FRAMES_SCHEMA)

@@ -1845,3 +1845,36 @@ def test_log_histogram_quantiles_error_bound_vs_exact(spark):
         true = exact[g][f"p{q}"]
         assert n == 500
         assert est <= true <= est + est // k + 2, (g, q, est, true)
+
+
+def test_sample_frames_stride_and_fanout(spark):
+    """Frame-sampling plumbing: ≤ target frames per video, stride
+    exact (0, s, 2s, …), non-video rows filtered, one-row-in /
+    k-rows-out fan-out verified against a Python mirror."""
+    import hashlib
+
+    from servico_ocr_spark.operators import sample_frames
+
+    rows = [
+        ("m-1", b"x" * 57, "video"),    # n = 57 % 50 + 10 = 17
+        ("m-2", b"y" * 12, "video"),    # n = 22
+        ("m-3", b"z" * 99, "image"),    # filtered out
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, payload binary, media_type string"
+    )
+    got = {}
+    for r in sample_frames(media, target_frames=4).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["n_frames"], r["fr_h48"])
+        )
+    assert set(got) == {"m-1", "m-2"}
+    for mid, payload, _ in rows[:2]:
+        n = len(payload) % 50 + 10
+        stride = -(-n // 4)
+        exp = []
+        for idx in range(0, n, stride):
+            h = hashlib.md5(payload + f":f{idx}".encode()).hexdigest()
+            exp.append((idx, n, int(h[:12], 16)))
+        assert sorted(got[mid]) == exp
+        assert len(exp) <= 4
