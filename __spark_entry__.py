@@ -4184,6 +4184,44 @@ FROM m, d
 """
 
 
+def _q_customer_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (customer distribution): customers bucketed by
+    how many URGENT/HIGH orders they placed — the two-level aggregation
+    over a LEFT OUTER join whose right-side predicate must live in the
+    ON clause (in WHERE it silently turns the join inner and the
+    zero-order bucket vanishes — the classic outer-join bug; the zero
+    bucket is live at every sf: 3/28/292 customers)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+_O_CUSTOMER_ENGAGEMENT = """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+    SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1)
+GROUP BY c_count
+"""
+
+
 def _q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog (suppliers-who-kept-orders-waiting shape):
     suppliers in even-keyed nations who were the SOLE returned-line
@@ -8212,6 +8250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": _q_big_orders,
         "late_orders": _q_late_orders,
         "blame_suppliers": _q_blame_suppliers,
+        "customer_engagement": _q_customer_engagement,
         "corpus_report": _q_corpus_report,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
@@ -8368,6 +8407,7 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": _O_BIG_ORDERS,
         "late_orders": _O_LATE_ORDERS,
         "blame_suppliers": _O_BLAME_SUPPLIERS,
+        "customer_engagement": _O_CUSTOMER_ENGAGEMENT,
         "corpus_report": _o_corpus_report(),
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,

@@ -335,6 +335,9 @@ BENCH_FAMILIES = {
         # TPC-H Q21 analog: EXISTS/NOT-EXISTS pair as one LeftSemi +
         # one LeftAnti join, dims broadcast, TakeOrdered top-20
         "blame_suppliers",
+        # TPC-H Q13 analog: two-level agg over LEFT OUTER with the
+        # right-side predicate in ON (zero bucket live tri-scale)
+        "customer_engagement",
         "sessionize",
         # strictly-ordered first-touch funnel (|users|-bounded step
         # frames, per-step lazy checkpoint bounds rescans to K)
