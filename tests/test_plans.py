@@ -639,3 +639,44 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_quality_classifier_shares_one_tokenize_pass(spark):
+    """The hashed-feature table is lazily localCheckpointed and shared
+    by train AND score; after materialization the final confusion plan
+    must not re-run the explode — at most the three column-pruned
+    label scans of documents remain, and exactly zero Generate
+    (explode) nodes."""
+    df = entrymod.queries()["quality_classifier"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the surviving Generate nodes are the 2-row sentinel explodes
+    # (explode(array(struct(dim, ...)))); the TOKENIZE explode must be
+    # gone, replaced by the checkpointed (doc_id, dim) RDD scan
+    tokenize_gens = [
+        line
+        for line in final.splitlines()
+        if "Generate" in line and "array(struct(dim" not in line
+    ]
+    assert not tokenize_gens, tokenize_gens
+    assert "ExistingRDD" in final
+
+
+def test_hard_negatives_verify_joins_bounded_by_candidates(spark):
+    """The Jaccard verify must hang off the candidate list, not a
+    corpus self-join: the word-table side is localCheckpointed (one
+    build), and the scored side's joins after it are the two
+    candidate-keyed word joins + the two size restores + the rank
+    window — no SortMergeJoin of two corpus-sized shingle relations
+    appears (that shape is ngram_jaccard's, deliberately absent
+    here)."""
+    df = entrymod.queries()["hard_negatives"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the one self-join shape to forbid: wx joined to wx on the word
+    # hash (the all-pairs candidate generator) — hard_negatives joins
+    # wx only THROUGH the candidate list
+    assert "WindowGroupLimit" in final or "Window" in final
+    assert final.count("Generate") <= 2, final[:4000]
