@@ -2932,12 +2932,14 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_confusion(scored, labeled)
 
 
-def _o_quality_classifier() -> str:
+def _o_nb_score_cte() -> str:
+    """CTE chain (no WITH) ending in sc(doc_id, split, y, score) — the
+    NB train+score pipeline, shared by the confusion oracle and the
+    classifier-mix composition."""
     words = _D_WORDS.format(norm=_D_NORM)
     split_h = _d_h48("('nbsplit:' || doc_id::VARCHAR)")
     dim_h = _d_h48("('ft:' || w)")
-    return f"""
-WITH lbl AS (
+    return f"""lbl AS (
     SELECT doc_id,
            CASE WHEN list_contains({words}, 'dup') THEN 1 ELSE 0 END AS y,
            CASE WHEN {split_h} % 4 = 0 THEN 'test' ELSE 'train' END AS split
@@ -2978,11 +2980,131 @@ sc AS (
     SELECT l.doc_id, l.split, l.y,
            (s.prior + coalesce(ev.evidence, 0)) AS score
     FROM lbl l LEFT JOIN ev USING (doc_id), scal s
-)
+)"""
+
+
+def _o_quality_classifier() -> str:
+    return f"""
+WITH {_o_nb_score_cte()}
 SELECT split, y::BIGINT AS y_true,
        (CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS y_pred,
        count(*)::BIGINT AS n_docs
 FROM sc GROUP BY 1, 2, 3
+"""
+
+
+#: Classifier-steered mix: predicted-positive docs oversampled 9:1
+#: over the rest (the GPT-3 curation recipe — "train mostly on what
+#: the quality filter likes, keep a sampled slice of the rest").
+_CMIX_WEIGHTS = {"kept": 9, "flagged": 1}
+
+
+def _q_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition capstone — the classifier's END USE (GPT-3's
+    curation step): NB predictions become the strata of a token-budget
+    mix, kept oversampled 9:1, budget = half the corpus token mass.
+    The 'kept' stratum's tiny token share (≈5%, the dup carriers)
+    exercises the keep-everything rate CAP while 'flagged' exercises
+    binding sampling — both branches live at every sf."""
+    from servico_ocr_spark.operators import (
+        hashed_features,
+        nb_score,
+        nb_train,
+        token_budget_mix,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(words_array(F.col("text")), F.lit("dup"))
+        .cast("long")
+        .alias("y"),
+        F.when(
+            F.pmod(
+                h48(F.concat(F.lit("nbsplit:"),
+                             F.col("doc_id").cast("string"))),
+                F.lit(4),
+            )
+            == 0,
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    feats = hashed_features(labeled, dims=_NB_DIMS).localCheckpoint(
+        eager=False
+    )
+    w = nb_train(
+        labeled.where(F.col("split") == "train"),
+        dims=_NB_DIMS,
+        features=feats,
+    )
+    scored = nb_score(labeled, w, dims=_NB_DIMS, features=feats)
+    total = (
+        docs.agg(
+            F.sum(F.size(words_array(F.col("text"))))
+            .cast("long").alias("t")
+        ).collect()[0]["t"]
+    )
+    staged = docs.select("doc_id", "text").join(
+        scored.select(
+            "doc_id",
+            F.when(F.col("pred") == 1, F.lit("kept"))
+            .otherwise(F.lit("flagged"))
+            .alias("stratum"),
+        ),
+        "doc_id",
+    )
+    return token_budget_mix(
+        staged,
+        budget=int(total) // 2,
+        weights=_CMIX_WEIGHTS,
+        stratum_col="stratum",
+        salt="cmix",
+        rate_denom=_MIX_DENOM,
+    ).orderBy("doc_id")
+
+
+def _o_classifier_mix() -> str:
+    words = _D_WORDS.format(norm=_D_NORM)
+    h = _d_h48("('cmix:' || doc_id::VARCHAR)")
+    D = _MIX_DENOM
+    w_total = sum(_CMIX_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{st}' THEN {w}"
+        for st, w in sorted(_CMIX_WEIGHTS.items())
+    )
+    return f"""
+WITH {_o_nb_score_cte()},
+t AS (
+    SELECT d.doc_id,
+           CASE WHEN sc.score > 0 THEN 'kept' ELSE 'flagged' END
+               AS stratum,
+           len({words})::BIGINT AS n_tokens,
+           {h} AS h,
+           (CASE (CASE WHEN sc.score > 0 THEN 'kept' ELSE 'flagged' END)
+                 {w_case} ELSE 0 END)::BIGINT AS w
+    FROM documents d JOIN sc USING (doc_id)
+),
+b AS (SELECT (sum(n_tokens)::BIGINT // 2) AS budget FROM t),
+st AS (
+    SELECT stratum, sum(n_tokens)::BIGINT AS ts, min(w) AS w2
+    FROM t GROUP BY stratum
+),
+r AS (
+    SELECT stratum,
+           (CASE WHEN ts = 0 THEN {D}
+                 ELSE least({D},
+                            ((SELECT budget FROM b) * w2 * {D})
+                                // ({w_total} * ts))
+            END)::BIGINT AS rate_pp
+    FROM st
+)
+SELECT t.doc_id, t.stratum, t.n_tokens, r.rate_pp
+FROM t JOIN r USING (stratum)
+WHERE t.h * {D} < r.rate_pp * 281474976710656
+ORDER BY t.doc_id
 """
 
 
@@ -8176,6 +8298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_related": _q_bm25_related,
         "hard_negatives": _q_hard_negatives,
         "quality_classifier": _q_quality_classifier,
+        "classifier_mix": _q_classifier_mix,
         "rrf_fusion": _q_rrf_fusion,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
@@ -8333,6 +8456,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_related": _o_bm25_related(),
         "hard_negatives": _o_hard_negatives(),
         "quality_classifier": _o_quality_classifier(),
+        "classifier_mix": _o_classifier_mix(),
         "rrf_fusion": _o_rrf_fusion(),
         "bpe_pairs": _O_BPE_PAIRS,
         "bpe_merges": _o_bpe_merges(),

@@ -188,6 +188,9 @@ BENCH_FAMILIES = {
         # bag-of-words (closed-form — two combinable aggs + broadcast
         # D-row weights; log-odds in self-correcting ilog buckets)
         "quality_classifier",
+        # the classifier's end use (GPT-3 recipe): predictions as mix
+        # strata, kept 9:1 — cap branch AND sampling branch both bind
+        "classifier_mix",
         # word2vec skip-gram pairs: deterministic integer subsampling
         # (r²·f_ppm threshold), one doc window for all leads, |V|²-
         # bounded symmetric pair agg
