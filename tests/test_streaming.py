@@ -540,3 +540,48 @@ def test_nb_count_stream_final_cells_reproduce_batch_weights(spark, tmp_path):
     union = spark.createDataFrame(batch1 + batch2, schema)
     exp = {r["dim"]: r["llr"] for r in nb_train(union, dims=32).collect()}
     assert got == exp
+
+
+def test_stateless_curation_gates_run_on_streams_unchanged(spark, tmp_path):
+    """The projection-tier curation gates (PII scrub, C4 page clean)
+    are stateless DataFrame transforms, so the SAME operator functions
+    run on a readStream without modification — the claim that the
+    batch curation pipeline is streaming-ready wherever it has no
+    aggregation. availableNow micro-batch output must equal the batch
+    output row-for-row."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators.pii import scrub_pii
+    from servico_ocr_spark.operators import c4_page_clean
+
+    input_dir = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "Call 555-123-4567 now. This is a good sentence here."),
+        (2, "mail me at a.b@example.com please. Short."),
+        (3, "{ junk javascript line\nA real paragraph sentence stays."),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(input_dir)
+
+    batch_df = spark.read.parquet(input_dir)
+    for name, fn in (
+        ("pii", lambda d: scrub_pii(d)),
+        ("c4", lambda d: c4_page_clean(d)),
+    ):
+        out_dir = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        (
+            fn(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+        exp = sorted(tuple(r) for r in fn(batch_df).collect())
+        assert got == exp and len(got) == 3
