@@ -585,3 +585,70 @@ def test_stateless_curation_gates_run_on_streams_unchanged(spark, tmp_path):
         )
         exp = sorted(tuple(r) for r in fn(batch_df).collect())
         assert got == exp and len(got) == 3
+
+
+def test_windowed_watermark_drops_too_late_rows(spark, tmp_path):
+    """Watermark semantics pinned end-to-end in APPEND mode: batch 1
+    advances event time to 12:00 (watermark 11:30), finalizing and
+    emitting the 10:00 window; batch 2 then delivers a 10:30 straggler
+    — BEHIND the watermark, so the engine must DROP it (the finalized
+    window's count never changes) — plus a 13:30 event that finalizes
+    the 12:00 window. This is the state-bounding contract the
+    windowed operator claims: late data costs nothing after the
+    watermark passes."""
+    import datetime as dt
+
+    from servico_ocr_spark.streaming.windowed import windowed_event_counts
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 5, h, m)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    batch1 = [
+        (1, t(10, 0), 1, "view", 1.0),
+        (2, t(10, 10), 1, "view", 1.0),
+        (3, t(12, 0), 2, "view", 1.0),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    after1 = {
+        (int(str(r["window_start"])[11:13]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert after1 == {(10, "view"): 2}  # 10:00 window finalized
+
+    batch2 = [
+        (4, t(10, 30), 3, "view", 1.0),   # behind watermark → dropped
+        (5, t(13, 30), 3, "view", 1.0),   # advances watermark to 13:00
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    final = {
+        (int(str(r["window_start"])[11:13]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the late 10:30 row changed NOTHING; 12:00 window emitted with
+    # only its batch-1 event; 13:00 not yet finalized
+    assert final == {(10, "view"): 2, (12, "view"): 1}
