@@ -542,3 +542,44 @@ def test_skipgram_pairs_symmetric_and_nested_subsampling(spark):
         for (a, b), n in lo.items():
             assert lo[(b, a)] == n
         assert sum(hi.values()) >= sum(lo.values())
+
+
+def test_ilog_bucket_properties_bulk(spark):
+    """The shared integer log-bucket primitive
+    (stats.with_ilog_bucket): for a dense sweep plus adversarial
+    power-of-two boundary values, (1) bucket == k·e + j with e the
+    EXACT integer log2 (self-correction heals any float ulp error),
+    (2) monotone non-decreasing in v, (3) lower-bound inversion
+    est ≤ v < est·(1+1/k)+2."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators.stats import with_ilog_bucket
+
+    vals = sorted(
+        set(
+            list(range(1, 600))
+            + [2**e for e in range(1, 50)]
+            + [2**e - 1 for e in range(2, 50)]
+            + [2**e + 1 for e in range(1, 50)]
+            + [3 ** e for e in range(1, 30)]
+        )
+    )
+    k = 8
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {
+        r["v"]: r["b"]
+        for r in with_ilog_bucket(df, "v", "b", k).collect()
+    }
+    prev = -1
+    for v in vals:
+        b = out[v]
+        e = v.bit_length() - 1
+        p = 1 << e
+        assert b == e * k + ((v - p) * k) // p, (v, b)
+        assert b >= prev
+        prev = b
+        # lower-bound inversion
+        eb, jb = b // k, b % k
+        pb = 1 << eb
+        est = pb + (jb * pb + k - 1) // k
+        assert est <= v <= est + est // k + 2, (v, est)
