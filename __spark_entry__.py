@@ -576,11 +576,12 @@ GROUP BY 1, 2
 """
 
 
-def _o_minhash_neardups() -> str:
+def _o_minhash_cte() -> str:
+    """Shared minhash CTE chain (no WITH): base→wx→dw→sig→bands→cand —
+    reused by the pair oracle (threshold-parameterized) and the
+    estimator-calibration oracle."""
     mh = _d_h48("(i::VARCHAR || ':' || w)")
-    inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
-    return f"""
-WITH base AS ({_d_words_cte()}),
+    return f"""base AS ({_d_words_cte()}),
 wx0 AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
 cap AS (SELECT ((9 * count(*) + 9) // 10)::BIGINT AS v FROM documents),
 wx AS (SELECT doc_id, w FROM (
@@ -601,13 +602,71 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _o_minhash_neardups(threshold_pct: int | None = None) -> str:
+    t = (
+        int(_MINHASH_THRESHOLD * 100)
+        if threshold_pct is None
+        else int(threshold_pct)
+    )
+    inter = "len(list_filter(a.ws, x -> list_contains(b.ws, x)))"
+    return f"""
+WITH {_o_minhash_cte()}
 SELECT c.id_a, c.id_b,
        floor({inter} * 100 /
              (len(a.ws) + len(b.ws) - {inter}))::BIGINT AS jaccard_pct
 FROM cand c JOIN dw a ON a.doc_id = c.id_a JOIN dw b ON b.doc_id = c.id_b
 WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
-      >= {int(_MINHASH_THRESHOLD * 100)}
+      >= {t}
+"""
+
+
+#: Calibration threshold — LOWER than the 0.8 dedup operating point so
+#: the error curve covers the deciles beneath it.
+_CAL_THRESHOLD_PCT = 30
+
+
+def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (operators/dedup.
+    minhash_estimator_calibration): |signature-agreement estimate −
+    exact Jaccard| per true-Jaccard decile over the verified pair
+    graph at threshold 30 — the audit that decides whether k=16
+    hashes suffice for a similarity regime (E[err] ≈ 100·√(j(1−j)/k))."""
+    from servico_ocr_spark.operators import minhash_estimator_calibration
+
+    return minhash_estimator_calibration(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=_CAL_THRESHOLD_PCT / 100,
+        max_word_df=_minhash_word_cap(spark, sf_dir),
+    )
+
+
+def _o_minhash_calibration() -> str:
+    return f"""
+WITH pv AS MATERIALIZED (
+    {_o_minhash_neardups(threshold_pct=_CAL_THRESHOLD_PCT)}
+),
+{_o_minhash_cte()},
+eqt AS (
+    SELECT p.id_a, p.id_b, p.jaccard_pct,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::BIGINT AS eq
+    FROM pv p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+    GROUP BY 1, 2, 3
+),
+err AS (
+    SELECT (jaccard_pct // 10)::BIGINT AS decile,
+           abs((eq * 100) // {_MINHASH_K} - jaccard_pct) AS err_pp
+    FROM eqt
+)
+SELECT decile, count(*)::BIGINT AS n_pairs,
+       (sum(err_pp) // count(*))::BIGINT AS mean_abs_err_pp
+FROM err GROUP BY decile
 """
 
 
@@ -8260,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": _q_word_stats,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "minhash_neardups": _q_minhash_neardups,
+        "minhash_calibration": _q_minhash_calibration,
         "source_contamination": _q_source_contamination,
         "incremental_neardups": _q_incremental_neardups,
         "neardup_components": _q_neardup_components,
@@ -8418,6 +8478,7 @@ def oracle_sql() -> dict[str, str]:
         "word_stats": _O_WORD_STATS,
         "dedup_exact_prefix": _O_DEDUP_EXACT_PREFIX,
         "minhash_neardups": _o_minhash_neardups(),
+        "minhash_calibration": _o_minhash_calibration(),
         "source_contamination": _o_source_contamination(),
         "incremental_neardups": _o_incremental_neardups(),
         "neardup_components": _o_neardup_components(),

@@ -87,6 +87,10 @@ BENCH_FAMILIES = {
         # one max_by agg — the row a curation pipeline actually writes)
         "neardup_keep_best",
         "hotshingle_neardups",
+        # estimator-calibration audit: |sig-agreement − true jaccard|
+        # per decile over the verified pairs (LSH selection bias
+        # documented — conditional error is the operative number)
+        "minhash_calibration",
         # provenance contamination matrix: minhash pair graph rolled
         # to (source,source) cells via the canonical fold (one agg)
         "source_contamination",

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     incremental_near_duplicates,
     minhash_candidate_telemetry,
+    minhash_estimator_calibration,
     minhash_near_duplicates,
     minhash_signatures,
     neardup_components,

@@ -232,6 +232,88 @@ def minhash_candidate_telemetry(
     return _telemetry_row(cands, result)
 
 
+def minhash_estimator_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+    max_word_df: int | None = None,
+) -> DataFrame:
+    """``(decile, n_pairs, mean_abs_err_pp)``: sketch-health audit for
+    the MinHash estimator — over the verified pair graph, the mean
+    absolute gap between the SIGNATURE-agreement estimate
+    (``100·#equal components div k``) and the exact word-set Jaccard,
+    bucketed by true-Jaccard decile. The number this audits is the
+    textbook ``E[err] ≈ 100·√(j(1−j)/k)`` (~11 pp at j=0.5, k=16):
+    if a production decile reads far above it, the hash count is too
+    small for that similarity regime — the observable that decides k
+    BEFORE recall silently degrades. Run at a LOWER threshold than the
+    dedup pass so the curve covers the deciles below the operating
+    point.
+
+    Measured caveat (sf0.01, k=16, threshold 30): low deciles read
+    ABOVE the unconditional theory value (decile 5: 31 pp vs the
+    ~12 pp of E[err] at j=0.55) — LSH SELECTION BIAS: a pair enters
+    the graph only if some band collided, which conditions on sketches
+    that over-estimate, inflating the conditional error exactly where
+    banding recall is low. That bias is what production sees too (it
+    only ever observes candidates), so the audit reports the operative
+    number, not the textbook one — compare deciles against each other
+    and against history, not against the unconditional formula.
+
+    Shape: shares `_minhash_build` (the telemetry-twin rule) for the
+    verified pairs, plus one signature build over the same capped word
+    table and two id-keyed joins; the component-agreement count is a
+    ``zip_with``+``aggregate`` over k elements per pair (the measured
+    `_dot` precedent — bounded by pairs·k, not corpus)."""
+    _, result = _minhash_build(
+        df, text_col, id_col, num_hashes, bands, threshold, max_word_df
+    )
+    wx = _cap_doc_freq(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(distinct_words(F.col(text_col))).alias("w"),
+        ),
+        "w",
+        max_word_df,
+    )
+    sig = _signatures_from_words(wx, num_hashes)
+    joined = (
+        result.join(
+            sig.select(F.col("doc_id").alias("id_a"),
+                       F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"),
+                       F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "jaccard_pct",
+            F.abs(
+                F.expr(f"(aggregate(zip_with(sa, sb, (x, y) -> "
+                       f"cast(x = y AS bigint)), 0L, (a, x) -> a + x)"
+                       f" * 100) div {int(num_hashes)}")
+                - F.col("jaccard_pct")
+            ).alias("err_pp"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.expr("jaccard_pct div 10").cast("long").alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(err_pp) div count(*)")
+            .cast("long")
+            .alias("mean_abs_err_pp"),
+        )
+    )
+
+
 def _minhash_build(df, text_col, id_col, num_hashes, bands, threshold,
                    max_word_df):
     """(candidate pairs, verified pairs) — shared by the operator and its
