@@ -624,8 +624,11 @@ WHERE floor({inter} * 100 / (len(a.ws) + len(b.ws) - {inter}))
 
 
 #: Calibration threshold — LOWER than the 0.8 dedup operating point so
-#: the error curve covers the deciles beneath it.
-_CAL_THRESHOLD_PCT = 30
+#: the error curve covers the deciles beneath it. 50 (not 30): the
+#: template corpus's pair mass grows steeply below j=0.5 and the
+#: threshold-30 run measured 34 s at sf0.1 (vs 13 s at 50) for two
+#: extra sparsely-populated deciles — deciles 5..10 carry the curve.
+_CAL_THRESHOLD_PCT = 50
 
 
 def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,10 +87,11 @@ BENCH_FAMILIES = {
         # one max_by agg — the row a curation pipeline actually writes)
         "neardup_keep_best",
         "hotshingle_neardups",
-        # estimator-calibration audit: |sig-agreement − true jaccard|
-        # per decile over the verified pairs (LSH selection bias
-        # documented — conditional error is the operative number)
-        "minhash_calibration",
+        # minhash_calibration is CORRECTNESS-gated but intentionally
+        # NOT benched: it re-executes the minhash build twice by
+        # design (the twin recompute-cost rule, see _telemetry_row)
+        # and measured 31 s at sf0.1 — a scheduled audit, not a
+        # per-run query
         # provenance contamination matrix: minhash pair graph rolled
         # to (source,source) cells via the canonical fold (one agg)
         "source_contamination",
