@@ -6152,6 +6152,53 @@ FROM grp
 _DICT_BUCKETS = 16
 
 
+def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-prioritization signal — quality × url faces composed: per
+    registered domain, the Gopher keep rate (×10^4 integer) and token
+    mass. This is the table a recrawl scheduler ranks by ("spend
+    budget where the quality filter keeps things"). One projection
+    join on doc_id + ONE combinable agg over domain groups."""
+    from servico_ocr_spark.operators import canonicalize_urls, gopher_filter
+
+    hosts = canonicalize_urls(_url_corpus(spark, sf_dir)).select(
+        "doc_id", "registered_domain"
+    )
+    # the SAME injected corpus + thresholds the gopher_filter driver
+    # query grades (keeps the keep-rate semantics identical)
+    gdocs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_INJECT).alias("text")
+    )
+    gf = gopher_filter(gdocs, **_GOPHER_THRESHOLDS).select(
+        "doc_id", "keep", "n_words"
+    )
+    return (
+        hosts.join(gf, "doc_id")
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.expr("(sum(keep) * 10000) div count(*)")
+            .cast("long")
+            .alias("keep_pp"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def _o_host_reputation() -> str:
+    return f"""
+WITH {_o_url_canon_cte()},
+gf AS ({_o_gopher_filter()})
+SELECT c.registered_domain,
+       count(*)::BIGINT AS n_docs,
+       sum(gf.keep)::BIGINT AS n_kept,
+       ((sum(gf.keep) * 10000) // count(*))::BIGINT AS keep_pp,
+       sum(gf.n_words)::BIGINT AS n_words
+FROM canon c JOIN gf USING (doc_id)
+GROUP BY 1
+"""
+
+
 def _q_url_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-id dictionary over the distinct canonical urls — the
     portable two-stage zipWithIndex (bucket rank + cumulative offsets),
@@ -8415,6 +8462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "crawl_history": _q_crawl_history,
         "url_dictionary": _q_url_dictionary,
+        "host_reputation": _q_host_reputation,
         "rendezvous_shards": _q_rendezvous_shards,
         "pii_scrub": _q_pii_scrub,
         "cdc_dedup": _q_cdc_dedup,
@@ -8574,6 +8622,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _o_crawl_delta(),
         "crawl_history": _O_CRAWL_HISTORY,
         "url_dictionary": _o_url_dictionary(),
+        "host_reputation": _o_host_reputation(),
         "rendezvous_shards": _o_rendezvous_shards(),
         "pii_scrub": _o_pii_scrub(),
         "cdc_dedup": _o_cdc_dedup(),

@@ -240,6 +240,9 @@ BENCH_FAMILIES = {
         # portable two-stage distributed zipWithIndex (dense ids, no
         # digest identity, no global sort)
         "url_dictionary",
+        # crawl-prioritization composition (quality x url faces):
+        # per-domain Gopher keep rate, one join + one combinable agg
+        "host_reputation",
         # HRW (rendezvous) placement resize matrix: pure codegen
         # projection + one count agg; off-diagonal mass only on the
         # added shard (minimal churn)
