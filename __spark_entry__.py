@@ -4368,6 +4368,40 @@ FROM m, d
 """
 
 
+def _q_never_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style NOT IN: parts never appearing in a discounted
+    returned lineitem, counted per brand. Written as SQL NOT IN so
+    Catalyst plans the NULL-AWARE anti join (broadcast NAAJ — the
+    subquery result must be checked for nulls before plain anti-join
+    semantics are sound; a DataFrame left_anti would silently change
+    semantics if the key column ever carried nulls). Both branches
+    live at every sf (17/163/1644 of 200/2000/20000 parts qualify)."""
+    _read(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM v_part
+        WHERE p_partkey NOT IN (
+            SELECT l_partkey FROM v_lineitem
+            WHERE l_returnflag = 'R' AND l_discount > 0.07
+        )
+        GROUP BY p_brand
+        """
+    ).select("p_brand", F.col("n_parts").cast("long").alias("n_parts"))
+
+
+_O_NEVER_RETURNED_PARTS = """
+SELECT p_brand, count(*)::BIGINT AS n_parts
+FROM part
+WHERE p_partkey NOT IN (
+    SELECT l_partkey FROM lineitem
+    WHERE l_returnflag = 'R' AND l_discount > 0.07
+)
+GROUP BY p_brand
+"""
+
+
 def _q_customer_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 analog (customer distribution): customers bucketed by
     how many URGENT/HIGH orders they placed — the two-level aggregation
@@ -8485,6 +8519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders": _q_late_orders,
         "blame_suppliers": _q_blame_suppliers,
         "customer_engagement": _q_customer_engagement,
+        "never_returned_parts": _q_never_returned_parts,
         "corpus_report": _q_corpus_report,
         "first_orders": _q_first_orders,
         "regional_volume": _q_regional_volume,
@@ -8645,6 +8680,7 @@ def oracle_sql() -> dict[str, str]:
         "late_orders": _O_LATE_ORDERS,
         "blame_suppliers": _O_BLAME_SUPPLIERS,
         "customer_engagement": _O_CUSTOMER_ENGAGEMENT,
+        "never_returned_parts": _O_NEVER_RETURNED_PARTS,
         "corpus_report": _o_corpus_report(),
         "first_orders": _O_FIRST_ORDERS,
         "regional_volume": _O_REGIONAL_VOLUME,

@@ -349,6 +349,9 @@ BENCH_FAMILIES = {
         # TPC-H Q13 analog: two-level agg over LEFT OUTER with the
         # right-side predicate in ON (zero bucket live tri-scale)
         "customer_engagement",
+        # Q16-style NOT IN: null-aware broadcast anti join (the
+        # isNullAwareAntiJoin flag plan-locked)
+        "never_returned_parts",
         "sessionize",
         # strictly-ordered first-touch funnel (|users|-bounded step
         # frames, per-step lazy checkpoint bounds rescans to K)

@@ -680,3 +680,17 @@ def test_hard_negatives_verify_joins_bounded_by_candidates(spark):
     # wx only THROUGH the candidate list
     assert "WindowGroupLimit" in final or "Window" in final
     assert final.count("Generate") <= 2, final[:4000]
+
+
+def test_never_returned_parts_null_aware_anti_join(spark):
+    """SQL NOT IN must compile to the NULL-AWARE broadcast anti join —
+    the trailing `true` on the BroadcastHashJoin LeftAnti line is
+    Spark's isNullAwareAntiJoin flag (a plain left_anti would print
+    `false`), the semantics guard that makes NOT IN return empty if
+    the subquery ever yields a NULL key."""
+    df = entrymod.queries()["never_returned_parts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan[:3000]
