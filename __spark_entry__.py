@@ -7776,7 +7776,14 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles host-count state instead of page-count state. Composition:
     canonicalize_urls (host extraction) → d2-lineage citation edges
     (doc i's host links its doc-i÷2 parent's host — the url corpus's
-    deterministic cross-host structure) → links.pagerank unchanged.
+    deterministic cross-host structure) → links.pagerank with
+    checkpoint_edges=True: the host-edge table is a DERIVED relation
+    (regex canonicalization → self-join → distinct) that pagerank
+    references from out-degrees, the node universe and every round's
+    join — uncut, the executed plan re-ran that upstream 44× (r4 judge
+    measurement, 19.5 s vs 3.3 s for page pagerank); the lazy
+    localCheckpoint bounds it to one execution (plan-locked in
+    test_plans.test_host_pagerank_checkpoint_bounds_upstream).
     Oracle: the SAME unrolled-CTE pagerank over the canon-CTE host
     edges (the _o_pagerank prelude parameterization)."""
     from servico_ocr_spark.operators import canonicalize_urls
@@ -7802,6 +7809,7 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_PR_ITERS,
         scale=_PR_SCALE,
         damping_pct=_PR_DAMP,
+        checkpoint_edges=True,
     )
 
 

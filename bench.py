@@ -451,6 +451,12 @@ def run_suite(requested: list[str] | None = None) -> None:
     # box is ±20-30%; CLAUDE.md policy). Methodology in BENCH/BASELINE.md.
     timings = {}
     total = 0.0
+    unknown = [q for q in (requested or []) if q not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s) {unknown} — not in queries(); "
+            "a typo here would otherwise time a partial set silently"
+        )
     names = [q for q in (requested or BENCH_QUERIES) if q in qs]
     for name in names:
         _materialize(qs[name](spark, SF_DIR))

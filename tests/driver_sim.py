@@ -101,6 +101,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        sys.exit(
+            f"unknown query name(s) {unknown} — not in queries(); "
+            "a typo here would otherwise gate a partial set silently"
+        )
     # the flagship oracles are committed golden parquets generated at ONE
     # sf (tests/golden/INPUTS.json); at any other sf_dir they would
     # false-fail on correct code, so fall back to a rows-only check there.
