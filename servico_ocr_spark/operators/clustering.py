@@ -317,6 +317,15 @@ def pq_search(
     :func:`pq_encode`) — the textbook identity, pinned in tests;
     self-matches are then excluded (the ANN-face convention).
 
+    ID-SPACE REQUIREMENT: the self-match exclusion is
+    ``vec_id != query_id``, which assumes queries share the database's
+    id space (the ANN-face convention here: queries ARE database rows,
+    as in near-dup search). With a DISJOINT query table, an accidental
+    id collision between a query and an unrelated database vector would
+    silently drop a genuine neighbor — offset one of the id spaces
+    (e.g. negate query ids) before calling. Same contract for
+    :func:`ivfpq_search`, which shares the score frame.
+
     Shape: per subspace one Lloyd run + one assignment over the
     column-pruned slice; distance tables are |Q|·k-row BROADCASTS, so
     scoring is a chain of broadcast joins over the code table — the

@@ -189,8 +189,6 @@ FRAMES_SCHEMA = StructType(
 def sample_frames(
     media: DataFrame,
     target_frames: int = 4,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
 ) -> DataFrame:
     """``(media_id, n_frames, frame_idx, fr_h48)``: stride frame
     sampling for video payloads — the one-row-in / k-rows-out
@@ -205,7 +203,13 @@ def sample_frames(
     digest of ``payload ‖ ':f' ‖ idx``, so the driver oracle can
     replay the whole thing in SQL while the Spark side exercises the
     REAL plumbing: Arrow batches in, fan-out frame rows out, schema
-    typed. A real decoder replaces only the inner loop."""
+    typed. A real decoder replaces only the inner loop.
+
+    Input contract (fixed, not parameterized — the media-table schema
+    of :func:`synth_media_table`): rows with ``media_id``, ``payload``
+    and ``media_type``; only ``media_type == 'video'`` rows are
+    sampled, the rest are dropped here (frame sampling of an image or
+    audio payload has no meaning)."""
     if target_frames < 1:
         raise ValueError("target_frames >= 1 required")
 
@@ -228,6 +232,6 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     vids = media.where(F.col("media_type") == "video").select(
-        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+        "media_id", "payload"
     )
     return vids.mapInPandas(kernel, FRAMES_SCHEMA)

@@ -58,21 +58,25 @@ def compact_parquet(
     compaction is the periodic job that restores scan efficiency.
 
     Semantics: content-preserving (same rows, any order), writes to a
-    NEW directory — the swap is the caller's transactional concern
-    (object stores rename poorly; the standard pattern is
-    write-new → repoint → delete-old, which Iceberg's rewrite_files
-    does natively when a catalog exists — see COVERAGE.md's Iceberg
-    probe note). Uses ``coalesce`` when shrinking the file count (no
-    shuffle — partitions merge on read) and falls back to
-    ``repartition`` only when the target exceeds the current
-    parallelism (growing file counts needs a shuffle to split).
+    NEW directory and REFUSES an existing one (``errorifexists`` — a
+    silent overwrite here would eat the live table on a path typo; the
+    swap is the caller's transactional concern: object stores rename
+    poorly, the standard pattern is write-new → repoint → delete-old,
+    which Iceberg's rewrite_files does natively when a catalog exists —
+    see COVERAGE.md's Iceberg probe note). Uses ``coalesce`` when
+    shrinking the file count (no shuffle — partitions merge on read)
+    and falls back to ``repartition`` only when the target exceeds the
+    current parallelism (growing file counts needs a shuffle to split).
+
+    Cost: ONE data scan (the row count that sizes the output) + the
+    write itself. File counts on both sides come from ``inputFiles``
+    (driver-side listing metadata, no job) rather than
+    ``input_file_name()`` scans.
 
     Returns ``{"files_before", "files_after", "rows"}`` for the
     caller's lineage record."""
     df = spark.read.parquet(src)
-    files_before = df.select(
-        F.input_file_name().alias("f")
-    ).distinct().count()
+    files_before = len(df.inputFiles())
     rows = df.count()
     n_out = max(1, -(-rows // int(target_rows_per_file)))
     out = (
@@ -80,13 +84,8 @@ def compact_parquet(
         if n_out <= df.rdd.getNumPartitions()
         else df.repartition(n_out)
     )
-    out.write.mode("overwrite").parquet(dest)
-    files_after = (
-        spark.read.parquet(dest)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .count()
-    )
+    out.write.mode("errorifexists").parquet(dest)
+    files_after = len(spark.read.parquet(dest).inputFiles())
     return {
         "files_before": int(files_before),
         "files_after": int(files_after),

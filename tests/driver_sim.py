@@ -88,6 +88,99 @@ def compare(name, spark_df, duck_df) -> list:
     return problems
 
 
+def _golden_sf() -> str | None:
+    # the flagship oracles are committed golden parquets generated at ONE
+    # sf (tests/golden/INPUTS.json); at any other sf_dir they would
+    # false-fail on correct code, so fall back to a rows-only check there.
+    # The driver itself always gates at the golden sf (sf0.01).
+    try:
+        import json as _json
+
+        with open(os.path.join(os.path.dirname(__file__), "golden",
+                               "INPUTS.json")) as fh:
+            return _json.load(fh)["sf_dir"].rstrip("/")
+    except Exception:
+        return None
+
+
+GOLDEN_ONLY = {"extract_docs", "extract_lineage"}
+
+
+def run_gate(spark, sf_dir: str, only: set[str] | None = None,
+             verbose: bool = True) -> dict[str, dict]:
+    """Run the driver-shaped correctness gate for every queries() entry at
+    ``sf_dir``; return one record per query in the driver's
+    CORRECTNESS_r*.json shape (rows_match / schema_match / hash_match /
+    spark_rows / oracle_rows / err, plus ``check`` = full|rows_only)."""
+    import __spark_entry__ as entrymod
+
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    golden_sf = _golden_sf()
+    results: dict[str, dict] = {}
+
+    def say(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None, "check": "full"}
+        results[name] = rec
+        rows_only_reason = None
+        if (name in GOLDEN_ONLY and golden_sf is not None
+                and os.path.realpath(sf_dir) != os.path.realpath(golden_sf)):
+            rows_only_reason = f"golden oracle is for {golden_sf}"
+        elif name not in oracles:
+            rows_only_reason = "no oracle"
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as exc:
+            rec["err"] = f"spark error: {str(exc)[:300]}"
+            say(f"[FAIL] {name}: {rec['err']}")
+            continue
+        rec["spark_rows"] = len(spdf)
+        if rows_only_reason is not None:
+            rec["check"] = "rows_only"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = (
+                len(spdf) >= 0
+            )
+            say(f"[rows] {name}: {len(spdf)} rows "
+                f"({rows_only_reason}; rows-only)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            rec["err"] = f"duckdb error: {str(exc)[:300]}"
+            say(f"[FAIL] {name}: {rec['err']}")
+            continue
+        rec["oracle_rows"] = len(ddf)
+        problems = compare(name, spdf, ddf)
+        rec["rows_match"] = len(spdf) == len(ddf)
+        rec["schema_match"] = not any(
+            "columns differ" in p or "dtype family" in p for p in problems
+        )
+        rec["hash_match"] = not problems
+        if problems:
+            rec["err"] = "; ".join(problems[:5])
+            say(f"[FAIL] {name}: {rec['err']}")
+        else:
+            say(f"[ ok ] {name}: {len(spdf)} rows match")
+    con.close()
+    return results
+
+
+def gate_failures(results: dict[str, dict]) -> list[str]:
+    return [n for n, r in results.items()
+            if not (r["rows_match"] and r["schema_match"]
+                    and r["hash_match"]) or r["err"]]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -95,72 +188,17 @@ def main():
     import __spark_entry__ as entrymod
     from servico_ocr_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duck_con(sf_dir)
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    unknown = sorted(only - set(qs))
+    unknown = sorted(only - set(entrymod.queries()))
     if unknown:
         sys.exit(
             f"unknown query name(s) {unknown} — not in queries(); "
             "a typo here would otherwise gate a partial set silently"
         )
-    # the flagship oracles are committed golden parquets generated at ONE
-    # sf (tests/golden/INPUTS.json); at any other sf_dir they would
-    # false-fail on correct code, so fall back to a rows-only check there.
-    # The driver itself always gates at the golden sf (sf0.01).
-    golden_sf = None
-    try:
-        import json as _json
-
-        with open(os.path.join(os.path.dirname(__file__), "golden",
-                               "INPUTS.json")) as fh:
-            golden_sf = _json.load(fh)["sf_dir"].rstrip("/")
-    except Exception:
-        pass
-    golden_only = {"extract_docs", "extract_lineage"}
-
-    failed = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        if (name in golden_only and golden_sf is not None
-                and os.path.realpath(sf_dir) != os.path.realpath(golden_sf)):
-            try:
-                n = fn(spark, sf_dir).count()
-            except Exception as exc:
-                print(f"[FAIL] {name}: spark error: {str(exc)[:300]}")
-                failed.append(name)
-                continue
-            print(f"[rows] {name}: {n} rows (golden oracle is for "
-                  f"{golden_sf}; rows-only at this sf)")
-            continue
-        try:
-            sdf = fn(spark, sf_dir)
-            spdf = sdf.toPandas()
-        except Exception as exc:
-            print(f"[FAIL] {name}: spark error: {str(exc)[:300]}")
-            failed.append(name)
-            continue
-        if name not in oracles:
-            print(f"[rows] {name}: {len(spdf)} rows (no oracle, rows-only)")
-            assert len(spdf) >= 0
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception as exc:
-            print(f"[FAIL] {name}: duckdb error: {str(exc)[:300]}")
-            failed.append(name)
-            continue
-        problems = compare(name, spdf, ddf)
-        if problems:
-            print(f"[FAIL] {name}: " + "; ".join(problems[:5]))
-            failed.append(name)
-        else:
-            print(f"[ ok ] {name}: {len(spdf)} rows match")
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_gate(spark, sf_dir, only or None)
     spark.stop()
+    failed = gate_failures(results)
     if failed:
         print("FAILED:", failed)
         sys.exit(1)

@@ -88,3 +88,9 @@ def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
         for r in spark.read.parquet(dest).collect()
     )
     assert a == b
+    # dest must be NEW: a second compaction to the same path refuses
+    # instead of silently clobbering the just-written table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already exists"):
+        compact_parquet(spark, src, dest, target_rows_per_file=80)
