@@ -7788,8 +7788,14 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges (the _o_pagerank prelude parameterization)."""
     from servico_ocr_spark.operators import canonicalize_urls
 
-    canon = canonicalize_urls(_url_corpus(spark, sf_dir)).select(
-        "doc_id", "host"
+    # canon is ALSO cut: the self-join otherwise inlines the regex
+    # canonicalization chain into BOTH join inputs of one whole-stage
+    # span — measured "Code grows beyond 64 KB" codegen fallback (the
+    # stage ran interpreted) and the regex chain executed twice.
+    canon = (
+        canonicalize_urls(_url_corpus(spark, sf_dir))
+        .select("doc_id", "host")
+        .localCheckpoint(eager=False)
     )
     parent = canon.select(
         F.col("doc_id").alias("p_id"), F.col("host").alias("p_host")
