@@ -3055,6 +3055,78 @@ FROM sc GROUP BY 1, 2, 3
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/classify.dsir_weights — Xie
+    et al. 2023): every document scored by how much the target
+    distribution (here: the 'dup'-carrying docs, content-selected —
+    the id-based-set lesson) over-weights its hashed unigram+bigram
+    buckets relative to the raw corpus. The carriers' discriminative
+    buckets ('dup' + its bigram contexts) dominate, so target docs
+    rank top — the resampling demonstration is pinned in
+    tests/test_classify.py. dims=256 keeps the collision branch live
+    (the corpus has 31 background words but hundreds of distinct
+    bigrams)."""
+    from servico_ocr_spark.operators import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(
+        F.array_contains(words_array(F.col("text")), F.lit("dup"))
+    ).select("doc_id")
+    return dsir_weights(docs, target_ids=target, dims=_NB_DIMS)
+
+
+def _o_dsir_weights() -> str:
+    return f"""
+WITH base AS ({_d_words_cte()}),
+tok AS (
+    SELECT doc_id, generate_subscripts(words, 1) AS pos,
+           unnest(words) AS w
+    FROM base
+),
+bi AS (
+    SELECT doc_id, w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+),
+g AS (
+    SELECT doc_id, w1 AS f FROM bi
+    UNION ALL
+    SELECT doc_id, w1 || ' ' || w2 FROM bi WHERE w2 IS NOT NULL
+),
+feat AS (
+    SELECT doc_id, ({_d_h48("('ds:' || f)")} % {_NB_DIMS}) AS dim,
+           count(*)::BIGINT AS cnt
+    FROM g GROUP BY doc_id, dim
+),
+tgt AS (SELECT doc_id FROM base WHERE list_contains(words, 'dup')),
+rb AS (SELECT dim, sum(cnt)::BIGINT AS rcnt FROM feat GROUP BY dim),
+tb AS (
+    SELECT dim, sum(cnt)::BIGINT AS tcnt
+    FROM feat JOIN tgt USING (doc_id) GROUP BY dim
+),
+tot AS (
+    SELECT (SELECT sum(rcnt)::BIGINT FROM rb) AS rtot,
+           (SELECT coalesce(sum(tcnt), 0)::BIGINT FROM tb) AS ttot
+),
+dimw AS (
+    SELECT rb.dim,
+           ({_d_ilog("coalesce(tcnt, 0) + 1")}
+            - {_d_ilog("rcnt + 1")}) AS dw
+    FROM rb LEFT JOIN tb USING (dim)
+),
+sc AS (
+    SELECT f.doc_id, sum(cnt)::BIGINT AS n_feat,
+           sum(cnt * dw)::BIGINT AS s1
+    FROM feat f JOIN dimw USING (dim) GROUP BY f.doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_feat, 0)::BIGINT AS n_feat,
+       coalesce(sc.s1 + sc.n_feat
+                * ({_d_ilog(f"rtot + {_NB_DIMS}")}
+                   - {_d_ilog(f"ttot + {_NB_DIMS}")}), 0)::BIGINT AS dsir_w
+FROM documents d LEFT JOIN sc USING (doc_id), tot
+"""
+
+
 #: Classifier-steered mix: predicted-positive docs oversampled 9:1
 #: over the rest (the GPT-3 curation recipe — "train mostly on what
 #: the quality filter likes, keep a sampled slice of the rest").
@@ -8456,6 +8528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_related": _q_bm25_related,
         "hard_negatives": _q_hard_negatives,
         "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
         "classifier_mix": _q_classifier_mix,
         "rrf_fusion": _q_rrf_fusion,
         "bpe_pairs": _q_bpe_pairs,
@@ -8617,6 +8690,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_related": _o_bm25_related(),
         "hard_negatives": _o_hard_negatives(),
         "quality_classifier": _o_quality_classifier(),
+        "dsir_weights": _o_dsir_weights(),
         "classifier_mix": _o_classifier_mix(),
         "rrf_fusion": _o_rrf_fusion(),
         "bpe_pairs": _O_BPE_PAIRS,

@@ -66,6 +66,8 @@ from .links import (  # noqa: F401
     triangle_counts,
 )
 from .classify import (  # noqa: F401
+    dsir_features,
+    dsir_weights,
     hashed_features,
     nb_confusion,
     nb_score,

@@ -36,9 +36,9 @@ one broadcast join, not a special case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from .common import distinct_words, h48
+from .common import distinct_words, h48, words_array
 from .stats import with_ilog_bucket
 
 #: Sentinel dims in the weight table: PRIOR_DIM carries the class
@@ -266,4 +266,167 @@ def nb_confusion(
         )
         .groupBy("split", "y_true", F.col("pred").alias("y_pred"))
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+#: Feature-hash seed for the DSIR feature space (distinct from NB_SEED
+#: so the two hashed spaces can't accidentally alias each other).
+DSIR_SEED = "ds:"
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 256,
+) -> DataFrame:
+    """``(doc_id, dim, cnt)``: hashed unigram + bigram COUNT features —
+    the multinomial feature space of DSIR (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"; hashed
+    n-gram features, §3). Unlike :func:`hashed_features` (Bernoulli
+    presence), counts survive hashing: two colliding n-grams pool their
+    counts into one bucket — the hashing-trick semantics again.
+
+    Shape: ONE tokenize pass; bigrams via posexplode + window ``lead``
+    (the shingling discipline — whole-stage codegen, never array HOFs);
+    the token stream is lazily localCheckpointed because the unigram
+    and bigram projections both read it (without the cut the tokenize
+    + window subtree executes twice). Then one combinable count agg;
+    per-doc state is ≤ min(2·len, dims) rows.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w1"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    stream = tokens.select(
+        "doc_id", "w1", F.lead("w1", 1).over(win).alias("w2")
+    ).localCheckpoint(eager=False)
+    grams = stream.select("doc_id", F.col("w1").alias("f")).unionByName(
+        stream.where(F.col("w2").isNotNull()).select(
+            "doc_id", F.concat_ws(" ", "w1", "w2").alias("f")
+        )
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.pmod(
+                h48(F.concat(F.lit(DSIR_SEED), F.col("f"))),
+                F.lit(int(dims)),
+            )
+            .cast("long")
+            .alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_ids: DataFrame | None = None,
+    target_features: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 256,
+    k: int = 8,
+) -> DataFrame:
+    """``(doc_id, n_feat, dsir_w)``: integer importance weight of every
+    raw document toward a target distribution — DSIR (Xie et al. 2023):
+    ``log w(doc) = Σ_b cnt_doc[b]·(log p_target[b] − log p_raw[b])``
+    with Laplace-smoothed hashed-bigram bucket models, re-expressed in
+    the engine's integer log-bucket space (``stats.with_ilog_bucket``;
+    the NB classifier's portability precedent). Decomposition that
+    keeps it BIGINT-safe and one-join:
+
+        dsir_w = Σ_b cnt[b]·(B(t[b]+1) − B(r[b]+1))
+                 + n_feat·(B(R+dims) − B(T+dims))
+
+    where ``r``/``t`` are raw/target bucket counts, ``R``/``T`` their
+    totals, B the log bucket — every bucket argument ≤ total corpus
+    tokens, every product ≤ doc length · 64·k, so the arithmetic holds
+    unconditionally at 10^12 docs.
+
+    ``target_ids`` (one id column) selects the target as a SUBSET of
+    ``df`` and shares its single feature pass; ``target_features``
+    supplies an external target corpus instead (pass
+    ``dsir_features(external)`` — DSIR's usual Wikipedia-style target).
+    Exactly one of the two is required.
+
+    Scale shape: one corpus feature pass (lazily localCheckpointed —
+    the bucket aggregation and the per-doc scoring both read it), two
+    ≤ dims-row combinable bucket aggs, the dims-row weight table
+    broadcast onto the feature stream, one per-doc combinable sum.
+    Zero-token documents are restored from the id spine with
+    ``n_feat = 0, dsir_w = 0`` (the explode-drops-empty-docs lesson).
+    Selection ("resample the top fraction") composes downstream —
+    rank by ``(dsir_w desc, h48(doc_id) asc)`` or feed the histogram
+    bucketer (`lm.lm_quality_buckets`), exactly as `classifier_mix`
+    does with NB scores.
+    """
+    if (target_ids is None) == (target_features is None):
+        raise ValueError(
+            "exactly one of target_ids / target_features is required"
+        )
+    rf = dsir_features(df, text_col, id_col, dims).localCheckpoint(
+        eager=False
+    )
+    if target_features is None:
+        tfe = rf.join(
+            target_ids.select(
+                F.col(target_ids.columns[0]).alias("doc_id")
+            ).distinct(),
+            "doc_id",
+        )
+    else:
+        tfe = target_features
+    rb = rf.groupBy("dim").agg(F.sum("cnt").cast("long").alias("rcnt"))
+    tb = tfe.groupBy("dim").agg(F.sum("cnt").cast("long").alias("tcnt"))
+    totals = rb.agg(F.sum("rcnt").cast("long").alias("rtot")).crossJoin(
+        tb.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).cast("long")
+               .alias("ttot"))
+    )
+    dimw = rb.join(tb, "dim", "left").select(
+        "dim",
+        (F.coalesce("tcnt", F.lit(0)) + 1).alias("_t1"),
+        (F.col("rcnt") + 1).alias("_r1"),
+    )
+    dimw = with_ilog_bucket(dimw, "_t1", "_bt", k)
+    dimw = with_ilog_bucket(dimw, "_r1", "_br", k).select(
+        "dim", (F.col("_bt") - F.col("_br")).cast("long").alias("dw")
+    )
+    totals = with_ilog_bucket(
+        totals.select(
+            (F.col("rtot") + dims).alias("_ra"),
+            (F.col("ttot") + dims).alias("_ta"),
+        ),
+        "_ra", "_bra", k,
+    )
+    totals = with_ilog_bucket(totals, "_ta", "_bta", k).select(
+        (F.col("_bra") - F.col("_bta")).cast("long").alias("norm")
+    )
+    scored = (
+        rf.join(F.broadcast(dimw), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("dw")).cast("long").alias("_s1"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_feat",
+            (F.col("_s1") + F.col("n_feat") * F.col("norm"))
+            .cast("long")
+            .alias("dsir_w"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feat", F.lit(0)).cast("long").alias("n_feat"),
+            F.coalesce("dsir_w", F.lit(0)).cast("long").alias("dsir_w"),
+        )
     )

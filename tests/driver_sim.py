@@ -103,7 +103,12 @@ def _golden_sf() -> str | None:
         return None
 
 
-GOLDEN_ONLY = {"extract_docs", "extract_lineage"}
+# extract_neardups' oracle reads the golden texts parquet too (its
+# minhash SQL runs over extract_texts_sf0.01.parquet) — at any other sf
+# the Spark side sees a different corpus and the compare false-fails on
+# correct code (first surfaced by the r5 tri-scale artifact run: 26
+# spark rows vs the golden corpus's 19 at sf0.1).
+GOLDEN_ONLY = {"extract_docs", "extract_lineage", "extract_neardups"}
 
 
 def run_gate(spark, sf_dir: str, only: set[str] | None = None,

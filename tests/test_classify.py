@@ -118,3 +118,111 @@ def test_hashed_features_dedupe_after_hashing(spark):
     df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
     rows = hashed_features(df, dims=1).collect()
     assert len(rows) == 1 and rows[0]["dim"] == 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+from servico_ocr_spark.operators import dsir_features, dsir_weights  # noqa: E402
+from servico_ocr_spark.operators.classify import DSIR_SEED  # noqa: E402
+
+
+def _py_dsir(rows, target_ids, dims):
+    """Pure-Python mirror of dsir_weights (hashed unigram+bigram counts,
+    ilog-bucket importance)."""
+    def feats(text):
+        ws = [w for w in text.lower().split() if w]
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        out = {}
+        for g in grams:
+            d = _h48(DSIR_SEED + g) % dims
+            out[d] = out.get(d, 0) + 1
+        return out
+
+    rb, tb = {}, {}
+    for did, text in rows:
+        for d, c in feats(text).items():
+            rb[d] = rb.get(d, 0) + c
+            if did in target_ids:
+                tb[d] = tb.get(d, 0) + c
+    rtot, ttot = sum(rb.values()), sum(tb.values())
+    norm = _bucket(rtot + dims) - _bucket(ttot + dims)
+    out = {}
+    for did, text in rows:
+        f = feats(text)
+        n_feat = sum(f.values())
+        s1 = sum(
+            c * (_bucket(tb.get(d, 0) + 1) - _bucket(rb[d] + 1))
+            for d, c in f.items()
+        )
+        out[did] = (n_feat, s1 + n_feat * norm if n_feat else 0)
+    return out
+
+
+def _dsir_corpus():
+    """Target docs use a disjoint content vocabulary, so the importance
+    weight separates them perfectly — the clean demonstration corpus
+    (the sf fixture's 31-word background makes separation statistical,
+    not exact; see _q_dsir_weights)."""
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            text = f"quantum flux capacitor resonance w{i % 3}"
+        else:
+            text = f"plain filler common words here w{i % 3}"
+        rows.append((i, text))
+    rows.append((60, ""))  # zero-token doc
+    return rows
+
+
+def test_dsir_matches_python_mirror(spark):
+    rows = _dsir_corpus()
+    tgt = {i for i, _ in rows if i % 5 == 0}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    got = {
+        r["doc_id"]: (r["n_feat"], r["dsir_w"])
+        for r in dsir_weights(df, target_ids=target, dims=64).collect()
+    }
+    assert got == _py_dsir(rows, tgt, 64)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    rows = _dsir_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    out = dsir_weights(df, target_ids=target, dims=64).collect()
+    t_ws = [r["dsir_w"] for r in out if r["doc_id"] % 5 == 0
+            and r["doc_id"] <= 60]
+    o_ws = [r["dsir_w"] for r in out if r["doc_id"] % 5 != 0]
+    # perfect separation on the disjoint-vocabulary corpus: resampling
+    # the top |target| docs recovers exactly the target-like set
+    assert min(t_ws) > max(o_ws)
+    # zero-token doc restored with the sentinel row
+    zero = next(r for r in out if r["doc_id"] == 60)
+    assert (zero["n_feat"], zero["dsir_w"]) == (0, 0)
+
+
+def test_dsir_external_target_features_equivalent(spark):
+    """target_ids (shared-pass subset) ≡ target_features built
+    separately from the same docs — the external-corpus path."""
+    rows = _dsir_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt_docs = df.where(F.col("doc_id") % 5 == 0)
+    a = dsir_weights(
+        df, target_ids=tgt_docs.select("doc_id"), dims=64
+    ).collect()
+    b = dsir_weights(
+        df, target_features=dsir_features(tgt_docs, dims=64), dims=64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        dsir_weights(df, dims=64)
+    with pytest.raises(ValueError):
+        dsir_weights(
+            df,
+            target_ids=tgt_docs.select("doc_id"),
+            target_features=dsir_features(tgt_docs, dims=64),
+            dims=64,
+        )
