@@ -1676,6 +1676,89 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+_BITEXT_K = 4
+
+
+def _q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.margin_bitext —
+    Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): mutual-best
+    ratio-margin pairs between the 'en' and 'de' embedding sets (lang
+    from the documents table, vec_id ≡ doc_id). The fixture's labels
+    carry mild real structure (~0.15 within-label cos), so margins are
+    spread and the mutual-best intersection prunes most one-way bests
+    — both the normalization and the intersection bind. Brute
+    candidates at this scale; the margin stage itself is
+    candidate-bounded (feed ANN candidates at corpus scale)."""
+    from servico_ocr_spark.operators import margin_bitext
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _read(spark, sf_dir, "embeddings")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "lang"
+    )
+    return margin_bitext(
+        j.where(F.col("lang") == "en"),
+        j.where(F.col("lang") == "de"),
+        k=_BITEXT_K,
+    )
+
+
+def _o_bitext_mining() -> str:
+    return f"""
+WITH v AS (
+    SELECT e.vec_id, {_O_INT_VEC} AS iv, d.lang
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+n AS (
+    SELECT vec_id, iv, lang,
+           CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+    FROM v
+),
+xs AS (SELECT vec_id AS x_id, iv, nrm FROM n WHERE lang = 'en'),
+ys AS (SELECT vec_id AS y_id, iv, nrm FROM n WHERE lang = 'de'),
+sc AS (
+    SELECT x.x_id, y.y_id,
+           floor(CAST(list_sum(list_transform(
+                     range(1, len(x.iv) + 1),
+                     i -> x.iv[i] * y.iv[i])) AS BIGINT) * 1000000 /
+                 (sqrt(CAST(x.nrm AS DOUBLE))
+                  * sqrt(CAST(y.nrm AS DOUBLE))))::BIGINT AS cos_sim_e6
+    FROM xs x CROSS JOIN ys y
+),
+ax AS (
+    SELECT x_id, (sum(cos_sim_e6) // count(*))::BIGINT AS ax FROM (
+        SELECT x_id, cos_sim_e6,
+               row_number() OVER (PARTITION BY x_id
+                                  ORDER BY cos_sim_e6 DESC, y_id) AS rn
+        FROM sc)
+    WHERE rn <= {_BITEXT_K} GROUP BY x_id
+),
+ay AS (
+    SELECT y_id, (sum(cos_sim_e6) // count(*))::BIGINT AS ay FROM (
+        SELECT y_id, cos_sim_e6,
+               row_number() OVER (PARTITION BY y_id
+                                  ORDER BY cos_sim_e6 DESC, x_id) AS rn
+        FROM sc)
+    WHERE rn <= {_BITEXT_K} GROUP BY y_id
+),
+m AS (
+    SELECT s.x_id, s.y_id, s.cos_sim_e6,
+           ((s.cos_sim_e6 * 2000)
+            // greatest(ax.ax + ay.ay, 1))::BIGINT AS margin_x1e3
+    FROM sc s JOIN ax USING (x_id) JOIN ay USING (y_id)
+),
+r AS (
+    SELECT x_id, y_id, cos_sim_e6, margin_x1e3,
+           row_number() OVER (PARTITION BY x_id
+                              ORDER BY margin_x1e3 DESC, y_id) AS bx,
+           row_number() OVER (PARTITION BY y_id
+                              ORDER BY margin_x1e3 DESC, x_id) AS by
+    FROM m
+)
+SELECT x_id, y_id, cos_sim_e6, margin_x1e3 FROM r WHERE bx = 1 AND by = 1
+"""
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise pruning (operators/similarity.
     label_centroid_outliers): cosine of every vector to its own label's
@@ -8519,6 +8602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_outliers": _q_embedding_outliers,
+        "bitext_mining": _q_bitext_mining,
         "lang_id": _q_lang_id,
         "source_language": _q_source_language,
         "token_counts": _q_token_counts,
@@ -8681,6 +8765,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _o_embedding_dim_stats(),
         "embedding_quantize": _o_embedding_quantize(),
         "embedding_outliers": _O_EMBEDDING_OUTLIERS,
+        "bitext_mining": _o_bitext_mining(),
         "lang_id": _o_lang_id(),
         "source_language": _o_source_language(),
         "token_counts": _o_token_counts(),

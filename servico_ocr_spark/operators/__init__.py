@@ -40,6 +40,7 @@ from .similarity import (  # noqa: F401
     embedding_near_duplicates,
     ivf_ann_topk,
     label_centroid_outliers,
+    margin_bitext,
     lsh_ann_topk,
 )
 from .webtext import (  # noqa: F401

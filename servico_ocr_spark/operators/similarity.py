@@ -459,3 +459,119 @@ def label_centroid_outliers(
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+def margin_bitext(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """``(x_id, y_id, cos_sim_e6, margin_x1e3)``: mutual-best bitext
+    pairs between two embedding sets under the RATIO margin criterion
+    (Artetxe & Schwenk, ACL 2019 — the CCMatrix/LASER mining score):
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x→Y) + avgNN_k(y→X)) / 2)
+
+    — absolute cosine is miscalibrated across hubs (some vectors are
+    close to everything), so each pair's similarity is normalized by
+    the two endpoints' average top-``k`` neighborhood similarity. A
+    pair is emitted iff each side is the other's best margin match
+    (mutual-best = the paper's "max" retrieval intersection), which is
+    what makes mined bitext high-precision.
+
+    Integer contract: cosines come from the shared quantized dot
+    (``cos_sim_e6``, the `brute_force_topk` arithmetic); neighborhood
+    averages are truncating integer means over ≤ k candidates;
+    ``margin_x1e3 = (cos·2000) div max(ax + ay, 1)`` — ×1000-scaled
+    ratio, BIGINT-safe (≤ 2·10⁹ numerator), portable. Ties on
+    (margin, id) are totally ordered, so the mutual-best set is
+    deterministic on both engines.
+
+    Scale shape: with ``candidates=None`` the scored pair table is the
+    brute cross product with the SMALLER side broadcast — correct at
+    calibration scale, Θ(|X|·|Y|) like `brute_force_topk`. At corpus
+    scale pass ``candidates`` = any (x_id, y_id, cos_sim_e6) frame
+    from the ANN path (`ivf_ann_topk` / `lsh_ann_topk` unioned both
+    directions) — the margin stage itself is candidate-bounded: the
+    scored table is lazily localCheckpointed (it feeds both
+    neighborhood aggs and the final ranking — the triple-reference
+    lesson), the per-endpoint averages are two combinable aggs whose
+    state is one row per endpoint, and the best-match windows
+    partition by endpoint with ≤ |candidates-per-endpoint| rows.
+    """
+    if candidates is None:
+        xs = x.select(
+            F.col(id_col).alias("x_id"), _int_vec(F.col(vec_col)).alias("xv")
+        ).withColumn("xn", _dot(F.col("xv"), F.col("xv")))
+        ys = y.select(
+            F.col(id_col).alias("y_id"), _int_vec(F.col(vec_col)).alias("yv")
+        ).withColumn("yn", _dot(F.col("yv"), F.col("yv")))
+        candidates = (
+            xs.join(broadcast(ys))
+            .withColumn("dot", _dot(F.col("xv"), F.col("yv")))
+            .select(
+                "x_id",
+                "y_id",
+                F.floor(
+                    F.col("dot") * 1000000
+                    / (F.sqrt(F.col("xn").cast("double"))
+                       * F.sqrt(F.col("yn").cast("double")))
+                ).cast("long").alias("cos_sim_e6"),
+            )
+        )
+    scored = candidates.select(
+        "x_id", "y_id", "cos_sim_e6"
+    ).localCheckpoint(eager=False)
+    wx = Window.partitionBy("x_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("y_id")
+    )
+    ax = (
+        scored.withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= k)
+        .groupBy("x_id")
+        .agg(
+            F.expr("sum(cos_sim_e6) div count(*)")
+            .cast("long")
+            .alias("ax")
+        )
+    )
+    wy = Window.partitionBy("y_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("x_id")
+    )
+    ay = (
+        scored.withColumn("rn", F.row_number().over(wy))
+        .where(F.col("rn") <= k)
+        .groupBy("y_id")
+        .agg(
+            F.expr("sum(cos_sim_e6) div count(*)")
+            .cast("long")
+            .alias("ay")
+        )
+    )
+    margins = (
+        scored.join(ax, "x_id")
+        .join(ay, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim_e6",
+            F.expr("(cos_sim_e6 * 2000) div greatest(ax + ay, 1L)")
+            .cast("long")
+            .alias("margin_x1e3"),
+        )
+    )
+    bx = Window.partitionBy("x_id").orderBy(
+        F.desc("margin_x1e3"), F.asc("y_id")
+    )
+    by = Window.partitionBy("y_id").orderBy(
+        F.desc("margin_x1e3"), F.asc("x_id")
+    )
+    return (
+        margins.withColumn("bx", F.row_number().over(bx))
+        .withColumn("by", F.row_number().over(by))
+        .where((F.col("bx") == 1) & (F.col("by") == 1))
+        .select("x_id", "y_id", "cos_sim_e6", "margin_x1e3")
+    )

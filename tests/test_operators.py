@@ -239,6 +239,66 @@ def test_brute_force_topk_identical_vector_first(spark):
     assert ranked[2]["neighbor_id"] == 2
 
 
+def test_margin_bitext_mutual_best_and_hub_demotion(spark):
+    """The margin criterion's reason to exist: a HUB vector that is
+    close to everything wins raw-cosine retrieval but its margin is ~1
+    (its neighborhood average is as high as any single match), so a
+    specific pair with a lower absolute cosine out-margins it."""
+    from servico_ocr_spark.operators import margin_bitext
+
+    # x0/y0 are a specific pair (moderate cos, low neighborhoods);
+    # yh is a hub nearly parallel to every x.
+    x = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.3]),
+            (1, [0.0, 1.0, 0.3]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    y = spark.createDataFrame(
+        [
+            (10, [0.9, -0.1, 0.25]),     # specific match for x0
+            (11, [-0.1, 0.9, 0.25]),     # specific match for x1
+            (12, [0.55, 0.55, 0.33]),    # hub: close to both x
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["x_id"], r["y_id"]): r
+        for r in margin_bitext(x, y, k=2).collect()
+    }
+    # mutual-best pairs are the specific matches, not the hub
+    assert set(out) == {(0, 10), (1, 11)}
+    for r in out.values():
+        assert r["margin_x1e3"] > 1000  # above-average pair
+
+
+def test_margin_bitext_candidates_path_equivalent(spark):
+    """Feeding the brute scored frame via candidates= (the ANN
+    composition seam) reproduces the built-in brute path exactly."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import brute_force_topk, margin_bitext
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 23 - 11) for d in range(8)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    x = emb.where("vec_id < 6")
+    y = emb.where("vec_id >= 6")
+    a = sorted(map(tuple, margin_bitext(x, y, k=3).collect()))
+    cand = brute_force_topk(y, x, k=100).select(
+        F.col("query_id").alias("x_id"),
+        F.col("neighbor_id").alias("y_id"),
+        "cos_sim_e6",
+    )
+    b = sorted(
+        map(tuple, margin_bitext(x, y, k=3, candidates=cand).collect())
+    )
+    assert a == b and len(a) >= 1
+
+
 def test_ivf_ann_topk_recall_vs_brute(spark):
     """IVF with all cells probed equals brute force; with nprobe=1 the
     identical-vector neighbor (same cell by construction) still surfaces."""
