@@ -196,6 +196,10 @@ BENCH_FAMILIES = {
         # the classifier's end use (GPT-3 recipe): predictions as mix
         # strata, kept 9:1 — cap branch AND sampling branch both bind
         "classifier_mix",
+        # DSIR importance resampling (r5): hashed unigram+bigram count
+        # features, ilog-bucket importance vs the dup-carrier target —
+        # one feature pass, dims-row weight broadcast
+        "dsir_weights",
         # word2vec skip-gram pairs: deterministic integer subsampling
         # (r²·f_ppm threshold), one doc window for all leads, |V|²-
         # bounded symmetric pair agg
@@ -331,6 +335,9 @@ BENCH_FAMILIES = {
         # label-noise pruning: cos to per-label centroid-SUM direction
         # (one (label,dim) agg + one equi-join, no array rebuild)
         "embedding_outliers",
+        # margin-based bitext mining (r5): mutual-best ratio margin
+        # en↔de, brute candidates with the smaller side broadcast
+        "bitext_mining",
     ],
     "relational": [
         "events_json",
