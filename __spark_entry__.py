@@ -7410,7 +7410,13 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates every host (budget is a quarter of the allowed mass).
     Plan: the robots gate's agg feeds a semi join; schedule +
     apportionment as plan-locked in their own queries; one final
-    broadcast-able quota join (host-cardinality side)."""
+    broadcast-able quota join (host-cardinality side). ``pages`` and
+    ``allowed`` are lazily cut: three operators re-derive the regex
+    canonicalization from them, and uncut the synthesized-url +
+    canonicalization chains stacked inside single join spans — four
+    "Code grows beyond 64 KB" codegen fallbacks (interpreted stages)
+    and re-executed synthesis; the cuts restored compiled spans
+    (7.5 → 2.3 s benched at sf0.1, the host_pagerank lesson)."""
     from servico_ocr_spark.operators import (
         apportion_budget,
         canonicalize_urls,
@@ -7418,7 +7424,7 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_disallow,
     )
 
-    pages = _url_corpus(spark, sf_dir)
+    pages = _url_corpus(spark, sf_dir).localCheckpoint(eager=False)
     hosts = (
         canonicalize_urls(pages)
         .select("host")
@@ -7436,7 +7442,9 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed_ids = gate.where(
         (F.col("blocked") == 0) & (F.col("host") != "")
     ).select("doc_id")
-    allowed = pages.join(allowed_ids, "doc_id", "left_semi")
+    allowed = pages.join(allowed_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     sched = crawl_schedule(allowed, rate_per_wave=_SCHED_RATE)
     n_allowed = allowed_ids.count()
     budget = n_allowed // 4
