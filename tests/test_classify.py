@@ -204,6 +204,24 @@ def test_dsir_selects_target_like_docs(spark):
     assert (zero["n_feat"], zero["dsir_w"]) == (0, 0)
 
 
+def test_dsir_partitioning_independence(spark):
+    rows = _dsir_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sorted(
+        map(tuple, dsir_weights(
+            df, target_ids=df.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id"), dims=64).collect())
+    )
+    for n in (1, 13):
+        rdf = df.repartition(n)
+        got = sorted(
+            map(tuple, dsir_weights(
+                rdf, target_ids=rdf.where(F.col("doc_id") % 5 == 0)
+                .select("doc_id"), dims=64).collect())
+        )
+        assert got == ref
+
+
 def test_dsir_external_target_features_equivalent(spark):
     """target_ids (shared-pass subset) ≡ target_features built
     separately from the same docs — the external-corpus path."""

@@ -273,6 +273,25 @@ def test_margin_bitext_mutual_best_and_hub_demotion(spark):
         assert r["margin_x1e3"] > 1000  # above-average pair
 
 
+def test_margin_bitext_partitioning_independence(spark):
+    from servico_ocr_spark.operators import margin_bitext
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 23 - 11) for d in range(8)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = sorted(map(tuple, margin_bitext(
+        emb.where("vec_id < 8"), emb.where("vec_id >= 8"), k=3
+    ).collect()))
+    for n in (1, 7):
+        r = emb.repartition(n)
+        got = sorted(map(tuple, margin_bitext(
+            r.where("vec_id < 8"), r.where("vec_id >= 8"), k=3
+        ).collect()))
+        assert got == ref
+
+
 def test_margin_bitext_candidates_path_equivalent(spark):
     """Feeding the brute scored frame via candidates= (the ANN
     composition seam) reproduces the built-in brute path exactly."""
