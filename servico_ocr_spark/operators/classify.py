@@ -322,6 +322,78 @@ def dsir_features(
     )
 
 
+def dsir_dim_weights(
+    rb: DataFrame, tb: DataFrame, dims: int = 256, k: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The stateless back half of :func:`dsir_weights`, factored out so
+    the streaming twin's changelog counts feed the SAME arithmetic
+    (the nb_weights_from_counts discipline): from the raw and target
+    bucket-count tables ``rb(dim, rcnt)`` / ``tb(dim, tcnt)``, return
+    ``(dimw(dim, dw), totals(norm))`` — the per-bucket log-ratio term
+    and the 1-row smoothing-total normalizer."""
+    totals = rb.agg(F.sum("rcnt").cast("long").alias("rtot")).crossJoin(
+        tb.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).cast("long")
+               .alias("ttot"))
+    )
+    dimw = rb.join(tb, "dim", "left").select(
+        "dim",
+        (F.coalesce("tcnt", F.lit(0)) + 1).alias("_t1"),
+        (F.col("rcnt") + 1).alias("_r1"),
+    )
+    dimw = with_ilog_bucket(dimw, "_t1", "_bt", k)
+    dimw = with_ilog_bucket(dimw, "_r1", "_br", k).select(
+        "dim", (F.col("_bt") - F.col("_br")).cast("long").alias("dw")
+    )
+    totals = with_ilog_bucket(
+        totals.select(
+            (F.col("rtot") + dims).alias("_ra"),
+            (F.col("ttot") + dims).alias("_ta"),
+        ),
+        "_ra", "_bra", k,
+    )
+    totals = with_ilog_bucket(totals, "_ta", "_bta", k).select(
+        (F.col("_bra") - F.col("_bta")).cast("long").alias("norm")
+    )
+    return dimw, totals
+
+
+def dsir_count_rows(
+    df: DataFrame,
+    target_col: str = "t",
+    text_col: str = "text",
+    dims: int = 256,
+) -> DataFrame:
+    """``(dim, t)``: one row per hashed unigram/bigram OCCURRENCE with
+    the document's target flag — the ZERO-SHUFFLE stream-legal
+    projection whose (dim, t) counts are the entire DSIR training
+    state (raw bucket count = n(dim,0) + n(dim,1); target bucket
+    count = n(dim,1); totals = the same sums over all dims — no
+    sentinel rows needed). Grams are built INSIDE the row (slice +
+    zip_with over the words array — no window, no per-doc shuffle),
+    which is what makes the projection legal on an unbounded stream;
+    the HOF-interpreted cost is one pass per row, the
+    ``nb_count_rows`` precedent. Gram-for-gram parity with the batch
+    :func:`dsir_features` windowed build is pinned in tests.
+    """
+    ws = words_array(F.col(text_col))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), n1),
+        F.slice(ws, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dimarr = F.transform(
+        F.concat(ws, bigrams),
+        lambda g: F.pmod(
+            h48(F.concat(F.lit(DSIR_SEED), g)), F.lit(int(dims))
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(target_col).cast("long").alias("t"),
+        F.explode(dimarr).alias("dim"),
+    ).select("dim", "t")
+
+
 def dsir_weights(
     df: DataFrame,
     target_ids: DataFrame | None = None,
@@ -382,29 +454,7 @@ def dsir_weights(
         tfe = target_features
     rb = rf.groupBy("dim").agg(F.sum("cnt").cast("long").alias("rcnt"))
     tb = tfe.groupBy("dim").agg(F.sum("cnt").cast("long").alias("tcnt"))
-    totals = rb.agg(F.sum("rcnt").cast("long").alias("rtot")).crossJoin(
-        tb.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).cast("long")
-               .alias("ttot"))
-    )
-    dimw = rb.join(tb, "dim", "left").select(
-        "dim",
-        (F.coalesce("tcnt", F.lit(0)) + 1).alias("_t1"),
-        (F.col("rcnt") + 1).alias("_r1"),
-    )
-    dimw = with_ilog_bucket(dimw, "_t1", "_bt", k)
-    dimw = with_ilog_bucket(dimw, "_r1", "_br", k).select(
-        "dim", (F.col("_bt") - F.col("_br")).cast("long").alias("dw")
-    )
-    totals = with_ilog_bucket(
-        totals.select(
-            (F.col("rtot") + dims).alias("_ra"),
-            (F.col("ttot") + dims).alias("_ta"),
-        ),
-        "_ra", "_bra", k,
-    )
-    totals = with_ilog_bucket(totals, "_ta", "_bta", k).select(
-        (F.col("_bra") - F.col("_bta")).cast("long").alias("norm")
-    )
+    dimw, totals = dsir_dim_weights(rb, tb, dims, k)
     scored = (
         rf.join(F.broadcast(dimw), "dim")
         .groupBy("doc_id")

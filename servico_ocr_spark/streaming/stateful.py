@@ -376,3 +376,57 @@ def nb_count_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DSIR_COUNT_STATE_SCHEMA = "cnt long"
+DSIR_COUNT_OUTPUT_SCHEMA = "dim long, t long, cnt long"
+
+
+def dsir_count_stream(
+    stream: DataFrame,
+    target_col: str = "t",
+    text_col: str = "text",
+    dims: int = 256,
+) -> DataFrame:
+    """Online DSIR model training (model-as-state, the
+    ``nb_count_stream`` discipline): the sufficient statistics of
+    ``operators.classify.dsir_weights`` — per-(dim, target-flag)
+    hashed-gram occurrence counters — maintained as streaming state
+    over a stream of flagged documents. The stateless projection is
+    ``operators.classify.dsir_count_rows``, shared with the batch
+    arithmetic (grams built inside the row, so no window and no
+    relational distinct — stream-legal).
+
+    State-store key space is bounded at ``2·dims`` keys no matter how
+    many documents arrive. Counts are commutative and associative, so
+    the changelog's final cells equal the batch bucket counts over the
+    union of micro-batches in any arrival order; pivoting them into
+    (rb, tb) and feeding the shared ``dsir_dim_weights`` reproduces
+    the EXACT batch-trained importance model (tested)."""
+    from ..operators.classify import dsir_count_rows
+
+    rows = dsir_count_rows(stream, target_col, text_col, dims)
+
+    def fn(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        touched = False
+        for batch in batches:
+            if batch.empty:
+                continue
+            touched = True
+            n += len(batch)
+        state.update((int(n),))
+        if touched:
+            yield pd.DataFrame(
+                {"dim": [int(key[0])], "t": [int(key[1])], "cnt": [int(n)]}
+            )
+
+    return rows.groupBy("dim", "t").applyInPandasWithState(
+        fn,
+        outputStructType=DSIR_COUNT_OUTPUT_SCHEMA,
+        stateStructType=DSIR_COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

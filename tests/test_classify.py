@@ -204,6 +204,45 @@ def test_dsir_selects_target_like_docs(spark):
     assert (zero["n_feat"], zero["dsir_w"]) == (0, 0)
 
 
+def test_dsir_count_rows_matches_windowed_features(spark):
+    """The stream-legal in-row gram build (slice + zip_with) must be
+    gram-for-gram identical to the batch posexplode+lead build:
+    summing dsir_count_rows occurrences per dim over all docs equals
+    summing dsir_features counts — including empty and 1-word docs
+    (no bigrams), and raw = t0+t1 / target = t1 pivots."""
+    rows = _dsir_corpus() + [(61, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = df.withColumn("t", (F.col("doc_id") % 5 == 0).cast("long"))
+    from servico_ocr_spark.operators.classify import dsir_count_rows
+
+    cells = (
+        dsir_count_rows(flagged, dims=64)
+        .groupBy("dim", "t")
+        .count()
+        .collect()
+    )
+    rb_stream = {}
+    tb_stream = {}
+    for r in cells:
+        rb_stream[r["dim"]] = rb_stream.get(r["dim"], 0) + r["count"]
+        if r["t"] == 1:
+            tb_stream[r["dim"]] = tb_stream.get(r["dim"], 0) + r["count"]
+    feats = dsir_features(df, dims=64)
+    rb_batch = {
+        r["dim"]: r["s"]
+        for r in feats.groupBy("dim").agg(F.sum("cnt").alias("s")).collect()
+    }
+    tgt = feats.join(
+        df.where(F.col("doc_id") % 5 == 0).select("doc_id"), "doc_id"
+    )
+    tb_batch = {
+        r["dim"]: r["s"]
+        for r in tgt.groupBy("dim").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert rb_stream == rb_batch
+    assert tb_stream == tb_batch
+
+
 def test_dsir_partitioning_independence(spark):
     rows = _dsir_corpus()
     df = spark.createDataFrame(rows, "doc_id long, text string")

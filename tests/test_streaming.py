@@ -652,3 +652,94 @@ def test_windowed_watermark_drops_too_late_rows(spark, tmp_path):
     # the late 10:30 row changed NOTHING; 12:00 window emitted with
     # only its batch-1 event; 13:00 not yet finalized
     assert final == {(10, "view"): 2, (12, "view"): 1}
+
+
+def test_dsir_count_stream_final_cells_reproduce_batch_model(
+    spark, tmp_path
+):
+    """Model-as-state twin for DSIR: the streaming (dim, t) occurrence
+    counters' final cells (max cnt per key — counters are monotone),
+    pivoted into (rb, tb) and fed through the SHARED dsir_dim_weights,
+    must equal the batch model computed by dsir_features over the
+    union of all micro-batches — arrival order cannot matter (counts
+    commute)."""
+    from pyspark.sql import functions as F
+
+    from servico_ocr_spark.operators import dsir_features
+    from servico_ocr_spark.operators.classify import dsir_dim_weights
+    from servico_ocr_spark.streaming.stateful import dsir_count_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, t long"
+    DIMS = 32
+
+    batch1 = [
+        (1, "quantum flux capacitor resonance", 1),
+        (2, "plain filler common words here", 0),
+        (3, "quantum resonance again", 1),
+    ]
+    batch2 = [
+        (4, "plain other filler words", 0),
+        (5, "single", 0),       # 1-word doc: unigram only, no bigram
+        (6, "", 0),             # zero-token doc contributes nothing
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = dsir_count_stream(stream, dims=DIMS)
+        (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        input_dir
+    )
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(output_dir).collect():
+        k = (r["dim"], r["t"])
+        if k not in final or r["cnt"] > final[k]:
+            final[k] = r["cnt"]
+    rb_rows = {}
+    tb_rows = {}
+    for (dim, t), c in final.items():
+        rb_rows[dim] = rb_rows.get(dim, 0) + c
+        if t == 1:
+            tb_rows[dim] = tb_rows.get(dim, 0) + c
+    rb_s = spark.createDataFrame(
+        [(d, c) for d, c in rb_rows.items()], "dim long, rcnt long"
+    )
+    tb_s = spark.createDataFrame(
+        [(d, c) for d, c in tb_rows.items()], "dim long, tcnt long"
+    )
+    dimw_s, tot_s = dsir_dim_weights(rb_s, tb_s, DIMS)
+
+    all_rows = batch1 + batch2
+    docs = spark.createDataFrame(all_rows, schema)
+    feats = dsir_features(docs, dims=DIMS)
+    rb_b = feats.groupBy("dim").agg(
+        F.sum("cnt").cast("long").alias("rcnt")
+    )
+    tb_b = (
+        feats.join(docs.where("t = 1").select("doc_id"), "doc_id")
+        .groupBy("dim")
+        .agg(F.sum("cnt").cast("long").alias("tcnt"))
+    )
+    dimw_b, tot_b = dsir_dim_weights(rb_b, tb_b, DIMS)
+
+    assert sorted(map(tuple, dimw_s.collect())) == sorted(
+        map(tuple, dimw_b.collect())
+    )
+    assert tot_s.collect() == tot_b.collect()
